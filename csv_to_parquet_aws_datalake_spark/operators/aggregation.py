@@ -1,0 +1,247 @@
+"""Aggregation operators (SURVEY.md §2.4, rows d01-d13).
+
+All are single-shuffle hash aggregations: Catalyst plans partial (map-side)
+aggregation before the exchange, so at 100 TB the shuffle carries one row per
+(partition, group), not per input row.  Nothing here needs a custom operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "d01_groupby_core",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                        AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4)                        AS avg_qty,
+               count(*)                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+)
+def d01_groupby_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "d02_count_distinct",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+)
+def d02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "d03_having",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1 HAVING count(*) >= 12
+    """,
+)
+def d03_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "d04_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS tp
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def d04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("tp"),
+    )
+
+
+@query(
+    "d05_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS tp
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d05_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("tp"),
+    )
+
+
+@query(
+    "d06_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)   AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def d06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)   AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@query(
+    "d07_conditional_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS rev_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS rev_o,
+               sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk
+        FROM lineitem GROUP BY 1
+    """,
+)
+def d07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))
+                       .otherwise(0.0)), 2).alias("rev_f"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))
+                       .otherwise(0.0)), 2).alias("rev_o"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_bulk"),
+    )
+
+
+@query(
+    "d08_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4)    AS var_qty,
+               round(avg(l_extendedprice), 2)    AS avg_price
+        FROM lineitem GROUP BY 1
+    """,
+)
+def d08_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "d09_percentile_exact",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        FROM lineitem GROUP BY 1
+    """,
+)
+def d09_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's `percentile` is the exact interpolating aggregate — semantically
+    # DuckDB's quantile_cont.  SQL form is the cleaner entry point (§3 EP2).
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pct_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               round(percentile(l_quantity, 0.5), 4) AS p50_qty,
+               round(percentile(l_quantity, 0.9), 4) AS p90_qty
+        FROM pct_lineitem GROUP BY 1
+    """)
+
+
+@query("d10_approx_distinct")  # HLL sketches differ across engines -> rows-only
+def d10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+@query(
+    "d11_collect_sorted",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        FROM orders GROUP BY 1
+    """,
+)
+def d11_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set order is nondeterministic -> always sort_array before joining
+    # (SURVEY.md §7.3 hazard 4).
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("prios"),
+    )
+
+
+@query(
+    "d12_min_max_by",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS best_order, round(o_totalprice, 2) AS best_price
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    """,
+)
+def d12_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmax with a deterministic tiebreak: max_by over a struct orders
+    # lexicographically (price, then orderkey), unlike bare max_by on ties.
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@query(
+    "d13_distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def d13_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .distinct() is rewritten by Catalyst to a hash aggregate (§4).
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
