@@ -1,0 +1,290 @@
+"""Join operators (SURVEY.md §2.3, rows c01-c11).
+
+Spark picks the physical algorithm (broadcast-hash / shuffled-hash /
+sort-merge / BNLJ) from stats + hints; we declare join *types* and only pin
+physicals where the 100 TB plan demands it:
+
+- dimension tables (region/nation, and customer at the flagship shapes) are
+  broadcast — no shuffle of the fact side on a cluster;
+- the interval self-join (c10) is written as an equi-join on user_id with a
+  range residual, so it shuffles once on the key rather than exploding into
+  a cross product (at 100 TB you'd additionally bucket by time window);
+- the as-of join (c09) avoids any join at all: it is a union + one window
+  pass, i.e. a single shuffle on (user_id) — the classic scale-safe plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "c01_inner_equi",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+)
+def c01_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "c02_left_outer",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1
+    """,
+)
+def c02_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "c03_full_outer",
+    oracle="""
+        SELECT coalesce(c_custkey, o_custkey) AS k,
+               CAST(c_custkey IS NOT NULL AS INT) AS has_left,
+               CAST(o_custkey IS NOT NULL AS INT) AS has_right
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 75) l
+        FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey >= 25) r
+          ON c_custkey = o_custkey
+    """,
+)
+def c03_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_custkey") <= 75).select("c_custkey")
+    right = o.filter(F.col("o_custkey") >= 25).select("o_custkey").distinct()
+    return left.join(right, left.c_custkey == right.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("k"),
+        F.col("c_custkey").isNotNull().cast("int").alias("has_left"),
+        F.col("o_custkey").isNotNull().cast("int").alias("has_right"),
+    )
+
+
+@query(
+    "c04_semi",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def c04_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    f_orders = o.filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(f_orders, c.c_custkey == f_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "c05_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def c05_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "c06_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def c06_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "c07_broadcast",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+)
+def c07_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same logical result as c01, physical plan pinned to broadcast-hash:
+    # on a 1000-executor cluster this ships the dimension once instead of
+    # shuffling the fact table (tests assert BroadcastHashJoin in the plan).
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "c08_range_theta",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1
+    """,
+)
+def c08_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi-key + range residual: Catalyst plans the equi part as the join key
+    # and evaluates the inequality as a post-join filter — no cross product.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return li.join(o, cond, "inner").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "c09_asof",
+    oracle="""
+        SELECT e.event_id, p.ts AS purchase_ts
+        FROM events e
+        ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                        WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def c09_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the user's most recent prior
+    purchase (inclusive).  Spark has no native ASOF; the scale-safe plan is
+    union + last(ignorenulls) over one (user_id) window — a single shuffle,
+    no join, no per-row probe.  DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("pts"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts").distinct()
+        .select("user_id", "ts", F.col("ts").alias("pts"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(0).alias("tag"))
+    )
+    # tag orders purchases before events at equal ts => inclusive as-of
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.unionByName(purchases)
+        .withColumn("purchase_ts", F.last("pts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "purchase_ts")
+    )
+
+
+@query(
+    "c10_interval",
+    oracle="""
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+        GROUP BY 1
+    """,
+)
+def c10_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event pairs of the same user within ±5 minutes.  The equi-key keeps
+    # this a hash join; at 100 TB you would additionally bucket ts into
+    # 5-minute bins and join adjacent bins to bound the per-key fan-out.
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & F.col("b.ts").between(
+            F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+        )
+    )
+    return (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "c11_multiway",
+    oracle="""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM region
+        JOIN nation   ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    """,
+)
+def c11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5-shaped 5-way star join.  The dimension chain
+    # (region -> nation -> customer) is broadcast so the two fact tables
+    # only shuffle for their own equi-join.
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        F.broadcast(r)
+        .join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+    )
+    return (
+        o.join(F.broadcast(dims.select("r_name", "n_name", "c_custkey")),
+               F.col("c_custkey") == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,293 @@
+"""Scalar function surface (SURVEY.md §2.8, rows h01-h12): string, regex,
+date, math, array, map, JSON, conditional, hash, struct.
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side, folded into
+whole-stage codegen; zero Python in the row path.  Dialect hazards
+(dayofweek offset, date_diff arg order, DuckDB top-level unnest) are handled
+per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "h01_string_core",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS up,
+               lower(c_name) AS lo,
+               length(c_name) AS len,
+               substring(c_name, 1, 8) AS sub,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               concat_ws('|', c_mktsegment, c_name) AS joined,
+               replace(c_name, 'Customer', 'Cust') AS repl,
+               trim(concat('  ', c_name, '  ')) AS trimmed
+        FROM customer
+    """,
+)
+def h01_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.length("c_name").alias("len"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "h02_regex",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_type, '^([A-Z]+)', 1) AS type_word,
+               regexp_replace(p_brand, '[0-9]+', '#') AS brand_norm,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        FROM part
+    """,
+)
+def h02_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # POSIX-simple patterns only — Java vs RE2 dialects agree on these
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_word"),
+        F.regexp_replace("p_brand", r"[0-9]+", "#").alias("brand_norm"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@query(
+    "h03_split_explode",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def h03_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB needs unnest in a subquery to GROUP over it (SURVEY.md §7.3/3)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "h04_date_parts",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)  AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate)   AS d,
+               hour(o_orderdate)  AS h,
+               dayofweek(o_orderdate) AS dow
+        FROM orders
+    """,
+)
+def h04_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek: 1=Sunday; DuckDB: 0=Sunday — map explicitly (§7.3/3)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    )
+
+
+@query(
+    "h05_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               o_orderdate + INTERVAL 36 HOUR AS plus36h
+        FROM orders
+    """,
+)
+def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arg-order hazard: Spark datediff(end, start) == DuckDB
+    # date_diff('day', start, end)  (SURVEY.md §7.3/3)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_98"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("plus36h"),
+    )
+
+
+@query(
+    "h06_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS ad,
+               CAST(ceil(l_extendedprice)  AS BIGINT) AS ce,
+               CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+               round(sqrt(l_quantity), 6) AS sq,
+               round(pow(l_quantity, 2), 2) AS p2,
+               round(ln(l_extendedprice), 6) AS ln_p,
+               round(exp(l_discount), 6) AS ex,
+               l_orderkey % 97 AS md,
+               CAST(sign(l_discount - 0.05) AS INT) AS sg
+        FROM lineitem
+    """,
+)
+def h06_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("ad"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.pow("l_quantity", 2.0), 2).alias("p2"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        (F.col("l_orderkey") % 97).alias("md"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+    )
+
+
+@query(
+    "h07_array_funcs",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_uniq,
+               CAST(list_contains(toks, 'join') AS INT) AS has_join,
+               array_to_string(list_sort(toks)[1:3], ',') AS first3,
+               len(list_filter(toks, x -> length(x) > 6)) AS n_long,
+               round(list_sum(list_transform(toks, x -> length(x) * 1.0))
+                     / len(toks), 4) AS avg_len
+        FROM t
+    """,
+)
+def h07_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # higher-order functions (transform/filter/aggregate) stay JVM-side —
+    # no UDF needed for per-element logic
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.array_contains("toks", "join").cast("int").alias("has_join"),
+        F.array_join(F.slice(F.sort_array("toks"), 1, 3), ",").alias("first3"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 6)).alias("n_long"),
+        F.round(
+            F.aggregate("toks", F.lit(0.0), lambda a, x: a + F.length(x) * 1.0)
+            / F.size("toks"), 4,
+        ).alias("avg_len"),
+    )
+
+
+@query(
+    "h08_map_funcs",
+    oracle="""
+        SELECT o_orderkey, 'status' AS key, o_orderstatus AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'priority', o_orderpriority FROM orders
+    """,
+)
+def h08_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build a map, then flatten it back to rows (§2 convention 2: outputs
+    # are plain scalars, nested values are exploded)
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select("o_orderkey", F.explode(m).alias("key", "value"))
+
+
+@query(
+    "h09_json",
+    oracle="""
+        SELECT CAST(props ->> 'k' AS INT) AS k, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+)
+def h09_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "h10_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS st,
+               greatest(o_totalprice, 100000.0) AS gp,
+               least(o_totalprice, 100000.0) AS lp
+        FROM orders
+    """,
+)
+def h10_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.expr("nullif(o_orderstatus, 'P')"), F.lit("PENDING")).alias("st"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("gp"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lp"),
+    )
+
+
+@query(
+    "h11_hash_md5",
+    oracle="""
+        SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+        FROM customer
+    """,
+)
+def h11_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5/sha2 are bit-deterministic cross-engine — also the basis of the
+    # scale path for wide-row dedup (pre-hash before shuffle, §7.4)
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+@query(
+    "h12_struct",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus AS st, round(o_totalprice, 2) AS tp
+        FROM orders
+    """,
+)
+def h12_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build a struct, project its fields back out as scalars
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("tp"))
+    return o.withColumn("s", s).select(
+        "o_orderkey",
+        F.col("s").getField("st").alias("st"),
+        F.round(F.col("s").getField("tp"), 2).alias("tp"),
+    )

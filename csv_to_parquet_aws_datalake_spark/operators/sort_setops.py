@@ -1,0 +1,154 @@
+"""Sort / limit / top-k (§2.6, f-rows) and set operations (§2.7, g-rows).
+
+Top-k compiles to TakeOrderedAndProject — per-partition heaps + a k-row
+merge on the driver, never a full global sort.  Set ops are rewritten by
+Catalyst into aggregates / anti-joins (§4), i.e. ordinary shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "f01_topk",
+    oracle="""
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY rev DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def f01_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3-shaped top-k; LIMIT is tie-broken by the unique o_orderkey
+    # (SURVEY.md §2 convention 3).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("rev"))
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "f02_sort_nulls",
+    oracle="""
+        SELECT o_orderkey, st
+        FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders)
+        ORDER BY st ASC NULLS FIRST, o_orderkey
+        LIMIT 50
+    """,
+)
+def f02_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-sort defaults differ across engines (Spark ASC->nulls first,
+    # DuckDB->nulls last; SURVEY.md §7.3/5) — under a LIMIT that changes the
+    # row SET, so the direction is always spelled out.
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("st", F.expr("nullif(o_orderstatus, 'P')"))
+        .orderBy(F.col("st").asc_nulls_first(), "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "st")
+    )
+
+
+@query(
+    "g01_union_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .unionAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@query(
+    "g02_union_distinct",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g02_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .union(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .distinct()
+    )
+
+
+@query(
+    "g03_intersect",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g03_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@query(
+    "g04_except",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g04_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@query(
+    "g05_union_by_name",
+    oracle="""
+        SELECT c_custkey AS k, c_acctbal AS bal, NULL AS side FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_acctbal, 'supp' FROM supplier
+    """,
+)
+def g05_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # column-name-aligned union; the missing `side` column is null-filled
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    d1 = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal"))
+    d2 = s.select(
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_suppkey").alias("k"),
+        F.lit("supp").alias("side"),
+    )
+    return d1.unionByName(d2, allowMissingColumns=True)

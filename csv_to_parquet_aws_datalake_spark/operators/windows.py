@@ -1,0 +1,283 @@
+"""Window-function operators (SURVEY.md §2.5, rows e01-e10).
+
+Each window is one shuffle on its partition keys; frames evaluate without
+further exchange.  The only scale hazard is an un-partitioned window (e04,
+e05): a global ORDER BY funnels through one task — acceptable for a 15k-row
+dimension, never for a fact table (at 100 TB: pre-bucket into quantile
+ranges via range partitioning, then window within buckets and offset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "e01_row_number_topk",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk <= 2
+    """,
+)
+def e01_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@query(
+    "e02_rank_dense",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
+               dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+        FROM orders
+    """,
+)
+def e02_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank/dense_rank depend only on the order-key VALUE, so heavy ties
+    # (5 distinct priorities) are still deterministic.
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "e03_lag_lead",
+    oracle="""
+        SELECT user_id, event_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+               lead(event_id) OVER w AS next_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer microsecond arithmetic — exact cross-engine (no float seconds)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            .alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "e04_ntile",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    """,
+)
+def e04_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(W.orderBy("c_acctbal", "c_custkey")).alias("quartile"),
+    )
+
+
+@query(
+    "e05_percent_cume",
+    oracle="""
+        SELECT c_custkey,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
+               round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+        FROM customer
+    """,
+)
+def e05_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+_DAILY_ORACLE = """
+    WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS daily_rev
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # price(2dp) * (1 - discount(2dp)) is EXACT at 4 decimals, so sums stay
+    # DECIMAL end-to-end: double sums flapped across a .005 rounding boundary
+    # depending on fold order (§7.3/2), and DuckDB's window aggregation
+    # (segment tree) folds in a different order than a sequential scan —
+    # only exact arithmetic is order-insensitive.
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(rev).alias("daily_rev"))
+    )
+
+
+@query(
+    "e06_running_sum",
+    oracle=_DAILY_ORACLE + """
+        SELECT l_returnflag, d,
+               CAST(sum(daily_rev) OVER (PARTITION BY l_returnflag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS cum_rev
+        FROM daily
+    """,
+)
+def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
+    w = (W.partitionBy("l_returnflag").orderBy("d")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return daily.select(
+        "l_returnflag", "d",
+        # exact decimal cum -> double at the very end; no 2-dp recast, since
+        # decimal->decimal casts round differently across engines
+        F.sum("daily_rev").over(w).cast("double").alias("cum_rev"),
+    )
+
+
+@query(
+    "e07_moving_avg",
+    oracle=_DAILY_ORACLE + """
+        , win AS (
+            SELECT l_returnflag, d,
+                   CAST(sum(daily_rev) OVER w * 10000 AS BIGINT) AS s_e4,
+                   count(daily_rev) OVER w AS n7
+            FROM daily
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_returnflag, d,
+               (((10 * s_e4) // n7 + 5) // 10) / 10000.0 AS ma7
+        FROM win
+    """,
+)
+def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 7-row moving average.  sum/count quotients land EXACTLY on .xxx5
+    # decimal boundaries (4-dp sums over counts of 7), where engines' double
+    # rounding disagrees — so the half-up rounding is done in exact bigint
+    # space (scale to 1e-4 units, integer-divide, +5 // 10) and only the
+    # final deterministic integer is converted to double.
+    daily = _daily_revenue(spark, sf_dir)
+    w = W.partitionBy("l_returnflag").orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "l_returnflag", "d",
+            (F.sum("daily_rev").over(w) * 10000).cast("long").alias("s_e4"),
+            F.count("daily_rev").over(w).alias("n7"),
+        )
+        .select(
+            "l_returnflag", "d",
+            (F.expr("((10 * s_e4) div n7 + 5) div 10") / 10000.0).alias("ma7"),
+        )
+    )
+
+
+@query(
+    "e08_range_frame",
+    oracle="""
+        SELECT p_partkey, p_size,
+               round(sum(p_retailprice) OVER (ORDER BY p_size
+                     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        FROM part
+    """,
+)
+def e08_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value-range frame on an integer order key: all peers of a size value
+    # share the frame, so ties are deterministic by construction.
+    p = load_table(spark, sf_dir, "part")
+    w = W.orderBy("p_size").rangeBetween(-2, 0)
+    return p.select(
+        "p_partkey", "p_size",
+        F.round(F.sum("p_retailprice").over(w), 2).alias("range_sum"),
+    )
+
+
+@query(
+    "e09_first_last",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey)  OVER w AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e09_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit full frame: default frame would make last_value = current row
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "e10_sessionize_batch",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged
+        )
+        SELECT user_id, sess, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM sessions GROUP BY 1, 2
+    """,
+)
+def e10_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: new session when the gap to the
+    previous event exceeds 30 minutes.  One shuffle on user_id; the
+    streaming twin is j03 (session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("sess", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+    )
