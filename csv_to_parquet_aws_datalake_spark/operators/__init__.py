@@ -3,8 +3,11 @@
 from . import (  # noqa: F401
     aggregation,
     joins,
+    llm_text,
+    llm_vectors,
     projection,
     scalars,
+    scans,
     sort_setops,
     windows,
 )

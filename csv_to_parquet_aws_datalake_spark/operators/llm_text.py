@@ -1,0 +1,442 @@
+"""LLM-data-pipeline text operators (SURVEY.md §2.9 + BASELINE.json north
+star): dedup (exact / keep-first / shingle-Jaccard / MinHash-LSH / SimHash),
+token statistics, tf-idf, n-grams, language-ID, quality scoring, document
+fingerprinting, histograms.
+
+Scale notes (§7.4):
+- exact dedup shuffles on a hash of the row — for wide rows pre-hash to
+  sha2/md5 (i15 is exactly that fingerprint) so the shuffle carries 32 bytes;
+- shingle-Jaccard (i03) is the quadratic-candidate path, fine to ~1M docs
+  per shingle bucket; the near-linear scale path is MinHash banding (i04)
+  where only band-collisions join;
+- SimHash (i16/i17) reduces near-dup detection to a 64-bit hamming join —
+  at 100 TB you block on 4x16-bit sub-keys (pigeonhole) so each probe is an
+  equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query("i01_dedup_exact", oracle="SELECT DISTINCT lang, source FROM documents")
+def i01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+@query(
+    "i02_dedup_keep_first",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+)
+def i02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic representative per key — bare dropDuplicates(subset)
+    # keeps an ARBITRARY row (§7.3/4), so rank on the unique doc_id instead
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "i03_shingle_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da, db,
+               round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jac
+        FROM pairs
+        JOIN counts ca ON da = ca.doc_id
+        JOIN counts cb ON db = cb.doc_id
+        WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 6) >= 0.1
+    """,
+)
+def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: 3-token shingles, exact Jaccard >= 0.1 on the
+    distinct-shingle sets.  Candidates come from an equi-join on shingle, so
+    only documents sharing at least one shingle are ever compared."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+        ))).alias("sh"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared") / (F.col("ca.n") + F.col("cb.n") - F.col("shared")), 6)
+    return (
+        pairs.join(counts.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .select("da", "db", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.1)
+    )
+
+
+@query("i04_minhash_lsh")  # hash seeds are engine-specific -> rows-only
+def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup via MinHash banding: shingle -> binary feature
+    vector -> MinHashLSH -> approxSimilarityJoin.  Near-linear: candidate
+    pairs only materialize when a band collides, unlike i03's full
+    shingle-group expansion."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= 3)
+        .withColumn("sh", F.array_distinct(F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+        )))
+        .select("doc_id", "sh")
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="bands",
+                     numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            F.round(F.col("jaccard_dist"), 6).alias("dist"),
+        )
+    )
+
+
+@query(
+    "i07_token_stats",
+    oracle="""
+        SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1 ORDER BY tf DESC, tok LIMIT 30
+    """,
+)
+def i07_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(30)
+    )
+
+
+@query(
+    "i08_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ), n AS (SELECT count(*) AS nd FROM documents)
+        SELECT doc_id, tf.tok AS tok,
+               round(c * ln(nd * 1.0 / df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c * ln(nd * 1.0 / df) DESC, tf.tok) <= 3
+    """,
+)
+def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) tf-idf, top-3 terms per document.  Two aggregations
+    + a broadcast of the tiny df table; at corpus scale df is itself huge,
+    so it stays a shuffle join on term."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension, folded as a literal
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "tfidf_raw", F.col("c") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "i09_ngrams",
+    oracle="""
+        SELECT bg, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        )
+        GROUP BY 1 ORDER BY n DESC, bg LIMIT 20
+    """,
+)
+def i09_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigrams via JVM-side array transform (Spark arrays are 0-indexed in
+    # SQL subscripts, DuckDB lists are 1-indexed — hence the offset mirror)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("t", F.split("text", " "))
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+        )).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bg")
+        .limit(20)
+    )
+
+
+_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@query(
+    "i10_pivot_lang_source",
+    oracle="SELECT lang, "
+           + ", ".join(
+               f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS {s}"
+               for s in _SOURCES)
+           + " FROM documents GROUP BY 1",
+)
+def i10_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit pivot value list: skips the extra distinct-values job AND
+    # keeps the output schema stable across scale factors
+    d = load_table(spark, sf_dir, "documents")
+    piv = d.groupBy("lang").pivot("source", _SOURCES).count()
+    return piv.select(
+        "lang", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _SOURCES])
+
+
+@query(
+    "i12_length_histogram",
+    oracle="""
+        SELECT n_chars // 100 AS bucket, count(*) AS n,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY 1
+    """,
+)
+def i12_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr("n_chars div 100").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+_LANG_LISTS = {
+    "en": ("join", "select", "hash"),
+    "de": ("scan", "filter", "index"),
+    "es": ("row", "batch", "merge"),
+}
+
+
+@query(
+    "i13_language_id",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> list_contains(['join','select','hash'], x))) AS en_hits,
+                   len(list_filter(toks, x -> list_contains(['scan','filter','index'], x))) AS de_hits,
+                   len(list_filter(toks, x -> list_contains(['row','batch','merge'], x))) AS es_hits
+            FROM t
+        )
+        SELECT doc_id, lang, en_hits, de_hits, es_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+                    WHEN de_hits >= es_hits THEN 'de'
+                    ELSE 'es' END AS guess
+        FROM hits
+    """,
+)
+def i13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-overlap language ID heuristic.  The synthetic corpus
+    shares one vocabulary, so the marker lists are engine terms; with real
+    corpora the lists become per-language stopwords — the plan (map-side
+    array_intersect, no shuffle) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.withColumn("toks", F.array_distinct(F.split("text", " ")))
+    hits = {
+        f"{k}_hits": F.size(F.array_intersect(
+            "toks", F.array(*[F.lit(x) for x in v])))
+        for k, v in _LANG_LISTS.items()
+    }
+    for name, col in hits.items():
+        t = t.withColumn(name, col)
+    guess = (
+        F.when((F.col("en_hits") >= F.col("de_hits"))
+               & (F.col("en_hits") >= F.col("es_hits")), "en")
+        .when(F.col("de_hits") >= F.col("es_hits"), "de")
+        .otherwise("es")
+    )
+    return t.select("doc_id", "lang", "en_hits", "de_hits", "es_hits",
+                    guess.alias("guess"))
+
+
+@query(
+    "i14_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_toks,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq
+            FROM documents
+        )
+        SELECT doc_id, n_toks,
+               (n_uniq * 10000) // n_toks AS uniq_e4,
+               ((n_chars - n_toks + 1) * 100) // n_toks AS toklen_e2,
+               (least(n_toks, 100) * ((n_uniq * 10000) // n_toks)) // 100 AS score_e4
+        FROM t
+    """,
+)
+def i14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / lexical diversity / token length).
+    All ratios are fixed-point integers (x10^4) — integer div is the only
+    cross-engine-deterministic rounding (cf. e07)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.split("text", " "))
+        .withColumn("n_toks", F.size("toks"))
+        .withColumn("n_uniq", F.size(F.array_distinct("toks")))
+        .selectExpr(
+            "doc_id", "n_toks",
+            "(n_uniq * 10000) div n_toks AS uniq_e4",
+            "((n_chars - n_toks + 1) * 100) div n_toks AS toklen_e2",
+            "(least(n_toks, 100) * ((n_uniq * 10000) div n_toks)) div 100 AS score_e4",
+        )
+    )
+
+
+@query(
+    "i15_fingerprint",
+    oracle="""
+        SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS first_doc
+        FROM documents GROUP BY 1
+    """,
+)
+def i15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content fingerprint = md5(text): cross-engine deterministic, and the
+    # scale pattern for exact dedup of wide rows — shuffle 16 bytes, not docs
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+
+
+# ---- SimHash (16-bit, md5-derived, frequency-weighted) --------------------
+# bit i of the fingerprint = sign of sum over tokens of (2*bit_i(md5) - 1);
+# the hex-digit -> bit arithmetic is generated once and mirrored verbatim
+# into both dialects, so the fingerprints are cross-engine checkable.
+
+def _simhash_digit_exprs(hexcol: str, spark_side: bool) -> list[str]:
+    pos = "locate(substring({h}, {p}, 1), '0123456789abcdef')" if spark_side \
+        else "strpos('0123456789abcdef', substr({h}, {p}, 1))"
+    return [f"({pos.format(h=hexcol, p=p)} - 1)" for p in (1, 2, 3, 4)]
+
+
+def _simhash_bit_sql(digit: str, b: int, spark_side: bool) -> str:
+    div = "div" if spark_side else "//"
+    return f"(({digit} {div} {1 << b}) % 2)"
+
+
+def _simhash_oracle() -> str:
+    digits = _simhash_digit_exprs("h", spark_side=False)
+    sums = ", ".join(
+        f"sum(2 * {_simhash_bit_sql(f'd{p}', b, False)} - 1) AS s{p * 4 + b}"
+        for p in range(4) for b in range(4))
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+        ), dig AS (
+            SELECT doc_id, {digits[0]} AS d0, {digits[1]} AS d1,
+                   {digits[2]} AS d2, {digits[3]} AS d3
+            FROM tok
+        ), sums AS (
+            SELECT doc_id, {sums} FROM dig GROUP BY 1
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM sums
+    """
+
+
+@query("i16_simhash", oracle=_simhash_oracle())
+def i16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("h"))
+    )
+    digits = _simhash_digit_exprs("h", spark_side=True)
+    dig = tok.select(
+        "doc_id",
+        *[F.expr(digits[p]).alias(f"d{p}") for p in range(4)])
+    sums = dig.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"2 * {_simhash_bit_sql(f'd{p}', b, True)} - 1"))
+         .alias(f"s{p * 4 + b}")
+        for p in range(4) for b in range(4)
+    ])
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return sums.select("doc_id", F.expr(f"CAST({fp} AS BIGINT)").alias("fp"))
+
+
+@query(
+    "i17_simhash_pairs",
+    oracle=f"""
+        WITH fps AS ({_simhash_oracle()})
+        SELECT bit_count(xor(a.fp, b.fp)) AS hd, count(*) AS n
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        GROUP BY 1 HAVING bit_count(xor(a.fp, b.fp)) <= 4
+    """,
+)
+def i17_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair census by SimHash hamming distance (<=4 of 16 bits).
+    At 100 TB: pigeonhole-block on 4-bit sub-keys so candidates arrive via
+    equi-join instead of this demonstration cross-join."""
+    fps = i16_simhash(spark, sf_dir)
+    a, b = fps.alias("a"), fps.alias("b")
+    hd = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(hd.alias("hd"))
+        .groupBy("hd").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("hd") <= 4)
+    )

@@ -1,0 +1,156 @@
+"""LLM-data-pipeline vector operators (SURVEY.md §2.9): cosine kNN,
+pairwise similarity, embedding norms, and a bucketed (LSH-style) ANN path.
+
+Scale design (§7.4): brute-force cosine is O(n·q) — correct baseline, dead
+at 100 TB.  The scale path is i18's sign-random-projection bucketing: a
+vector joins only its bucket (and at production scale, neighboring buckets
+for recall), turning ANN into an equi-join + per-bucket top-k
+(TakeOrderedAndProject), both shuffle-light and skew-tolerant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, norm
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "i05_cosine_knn",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def i05_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine neighbors of vec_id=0 (survey-validated
+    formulation).  The 1-row query side is a broadcast; top-k compiles to
+    TakeOrderedAndProject, so no global sort materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id",
+                F.round(cosine("embedding", "qv"), 6).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "i06_pairwise_sim_threshold",
+    oracle="""
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def i06_pairwise_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: all pairs with cos >= 0.3.  Brute force is
+    # acceptable to ~10k vectors; beyond that i18's bucketing or
+    # BucketedRandomProjectionLSH keeps candidates near-linear.
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    c = F.round(cosine("ea", "eb"), 6)
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", c.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@query(
+    "i11_embedding_norms",
+    oracle="""
+        SELECT label,
+               round(avg(sqrt(list_sum(list_transform(embedding, x -> x * 1.0 * x)))), 6)
+                   AS avg_norm,
+               count(*) AS n
+        FROM embeddings GROUP BY 1
+    """,
+)
+def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm("embedding")), 6).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "i18_ann_bucketed",
+    oracle="""
+        WITH basis AS (
+            SELECT max(CASE WHEN vec_id = 1 THEN CAST(embedding AS DOUBLE[]) END) AS b1,
+                   max(CASE WHEN vec_id = 2 THEN CAST(embedding AS DOUBLE[]) END) AS b2,
+                   max(CASE WHEN vec_id = 3 THEN CAST(embedding AS DOUBLE[]) END) AS b3
+            FROM embeddings WHERE vec_id IN (1, 2, 3)
+        ), coded AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), b1) > 0
+                         THEN 4 ELSE 0 END
+                  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), b2) > 0
+                         THEN 2 ELSE 0 END
+                  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), b3) > 0
+                         THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings CROSS JOIN basis
+        ), q AS (
+            SELECT emb AS qv, bucket AS qb FROM coded WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(emb, qv), 6) AS cos
+        FROM coded CROSS JOIN q
+        WHERE bucket = qb AND vec_id <> 0
+        ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+)
+def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection bucketing (the IVF/LSH scale path).
+    Projection basis = embeddings 1..3 (data-derived, deterministic — no
+    RNG, so the oracle can reproduce it).  Probes only the query's bucket:
+    1/8 of the corpus in expectation; recall is traded for the candidate
+    set size, exactly like production IVF with nprobe=1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    basis = (
+        emb.filter(F.col("vec_id").isin(1, 2, 3))
+        .agg(
+            F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
+            F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
+            F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
+        )
+    )
+    def _dot(v: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(embedding, {v}, (x, y) -> x * 1.0 * y),"
+            " 0.0D, (a, c) -> a + c)")
+    coded = (
+        emb.crossJoin(F.broadcast(basis))
+        .select(
+            "vec_id", "embedding",
+            (F.when(_dot("b1") > 0, 4).otherwise(0)
+             + F.when(_dot("b2") > 0, 2).otherwise(0)
+             + F.when(_dot("b3") > 0, 1).otherwise(0)).alias("bucket"),
+        )
+    )
+    q = (coded.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb")))
+    return (
+        coded.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine("embedding", "qv"), 6).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(5)
+    )

@@ -1,0 +1,200 @@
+"""Scans / sources / sinks (SURVEY.md §2.1, rows a01-a06) — the reference's
+core capability: CSV landing in a raw zone, rewritten as partitioned snappy
+parquet in a curated zone, queryable by SQL.
+
+Scale design (§7.4): CSV -> Parquet is a pure map-side pipeline — Spark
+parallelizes by input file split, converts, and writes with no shuffle; at
+100 TB the only knobs are maxRecordsPerFile (bounded output files) and
+Hive partitioning restricted to low-cardinality keys (a03).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loader import load_table
+from ..registry import query
+from ..sources.io_paths import scratch_dir
+from ..sources.schemas import CUSTOMER_DIRTY, EVENTS_JSON, LINEITEM
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
+
+
+@query(
+    "a01_scan_agg",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               min(l_shipdate) AS min_ship,
+               max(l_shipdate) AS max_ship
+        FROM lineitem
+    """,
+)
+def a01_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY 1
+"""
+
+
+@query("a02_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def a02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship path: parquet -> CSV (raw zone) -> declared-
+    schema read -> parquet (curated zone) -> aggregate.  The oracle runs on
+    the ORIGINAL table, so the whole roundtrip must be lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    csv_dir = scratch_dir("a02", sf_dir, "csv")
+    pq_dir = scratch_dir("a02", sf_dir, "parquet")
+    (li.write.mode("overwrite")
+       .options(header=True, timestampFormat=_TS_FMT)
+       .csv(csv_dir))
+    back = (spark.read.schema(LINEITEM)
+            .options(header=True, timestampFormat=_TS_FMT)
+            .csv(csv_dir))
+    back.write.mode("overwrite").parquet(pq_dir)
+    curated = spark.read.parquet(pq_dir)
+    return curated.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "a03_partitioned_write",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1
+    """,
+)
+def a03_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned write (the curated zone's directory scheme)
+    and partition-pruned read-back.  Partition keys must be low-cardinality:
+    o_orderstatus has 3 values -> 3 directories, each internally splittable."""
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("a03", sf_dir, "parquet")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a04_csv_inferschema",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+               min(o_custkey) AS min_cust
+        FROM orders GROUP BY 1
+    """,
+)
+def a04_csv_inferschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inference is the convenience path (extra sampling pass; never at scale)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    csv_dir = scratch_dir("a04", sf_dir, "csv")
+    o.write.mode("overwrite").options(header=True).csv(csv_dir)
+    back = spark.read.options(header=True, inferSchema=True).csv(csv_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_custkey").alias("min_cust"),
+    )
+
+
+def _write_dirty_csv(path: str) -> None:
+    """Deterministic malformed-CSV fixture (FIXTURES.md §3.2 shape): good
+    rows + short rows + non-numeric numerics + over-long rows."""
+    rows: list[list[str]] = []
+    for i in range(200):
+        row = [str(i), f"Customer#{i:09d}", str(i % 25), f"{(i * 37) % 10000}.25",
+               ["AUTOMOBILE", "BUILDING", "FURNITURE"][i % 3]]
+        if i % 13 == 5:
+            row = row[:-1]            # missing trailing field
+        elif i % 17 == 7:
+            row[3] = "N/A"            # non-numeric acctbal
+        elif i in (30, 60, 90):
+            row = row + ["extra"]     # too many fields
+        rows.append(row)
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+        w.writerows(rows)
+
+
+@query("a05_csv_malformed")  # batch-boundary corruption semantics -> rows-only
+def a05_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE vs DROPMALFORMED on a deterministic dirty fixture.
+    PERMISSIVE null-fills and captures the raw line in _corrupt_record;
+    DROPMALFORMED silently drops."""
+    d = scratch_dir("a05", sf_dir)
+    path = os.path.join(d, "customers_dirty.csv")
+    _write_dirty_csv(path)
+    permissive = (
+        spark.read.schema(CUSTOMER_DIRTY)
+        .options(header=True, mode="PERMISSIVE",
+                 columnNameOfCorruptRecord="_corrupt_record")
+        .csv(path)
+    ).cache()  # required: corrupt-record column can't be queried alone uncached
+    schema_clean = CUSTOMER_DIRTY[:-1]
+    from pyspark.sql import types as T
+    dropped = (
+        spark.read.schema(T.StructType(list(schema_clean)))
+        .options(header=True, mode="DROPMALFORMED")
+        .csv(path)
+    )
+    # chk forces every column to materialize: under column pruning the scan
+    # parses zero fields, so DROPMALFORMED detects nothing and a bare
+    # count() returns the raw line count (count(hash(..)) gets rewritten to
+    # count(1) too, since hash is never null — hence chk must stay in the
+    # OUTPUT to survive projection pruning)
+    drop_agg = dropped.agg(
+        F.count(F.lit(1)).alias("n_dropmalformed"),
+        F.sum(F.hash("c_custkey", "c_name", "c_nationkey",
+                     "c_acctbal", "c_mktsegment")).alias("chk"))
+    return permissive.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_null_bal"),
+    ).crossJoin(drop_agg)
+
+
+@query(
+    "a06_json_source",
+    oracle="""
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sv,
+               sum(CAST(props ->> 'k' AS INT)) AS sk
+        FROM events GROUP BY 1
+    """,
+)
+def a06_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines roundtrip with declared schema; oracle reads the original
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props")
+    out = scratch_dir("a06", sf_dir, "json")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(EVENTS_JSON).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sk"),
+    )
