@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query names match BASELINE.md so per-query times compare 1:1 against the
+measured reference numbers (the 2x criterion, BASELINE.json).  Timing is
+wall clock around collect() on a warm session; a warm-up query runs first
+so JVM/codegen startup is excluded (BASELINE.md methodology).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_to_parquet_aws_datalake_spark import registry
+from csv_to_parquet_aws_datalake_spark.session import build_session
+
+# BASELINE.md name -> registry query id
+HEADLINE = {
+    "q_pricing_summary": "d01_groupby_core",
+    "q_join_topk": "f01_topk",
+    "q_window_rank": "e01_row_number_topk",
+    "q_rollup": "d04_rollup",
+    "q_events_tumbling": "j01_batch_form",   # batch twin of j01 (see below)
+    "q_json_extract": "h09_json",
+    "q_text_tokens": "h03_split_explode",
+    "q_dedup": "i01_dedup_exact",
+    "q_cosine_knn": "i05_cosine_knn",
+    "q_setop": "g03_intersect",
+}
+
+
+def _batch_tumbling(spark, sf_dir):
+    """Batch form of the tumbling-window aggregation (BASELINE.md measured
+    this shape; the streaming twin is j01_stream_tumbling)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    queries = dict(registry.QUERIES)
+    queries["j01_batch_form"] = _batch_tumbling
+
+    spark = build_session("bench")
+    # warm-up: JVM, codegen, parquet footer caches
+    queries["d01_groupby_core"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name, qid in HEADLINE.items():
+        t0 = time.perf_counter()
+        queries[qid](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,9 +5,11 @@ from . import (  # noqa: F401
     joins,
     llm_text,
     llm_vectors,
+    multimodal,
     projection,
     scalars,
     scans,
     sort_setops,
+    udfs,
     windows,
 )

@@ -1,0 +1,138 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11, rows k01-k05).
+
+These exist to prove the Python extension points, not for the hot path:
+k01 is the row-at-a-time anti-pattern (pickled per row), k02+ are
+Arrow-vectorized.  Where an operator is expressible in built-in functions,
+the built-in always wins (§4) — every UDF here has a pure-SQL oracle
+demonstrating exactly that.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..loader import load_table
+from ..registry import query
+
+
+@query(
+    "k01_python_udf",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 + l_tax), 4) AS taxed
+        FROM lineitem
+    """,
+)
+def k01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row-at-a-time scalar UDF (serde per row — the slow path, kept for
+    # surface parity).  Rounding happens JVM-side: Python round() is
+    # half-even and would diverge.
+    @F.udf(T.DoubleType())
+    def taxed_price(price: float, tax: float) -> float:
+        return price * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(taxed_price("l_extendedprice", "l_tax"), 4).alias("taxed"),
+    )
+
+
+@query(
+    "k02_pandas_udf",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS disc_price
+        FROM lineitem
+    """,
+)
+def k02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized scalar UDF: identical IEEE double math to the JVM,
+    # ~10-100x the throughput of k01
+    @F.pandas_udf(T.DoubleType())
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(disc_price("l_extendedprice", "l_discount"), 4).alias("disc_price"),
+    )
+
+
+@query(
+    "k03_grouped_map",
+    oracle="""
+        SELECT event_id,
+               round((value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+        FROM events
+    """,
+)
+def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group pandas transform (z-score); pandas ddof=1 == stddev_samp
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "z": (v - v.mean()) / v.std(ddof=1),
+        })
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").applyInPandas(zscore, "event_id long, z double")
+    return out.select("event_id", F.round("z", 6).alias("z"))
+
+
+@query(
+    "k04_pandas_udaf",
+    oracle="""
+        SELECT event_type,
+               round(sum(value * CAST(props ->> 'k' AS INT))
+                     / sum(CAST(props ->> 'k' AS INT)), 6) AS wmean
+        FROM events GROUP BY 1
+    """,
+)
+def k04_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom grouped aggregate (weighted mean) as a GROUPED_AGG pandas UDF
+    @F.pandas_udf(T.DoubleType())
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(wmean("value", "k"), 6).alias("wmean"))
+    )
+
+
+@query(
+    "k05_python_udtf",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 25
+    """,
+)
+def k05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 4): table function emitting one row per token,
+    # applied per input row via LATERAL join
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in text.split(" "):
+                yield (t,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_documents")
+    return spark.sql("""
+        SELECT t.tok, count(*) AS n
+        FROM udtf_documents, LATERAL tokenize_udtf(text) t
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 25
+    """)

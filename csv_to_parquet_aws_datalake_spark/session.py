@@ -25,6 +25,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # without this (SURVEY.md §1.3 — the single biggest trap in this repo).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # AQE coalesces over-partitioned shuffles, but NOT for stateful
+    # streaming (AQE is disabled there) — the default 200 partitions makes
+    # every micro-batch churn 200 state-store instances on a small box, so
+    # pin it; on a real cluster this would be 2-3x total executor cores.
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

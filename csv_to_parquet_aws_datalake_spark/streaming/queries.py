@@ -1,0 +1,238 @@
+"""Structured Streaming operators (SURVEY.md §2.10, rows j01-j06).
+
+Testability strategy (§2.10): stream FROM the driver parquet itself via
+``readStream.schema(...).parquet(...)`` with ``trigger(availableNow=True)``
+— deterministic, terminating, and for time-window aggregations equal to the
+batch answer, so the batch SQL is the oracle.
+
+Each callable runs the stream to completion synchronously, then returns the
+materialized result as a batch DataFrame (the driver collects DataFrames).
+
+Scale notes: these plans are the production shapes — tumbling/sliding/
+session windows with watermark-gated state eviction.  On a cluster the
+memory sink becomes Kafka/parquet and the state store becomes RocksDB; the
+logical plan is unchanged (§7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..session import configure
+
+EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file stream source requires a DIRECTORY; expose the single events
+    # parquet through a scratch dir (hard link when possible, else copy)
+    configure(spark)
+    src = f"{sf_dir}/events.parquet"
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", sf_tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    dst = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(stream_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = agg.sparkSession
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode(mode).format("memory").queryName(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "j01_stream_tumbling",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+               count(*) AS n, round(sum(value), 2) AS sv
+        FROM events GROUP BY 1, 2
+    """,
+)
+def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+    )
+    return _run_to_memory(agg, "j01", "complete")
+
+
+@query(
+    "j02_stream_sliding",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+               event_type, count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        GROUP BY 1, 2
+    """,
+)
+def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour window sliding every 15 min: each event lands in 4 windows;
+    # the oracle reproduces the window set with an explicit slide-offset join
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "j02", "complete")
+
+
+@query(
+    "j03_stream_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sess
+    """,
+)
+def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap).  session_window's end is
+    last-event + gap, so `session_last = end - 30 min`; the oracle is the
+    batch gaps-and-islands formulation (e10), which produces identical
+    session splits."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_last"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "j03", "complete")
+
+
+@query(
+    "j04_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def j04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming dedup with state eviction bounded by the watermark; a single
+    # availableNow drain sees every duplicate, so batch DISTINCT is the oracle
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "j04", "append")
+
+
+@query("j05_stream_late_drop")  # batch-boundary-dependent -> rows-only (§7.3/7)
+def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-row dropping, observable only across micro-batches:
+    events are replayed as 10 arrival-ordered files (≈5% shifted to arrive
+    two files late), maxFilesPerTrigger=1 forces 10 batches, and a 30-min
+    watermark in append mode drops rows older than watermark and withholds
+    unfinalized windows."""
+    configure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    base = tempfile.mkdtemp(prefix="j05_")
+    src = os.path.join(base, "arrivals")
+    os.makedirs(src)
+    n_files = 10
+    # deterministic arrival schedule: chunk by event_id; every 20th event
+    # arrives two chunks later (late by event time)
+    total = ev.count()
+    chunk = max(1, total // n_files)
+    arrival = ev.withColumn(
+        "file_idx",
+        F.least(F.lit(n_files - 1),
+                F.expr(f"event_id div {chunk}")
+                + F.when(F.col("event_id") % 20 == 0, 2).otherwise(0)))
+    for i in range(n_files):
+        (arrival.filter(F.col("file_idx") == i).drop("file_idx")
+         .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i:02d}")))
+    # flatten each single-file dir into ordered file names
+    import glob
+    for i in range(n_files):
+        part = glob.glob(os.path.join(src, f"f{i:02d}", "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{i:02d}.parquet"))
+        shutil.rmtree(os.path.join(src, f"f{i:02d}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return _run_to_memory(agg, "j05", "append")
+
+
+@query(
+    "j06_stream_sink_parquet",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    """,
+)
+def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end stream -> parquet files + checkpoint (exactly-once file
+    # sink); the curated output is re-read and aggregated against the batch
+    # oracle.  Fresh checkpoint per run: a reused checkpoint would replay
+    # nothing and emit an empty table.
+    ev = _events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="j06_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))

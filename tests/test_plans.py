@@ -1,0 +1,71 @@
+"""Scale-plan regression tests: assert the physical plans are the ones a
+100 TB deployment needs (SURVEY.md §4/§7.4) — pushdown reaches the parquet
+scan, dimensions broadcast, top-k avoids global sorts, codegen is active.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_to_parquet_aws_datalake_spark import registry
+from csv_to_parquet_aws_datalake_spark.loader import load_table
+from csv_to_parquet_aws_datalake_spark.plans.checks import physical_plan
+
+registry.load_all()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "A").select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)]" in plan
+    # column pruning: the scan must not read all 11 columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double" in plan
+
+
+def test_flagship_pushes_shipdate_filter(spark, sf_dir):
+    df = registry.QUERIES["d01_groupby_core"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+
+
+def test_broadcast_join_pinned(spark, sf_dir):
+    df = registry.QUERIES["c07_broadcast"](spark, sf_dir)
+    assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = registry.QUERIES["c11_multiway"](spark, sf_dir)
+    assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = registry.QUERIES["f01_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = registry.QUERIES["d01_groupby_core"](spark, sf_dir)
+    df.collect()  # AQE only finalizes the plan on execution
+    # codegen stages render as "*(n) Operator" in the plan string
+    assert "*(1)" in physical_plan(df)
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    df = registry.QUERIES["d01_groupby_core"](spark, sf_dir)
+    df.collect()
+    assert "AQEShuffleRead coalesced" in physical_plan(df)
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # partial_ functions before the exchange = map-side combine: the shuffle
+    # carries one row per (partition, group), the crux of agg at 100 TB
+    df = registry.QUERIES["d01_groupby_core"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_semi_anti_stay_joins_not_subquery_loops(spark, sf_dir):
+    for qid in ("c04_semi", "c05_anti"):
+        plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
+        assert "Join LeftSemi" in plan or "LeftSemi" in plan or "LeftAnti" in plan
