@@ -172,6 +172,40 @@ def c08_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_last_prior(left: DataFrame, right: DataFrame,
+                         key: str, left_ts: str, right_ts: str,
+                         left_id: str, out_col: str) -> DataFrame:
+    """Generic as-of join core: for each left row, the greatest right_ts of
+    the same key with right_ts <= left_ts (inclusive), as ``out_col``.
+
+    Scale-safe plan: union + last(ignorenulls) over one (key) window — a
+    single shuffle, no join, no per-row probe.  Unit-tested on literal
+    frames in tests/test_units.py; c09 runs it over the events table."""
+    base = left.select(
+        F.col(key).alias("k"), F.col(left_ts).alias("t"),
+        F.lit(None).cast("timestamp").alias("pts"),
+        F.col(left_id).alias("lid"), F.lit(1).alias("tag"),
+    )
+    rights = right.select(
+        F.col(key).alias("k"), F.col(right_ts).alias("t"),
+    ).distinct().select(
+        "k", "t", F.col("t").alias("pts"),
+        F.lit(None).cast("long").alias("lid"), F.lit(0).alias("tag"),
+    )
+    # tag orders right rows before left rows at equal ts => inclusive as-of
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.unionByName(rights)
+        .withColumn(out_col, F.last("pts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(F.col("lid").alias(left_id), out_col)
+    )
+
+
 @query(
     "c09_asof",
     oracle="""
@@ -184,36 +218,14 @@ def c08_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c09_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent prior
-    purchase (inclusive).  Spark has no native ASOF; the scale-safe plan is
-    union + last(ignorenulls) over one (user_id) window — a single shuffle,
-    no join, no per-row probe.  DuckDB's native ASOF JOIN is the oracle.
+    purchase (inclusive).  Spark has no native ASOF; see
+    :func:`asof_join_last_prior`.  DuckDB's native ASOF JOIN is the oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id", "ts",
-        F.lit(None).cast("timestamp").alias("pts"),
-        "event_id",
-        F.lit(1).alias("tag"),
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts").distinct()
-        .select("user_id", "ts", F.col("ts").alias("pts"),
-                F.lit(None).cast("long").alias("event_id"),
-                F.lit(0).alias("tag"))
-    )
-    # tag orders purchases before events at equal ts => inclusive as-of
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        base.unionByName(purchases)
-        .withColumn("purchase_ts", F.last("pts", ignorenulls=True).over(w))
-        .filter(F.col("tag") == 1)
-        .select("event_id", "purchase_ts")
-    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join_last_prior(
+        ev, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", out_col="purchase_ts")
 
 
 @query(
@@ -246,6 +258,37 @@ def c10_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, cond, "inner")
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "c12_upsert_merge",
+    oracle="""
+        SELECT c_custkey,
+               round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                          ELSE c_acctbal END, 2) AS bal,
+               CAST(c_custkey % 10 = 0 AS INT) AS updated
+        FROM customer
+    """,
+)
+def c12_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD-style upsert emulated without a lakehouse format:
+    left-join the update set, coalesce per column, flag provenance.  At
+    scale the update side is broadcast when small (as here) or the target
+    is bucketed on the merge key so the join is exchange-free (a07)."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("u_key"),
+                (F.col("c_acctbal") + 1000).alias("new_bal"))
+    )
+    return (
+        c.join(F.broadcast(updates), c.c_custkey == updates.u_key, "left")
+        .select(
+            "c_custkey",
+            F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("bal"),
+            F.col("u_key").isNotNull().cast("int").alias("updated"),
+        )
     )
 
 

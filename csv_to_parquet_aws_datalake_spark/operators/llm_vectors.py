@@ -90,6 +90,35 @@ def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("i19_euclidean_lsh")  # projection seeds engine-specific -> rows-only
+def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean ANN via BucketedRandomProjectionLSH (pyspark.ml): vectors
+    hashing to the same projection bucket become join candidates — the
+    production-scale alternative to i06's quadratic scan for distance-
+    thresholded pairs."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=1.0, numHashTables=4, seed=42)
+    model = lsh.fit(emb)
+    # 1.2 ~ the 1st percentile of the pairwise distance distribution: the
+    # join returns genuinely-near pairs, not most of the n^2 space
+    pairs = model.approxSimilarityJoin(emb, emb, 1.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("va"),
+            F.col("datasetB.vec_id").alias("vb"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )
+
+
 @query(
     "i18_ann_bucketed",
     oracle="""

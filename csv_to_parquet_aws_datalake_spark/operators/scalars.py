@@ -276,6 +276,28 @@ def h11_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h13_unpivot",
+    oracle="""
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def h13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide -> long via the native unpivot (melt) operator
+    o = load_table(spark, sf_dir, "orders")
+    prepared = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return prepared.unpivot(
+        ids=["o_orderkey"], values=["totalprice", "custkey"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+
+
+@query(
     "h12_struct",
     oracle="""
         SELECT o_orderkey, o_orderstatus AS st, round(o_totalprice, 2) AS tp

@@ -178,6 +178,54 @@ def a05_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a07_bucketed_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+)
+def a07_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables co-locate join keys at WRITE time: both sides are
+    bucketed 8-ways on the customer key, so the join needs NO exchange —
+    the decisive layout for repeated fact-fact joins at 100 TB (pay the
+    shuffle once on write, never on read).  tests assert the Exchange-free
+    plan.  External-table paths keep the warehouse inside the scratch dir."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"b_orders_{sf_tag}", f"b_customer_{sf_tag}"
+    (o.write.mode("overwrite").bucketBy(8, "o_custkey")
+       .option("path", scratch_dir("a07", sf_dir, "orders"))
+       .saveAsTable(t_orders))
+    (c.write.mode("overwrite").bucketBy(8, "c_custkey")
+       .option("path", scratch_dir("a07", sf_dir, "customer"))
+       .saveAsTable(t_cust))
+    bo, bc = spark.table(t_orders), spark.table(t_cust)
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query("a08_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def a08_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second columnar format of the lake surface; oracle = original table,
+    # so the ORC roundtrip must be lossless
+    li = load_table(spark, sf_dir, "lineitem")
+    out = scratch_dir("a08", sf_dir, "orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "a06_json_source",
     oracle="""
         SELECT event_type, count(*) AS n,

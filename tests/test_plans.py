@@ -65,6 +65,18 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert "partial_sum" in plan and "partial_count" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # a07's whole point: bucketBy co-locates the join key at write time, so
+    # neither join input needs a shuffle (AQE may still choose broadcast at
+    # this tiny scale; on big-big inputs the same layout gives an
+    # exchange-free sort-merge join)
+    df = registry.QUERIES["a07_bucketed_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
 def test_semi_anti_stay_joins_not_subquery_loops(spark, sf_dir):
     for qid in ("c04_semi", "c05_anti"):
         plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))

@@ -1,0 +1,81 @@
+"""Property-based differential testing (SURVEY.md §5.4): hypothesis
+generates random predicate/aggregation compositions in the shared ANSI-SQL
+subset, executed by BOTH engines over the same literal frame — catching
+semantic drift the fixed query corpus misses (comparison coercions, NULL
+propagation, three-valued logic).
+
+Aggregates are integer-only on purpose: float fold order is engine
+nondeterminism, not a semantics bug, and the fixed corpus already covers
+the decimal/rounding discipline.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+ROWS = 60
+PDF = pd.DataFrame({
+    "i": [(x * 7919) % 100 - 50 for x in range(ROWS)],          # ints incl. negatives
+    "j": [(x * 31) % 13 for x in range(ROWS)],                  # small ints
+    "g": [["red", "green", "blue", None][x % 4] for x in range(ROWS)],  # group w/ NULL
+    "s": [f"name{x % 9}" for x in range(ROWS)],
+})
+
+_num_col = st.sampled_from(["i", "j"])
+_str_col = st.sampled_from(["g", "s"])
+_cmp = st.sampled_from(["<", "<=", "=", ">", ">=", "<>"])
+_const = st.integers(min_value=-60, max_value=60)
+
+
+@st.composite
+def predicate(draw, depth: int = 2) -> str:
+    choice = draw(st.integers(0, 5 if depth > 0 else 3))
+    if choice == 0:
+        return f"{draw(_num_col)} {draw(_cmp)} {draw(_const)}"
+    if choice == 1:
+        vals = ", ".join(f"'{v}'" for v in draw(
+            st.lists(st.sampled_from(["red", "green", "blue", "name1", "name3"]),
+                     min_size=1, max_size=3)))
+        return f"{draw(_str_col)} IN ({vals})"
+    if choice == 2:
+        return f"{draw(_str_col)} IS {'NOT ' if draw(st.booleans()) else ''}NULL"
+    if choice == 3:
+        return f"{draw(_num_col)} % {draw(st.integers(2, 9))} = 0"
+    op = draw(st.sampled_from(["AND", "OR"]))
+    a = draw(predicate(depth=depth - 1))
+    b = draw(predicate(depth=depth - 1))
+    if draw(st.booleans()):
+        a = f"NOT ({a})"
+    return f"({a}) {op} ({b})"
+
+
+@pytest.fixture(scope="module")
+def prop_env(spark):
+    sdf = spark.createDataFrame(PDF)
+    sdf.createOrReplaceTempView("prop_t")
+    con = duckdb.connect()
+    con.register("prop_t", PDF)
+    yield spark, con
+    con.close()
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(pred=predicate())
+def test_filter_agg_agreement(prop_env, pred):
+    spark, con = prop_env
+    sql = f"""
+        SELECT g, count(*) AS n, sum(i) AS si, min(j) AS mj, max(i) AS mx
+        FROM prop_t WHERE {pred} GROUP BY g
+    """
+    def norm(rows):
+        # None-safe sort key (§7.3/6: Python tuples with None don't compare)
+        normed = [tuple(int(v) if v is not None and not isinstance(v, str) else v
+                        for v in r) for r in rows]
+        return sorted(normed, key=repr)
+
+    s_rows = norm(tuple(r) for r in spark.sql(sql).collect())
+    d_rows = norm(con.execute(sql).fetchall())
+    assert s_rows == d_rows, f"divergence for predicate: {pred}"

@@ -1,0 +1,109 @@
+"""Unit tests on literal-constructed frames for the semantics that the
+oracle corpus exercises only statistically: as-of join edges, null
+handling, deterministic dedup, and the §7.3 hazard cases.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.testing import assertDataFrameEqual
+
+from csv_to_parquet_aws_datalake_spark.loader import load_table
+from csv_to_parquet_aws_datalake_spark.operators.joins import asof_join_last_prior
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_edges(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),  # before any purchase -> NULL
+            (1, 101, _ts("2024-01-01T12:00:00")),  # equal ts -> inclusive match
+            (1, 102, _ts("2024-01-01T15:00:00")),  # after both -> latest (14:00)
+            (2, 200, _ts("2024-01-01T09:00:00")),  # user with no purchases -> NULL
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00")), (1, _ts("2024-01-01T14:00:00")),
+         (1, _ts("2024-01-01T14:00:00"))],  # duplicate purchase collapses
+        "user_id long, ts timestamp",
+    )
+    out = asof_join_last_prior(events, purchases, key="user_id",
+                               left_ts="ts", right_ts="ts",
+                               left_id="event_id", out_col="purchase_ts")
+    expected = spark.createDataFrame(
+        [
+            (100, None),
+            (101, _ts("2024-01-01T12:00:00")),
+            (102, _ts("2024-01-01T14:00:00")),
+            (200, None),
+        ],
+        "event_id long, purchase_ts timestamp",
+    )
+    assertDataFrameEqual(out, expected)
+
+
+def test_events_nanos_normalization(spark, sf_dir):
+    # the §7.3/1 landmine: ts must arrive as microsecond TimestampType
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.orderBy("event_id").first()
+    assert row.ts.year == 2024
+
+
+def test_division_by_zero_semantics(spark):
+    # Spark 4 runs ANSI mode by default: x/0 ERRORS (like DuckDB), updating
+    # the pre-ANSI §7.3/3 note; the portable guard is nullif(denominator, 0)
+    import pytest as _pytest
+    from pyspark.errors import ArithmeticException
+
+    with _pytest.raises(ArithmeticException):
+        spark.range(1).select((F.lit(1.0) / F.lit(0.0)).alias("x")).collect()
+    guarded = spark.range(1).select(
+        (F.lit(1.0) / F.expr("nullif(0.0, 0.0)")).alias("x")).first()
+    assert guarded.x is None
+
+
+def test_dropduplicates_subset_vs_deterministic_keep_first(spark):
+    # §7.3/4: bare dropDuplicates(subset) picks an ARBITRARY row; the
+    # deterministic pattern is row_number over an explicit order
+    from pyspark.sql.window import Window as W
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)], "k int, v string, x int")
+    w = W.partitionBy("k").orderBy("x")
+    kept = (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    assert sorted((r.k, r.v) for r in kept.collect()) == [(1, "a"), (2, "c")]
+
+
+def test_null_sort_defaults_differ_so_we_always_specify(spark):
+    df = spark.createDataFrame([(None,), (1,), (2,)], "x int")
+    # Spark ASC default: nulls FIRST (DuckDB: nulls last) — the reason every
+    # ordered-LIMIT query spells out the null position (§7.3/5)
+    assert [r.x for r in df.orderBy("x").collect()] == [None, 1, 2]
+    assert [r.x for r in df.orderBy(F.col("x").asc_nulls_last()).collect()] == [1, 2, None]
+
+
+def test_sort_array_fixes_collect_list_nondeterminism(spark):
+    df = spark.createDataFrame([(1, "b"), (1, "a"), (1, "c")], "k int, v string")
+    out = df.groupBy("k").agg(
+        F.array_join(F.sort_array(F.collect_list("v")), ",").alias("vs"))
+    assert out.first().vs == "a,b,c"
+
+
+def test_exact_decimal_revenue_is_4dp(spark, sf_dir):
+    # the invariant behind the e06/e07 decimal discipline: price(2dp) *
+    # (1 - discount(2dp)) is exactly representable at 4 decimals
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    chk = li.select(
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .cast("decimal(18,4)").cast("double")
+         - F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .alias("diff"))
+    mx = chk.agg(F.max(F.abs("diff"))).first()[0]
+    assert mx == 0.0
