@@ -23,18 +23,19 @@ from ..registry import query
     oracle="""
         SELECT l_orderkey, l_linenumber,
                round(l_extendedprice * (1 + l_tax), 4) AS taxed
-        FROM lineitem
+        FROM lineitem WHERE l_linenumber = 1
     """,
 )
 def k01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-at-a-time scalar UDF (serde per row — the slow path, kept for
-    # surface parity).  Rounding happens JVM-side: Python round() is
-    # half-even and would diverge.
+    # surface parity; restricted to one line per order so the demo does not
+    # dominate suite runtime).  Rounding happens JVM-side: Python round()
+    # is half-even and would diverge.
     @F.udf(T.DoubleType())
     def taxed_price(price: float, tax: float) -> float:
         return price * (1.0 + tax)
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     return li.select(
         "l_orderkey", "l_linenumber",
         F.round(taxed_price("l_extendedprice", "l_tax"), 4).alias("taxed"),

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +26,7 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..session import configure
+from ..sources.io_paths import scratch_dir
 
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -43,9 +43,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet through a scratch dir (hard link when possible, else copy)
     configure(spark)
     src = f"{sf_dir}/events.parquet"
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = os.path.join(tempfile.gettempdir(), "spark_graft_stream", sf_tag)
-    os.makedirs(stream_dir, exist_ok=True)
+    stream_dir = scratch_dir("stream_src", sf_dir)
     dst = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(dst):
         try:
@@ -173,28 +171,32 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "ts", F.expr("timestamp_micros(ts div 1000)"))
-    base = tempfile.mkdtemp(prefix="j05_")
-    src = os.path.join(base, "arrivals")
-    os.makedirs(src)
+    src = scratch_dir("j05", sf_dir, "arrivals")
     n_files = 10
-    # deterministic arrival schedule: chunk by event_id; every 20th event
-    # arrives two chunks later (late by event time)
-    total = ev.count()
-    chunk = max(1, total // n_files)
-    arrival = ev.withColumn(
-        "file_idx",
-        F.least(F.lit(n_files - 1),
-                F.expr(f"event_id div {chunk}")
-                + F.when(F.col("event_id") % 20 == 0, 2).otherwise(0)))
-    for i in range(n_files):
-        (arrival.filter(F.col("file_idx") == i).drop("file_idx")
-         .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i:02d}")))
-    # flatten each single-file dir into ordered file names
-    import glob
-    for i in range(n_files):
-        part = glob.glob(os.path.join(src, f"f{i:02d}", "part-*.parquet"))[0]
-        os.rename(part, os.path.join(src, f"{i:02d}.parquet"))
-        shutil.rmtree(os.path.join(src, f"f{i:02d}"))
+    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
+    if not all(os.path.exists(p) for p in expected):
+        # deterministic arrival schedule: chunk by event_id; every 20th
+        # event arrives two chunks later (late by event time).  The fixture
+        # is content-deterministic, so an existing one is reused as-is.
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        total = ev.count()
+        chunk = max(1, total // n_files)
+        arrival = ev.withColumn(
+            "file_idx",
+            F.least(F.lit(n_files - 1),
+                    F.expr(f"event_id div {chunk}")
+                    + F.when(F.col("event_id") % 20 == 0, 2).otherwise(0)))
+        import glob
+        for i in range(n_files):
+            d = os.path.join(src, f"f{i:02d}")
+            (arrival.filter(F.col("file_idx") == i).drop("file_idx")
+             .coalesce(1).write.mode("overwrite").parquet(d))
+            # flatten the single-file dir into an ordered file name: the
+            # file stream source replays files in (mtime, path) order
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            os.rename(part, expected[i])
+            shutil.rmtree(d)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -222,7 +224,7 @@ def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle.  Fresh checkpoint per run: a reused checkpoint would replay
     # nothing and emit an empty table.
     ev = _events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="j06_")
+    base = scratch_dir("j06", sf_dir, uuid.uuid4().hex[:8])
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     q = (
