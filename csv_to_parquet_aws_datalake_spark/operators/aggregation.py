@@ -238,6 +238,32 @@ def d12_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d14_salted_agg",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        FROM events GROUP BY 1
+    """,
+)
+def d14_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: 5 hot keys would hash to 5
+    reducers at 100 TB, so phase 1 salts each key into 16 shards (fanning
+    the hot key across reducers) and phase 2 merges the shard partials.
+    Result is identical to the plain groupBy (the oracle); only the
+    shuffle distribution changes.  AQE's skew handling covers joins — for
+    aggregations, salting remains the manual pattern (SURVEY.md §7.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psv"))
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("psv"), 2).alias("sv"))
+    )
+
+
+@query(
     "d13_distinct_rows",
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )

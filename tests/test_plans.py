@@ -77,6 +77,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(c_custkey" not in plan
 
 
+def test_partition_pruning_on_hive_layout(spark, sf_dir):
+    # a03 wrote orders partitioned by o_orderstatus; a filter on the
+    # partition key must prune directories (PartitionFilters), reading 1/3
+    # of the data without touching row groups
+    registry.QUERIES["a03_partitioned_write"](spark, sf_dir).collect()  # ensure layout
+    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
+    out = scratch_dir("a03", sf_dir, "parquet")
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert "(o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_semi_anti_stay_joins_not_subquery_loops(spark, sf_dir):
     for qid in ("c04_semi", "c05_anti"):
         plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
