@@ -79,3 +79,38 @@ def test_filter_agg_agreement(prop_env, pred):
     s_rows = norm(tuple(r) for r in spark.sql(sql).collect())
     d_rows = norm(con.execute(sql).fetchall())
     assert s_rows == d_rows, f"divergence for predicate: {pred}"
+
+
+RIGHT_PDF = pd.DataFrame({
+    "j": [x % 13 for x in range(20)],
+    "tag": [f"t{x % 5}" for x in range(20)],
+})
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(
+    # bare SEMI/ANTI: the syntax both dialects accept (DuckDB rejects LEFT SEMI)
+    jtype=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]),
+    pred=predicate(depth=1),
+)
+def test_join_shape_agreement(prop_env, jtype, pred):
+    # random join type x random residual predicate over the same two frames;
+    # exercises Catalyst's semi/anti rewrites against DuckDB's
+    spark, con = prop_env
+    spark.createDataFrame(RIGHT_PDF).createOrReplaceTempView("prop_r")
+    try:
+        con.register("prop_r", RIGHT_PDF)
+    except Exception:
+        pass  # already registered
+    proj = "l.i, l.j" if "SEMI" in jtype or "ANTI" in jtype else "l.i, l.j, r.tag"
+    sql = f"""
+        SELECT {proj}
+        FROM (SELECT * FROM prop_t WHERE {pred}) l
+        {jtype} prop_r r ON l.j = r.j
+    """
+    def norm(rows):
+        return sorted([tuple(int(v) if v is not None and not isinstance(v, str)
+                             else v for v in r) for r in rows], key=repr)
+    s_rows = norm(tuple(r) for r in spark.sql(sql).collect())
+    d_rows = norm(con.execute(sql).fetchall())
+    assert s_rows == d_rows, f"divergence for {jtype} with predicate: {pred}"
