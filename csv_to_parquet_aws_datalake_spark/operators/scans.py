@@ -210,6 +210,39 @@ def a07_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a09_curated_write",
+    oracle="""
+        SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+               min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def a09_curated_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-zone layout at scale (SURVEY.md §7.4): snappy parquet,
+    sorted WITHIN partitions by the dominant filter column so parquet
+    row-group min/max statistics prune reads, and maxRecordsPerFile to
+    bound file sizes.  Zero shuffle: sortWithinPartitions is partition-
+    local.  The read-back date filter then skips whole row groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = scratch_dir("a09", sf_dir, "parquet")
+    (li.sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite")
+       .option("compression", "snappy")
+       .option("maxRecordsPerFile", 250_000)
+       .parquet(out))
+    curated = spark.read.parquet(out)
+    return (
+        curated.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+
+
 @query("a08_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def a08_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second columnar format of the lake surface; oracle = original table,
