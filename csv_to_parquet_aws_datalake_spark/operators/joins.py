@@ -262,6 +262,28 @@ def c10_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c13_scalar_subquery",
+    oracle="""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def c13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated scalar subquery: Catalyst decorrelates it into an
+    # aggregate + join (§4 DecorrelateInnerQuery) — no per-row re-execution
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("sq_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        FROM sq_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM sq_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@query(
     "c12_upsert_merge",
     oracle="""
         SELECT c_custkey,

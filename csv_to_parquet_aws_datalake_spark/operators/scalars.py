@@ -275,6 +275,29 @@ def h11_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DATE_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2000-12-01'
+    )
+    SELECT m, count(o_orderkey) AS n
+    FROM months LEFT JOIN {orders} ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY 1
+"""
+
+
+@query("h14_recursive_cte", oracle=_DATE_SPINE_SQL.format(orders="orders"))
+def h14_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): a monthly date spine left-joined to orders,
+    so months with zero orders appear — the classic gap-filling query that
+    plain GROUP BY cannot express.  Identical SQL text runs on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("rc_orders")
+    return spark.sql(_DATE_SPINE_SQL.format(orders="rc_orders"))
+
+
 @query(
     "h13_unpivot",
     oracle="""

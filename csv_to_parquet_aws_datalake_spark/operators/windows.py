@@ -243,6 +243,44 @@ def e09_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e11_funnel_conversion",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN first_signup IS NOT NULL
+                         AND first_purchase > first_signup THEN 1 ELSE 0 END)
+                   AS n_converted
+        FROM per_user
+    """,
+)
+def e11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: users whose first purchase follows their first
+    signup.  One shuffle on user_id with conditional-min partials — the
+    shape that replaces per-user sequence scans at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+         .alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0))
+         .alias("n_signup"),
+        F.sum(F.when(F.col("first_signup").isNotNull()
+                     & (F.col("first_purchase") > F.col("first_signup")), 1)
+               .otherwise(0)).alias("n_converted"),
+    )
+
+
+@query(
     "e10_sessionize_batch",
     oracle="""
         WITH flagged AS (

@@ -211,6 +211,40 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j07_stateful_custom",
+    oracle="SELECT user_id, count(*) AS n FROM events GROUP BY 1",
+)
+def j07_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running event counter held in explicit GroupState — the
+    extension point for operators Spark's built-in aggregates can't express
+    (the north star's 'custom stateful operators').  One availableNow batch
+    drains everything, so the batch groupBy is the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    ev = _events_stream(spark, sf_dir)
+    counted = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(counted, "j07", "update")
+
+
+@query(
     "j06_stream_sink_parquet",
     oracle="""
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
