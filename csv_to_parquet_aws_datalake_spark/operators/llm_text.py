@@ -360,6 +360,64 @@ def i15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
 
 
+@query(
+    "i20_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+               (n_chars + 3) // 4 AS n_approx
+        FROM documents
+    """,
+)
+def i20_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    (letter runs / digit runs / single punctuation — the pre-tokenizer
+    shape of GPT-style BPE), and the chars/4 heuristic.  All map-side
+    expressions; the regex dialect is the POSIX subset both engines share."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+         .alias("n_bpe"),
+        F.expr("(n_chars + 3) div 4").alias("n_approx"),
+    )
+
+
+@query(
+    "i21_rolling_hash",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, x -> CAST(length(x) * 131
+                                                      + ord(x) * 7
+                                                      + ord(reverse(x)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+        FROM t
+    """,
+)
+def i21_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: a polynomial rolling hash
+    folded over the token stream (unlike md5 in i15, prefix-incremental —
+    the building block of content-defined chunking).  Exact integer
+    arithmetic mod 1e9+7, so cross-engine checkable; the DuckDB fold seeds
+    the accumulator by prepending 0, replicating aggregate()'s init."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(toks, 0L, (acc, x) -> "
+                "(acc * 31 + (length(x) * 131 + ascii(x) * 7"
+                " + ascii(reverse(x)))) % 1000000007)").alias("rh"),
+        )
+    )
+
+
 # ---- SimHash (16-bit, md5-derived, frequency-weighted) --------------------
 # bit i of the fingerprint = sign of sum over tokens of (2*bit_i(md5) - 1);
 # the hex-digit -> bit arithmetic is generated once and mirrored verbatim
