@@ -365,7 +365,8 @@ def i15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws,
-               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+               len(regexp_extract_all(concat(text, ' v', CAST(doc_id AS VARCHAR), '.txt'),
+                                      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
                (n_chars + 3) // 4 AS n_approx
         FROM documents
     """,
@@ -373,28 +374,43 @@ def i15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i20_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace tokens, a BPE-ish regex
     (letter runs / digit runs / single punctuation — the pre-tokenizer
-    shape of GPT-style BPE), and the chars/4 heuristic.  All map-side
-    expressions; the regex dialect is the POSIX subset both engines share."""
+    shape of GPT-style BPE), and the chars/4 heuristic.  The fixture text
+    is pure lowercase+spaces, which would leave the digit/punctuation
+    regex branches untested — so the BPE count runs over the text plus a
+    synthetic ' v<doc_id>.txt' suffix, forcing every branch to match on
+    every row (identical construction on both sides)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws"),
-        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-         .alias("n_bpe"),
+        F.expr("size(regexp_extract_all("
+               "concat(text, ' v', CAST(doc_id AS STRING), '.txt'),"
+               " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").alias("n_bpe"),
         F.expr("(n_chars + 3) div 4").alias("n_approx"),
     )
 
 
+_ROLLING_TOKEN_VALUE_SPARK = (
+    "length(x) * 131 + CASE WHEN length(x) > 0 THEN"
+    " ascii(substring(x, 1, 1)) * 7 + ascii(substring(x, length(x), 1))"
+    " ELSE 0 END"
+)
+_ROLLING_TOKEN_VALUE_DUCK = (
+    "length(x) * 131 + CASE WHEN length(x) > 0 THEN"
+    " ord(substr(x, 1, 1)) * 7 + ord(substr(x, length(x), 1))"
+    " ELSE 0 END"
+)
+
+
 @query(
     "i21_rolling_hash",
-    oracle="""
+    oracle=f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
-                       list_transform(toks, x -> CAST(length(x) * 131
-                                                      + ord(x) * 7
-                                                      + ord(reverse(x)) AS BIGINT))),
+                       list_transform(toks,
+                           x -> CAST({_ROLLING_TOKEN_VALUE_DUCK} AS BIGINT))),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
         FROM t
     """,
@@ -403,8 +419,13 @@ def i21_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: a polynomial rolling hash
     folded over the token stream (unlike md5 in i15, prefix-incremental —
     the building block of content-defined chunking).  Exact integer
-    arithmetic mod 1e9+7, so cross-engine checkable; the DuckDB fold seeds
-    the accumulator by prepending 0, replicating aggregate()'s init."""
+    arithmetic mod 1e9+7; the DuckDB fold seeds the accumulator by
+    prepending 0, replicating aggregate()'s init.
+
+    Per-token value uses codepoint-indexed substring for first/last chars,
+    NOT reverse(): DuckDB reverses grapheme clusters while Spark reverses
+    codepoints, and DuckDB ord('') is -1 where Spark ascii('') is 0 — both
+    divergences guarded here (empty tokens score length-only)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.withColumn("toks", F.split("text", " "))
@@ -412,8 +433,8 @@ def i21_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(
                 "aggregate(toks, 0L, (acc, x) -> "
-                "(acc * 31 + (length(x) * 131 + ascii(x) * 7"
-                " + ascii(reverse(x)))) % 1000000007)").alias("rh"),
+                f"(acc * 31 + ({_ROLLING_TOKEN_VALUE_SPARK})) % 1000000007)"
+            ).alias("rh"),
         )
     )
 
