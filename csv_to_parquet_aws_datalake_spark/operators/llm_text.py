@@ -24,6 +24,12 @@ from ..loader import load_table
 from ..registry import query
 
 
+# 3-token shingles over a pre-split token array `t` — shared by i03 and i04
+# so the two dedup paths cannot silently diverge
+_SHINGLES_SPARK = ("transform(sequence(1, size(t) - 2),"
+                   " i -> concat_ws(' ', slice(t, i, 3)))")
+
+
 @query("i01_dedup_exact", oracle="SELECT DISTINCT lang, source FROM documents")
 def i01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -84,9 +90,7 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
-        ))).alias("sh"),
+        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -118,9 +122,7 @@ def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         d.withColumn("t", F.split("text", " "))
         .filter(F.size("t") >= 3)
-        .withColumn("sh", F.array_distinct(F.expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
-        )))
+        .withColumn("sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
         .select("doc_id", "sh")
     )
     tf = HashingTF(inputCol="sh", outputCol="features",
@@ -209,10 +211,14 @@ def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i09_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigrams via JVM-side array transform (Spark arrays are 0-indexed in
-    # SQL subscripts, DuckDB lists are 1-indexed — hence the offset mirror)
+    # SQL subscripts, DuckDB lists are 1-indexed — hence the offset mirror).
+    # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) for a
+    # single-token doc and t[1] then throws under ANSI; DuckDB's range(1,1)
+    # is simply empty, so only the Spark side needs the filter.
     d = load_table(spark, sf_dir, "documents")
     return (
         d.withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= 2)
         .select(F.explode(F.expr(
             "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
         )).alias("bg"))

@@ -59,8 +59,9 @@ def k06_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> ord(substr(text, i, 1)))) AS bsum
             FROM documents
         )
-        SELECT doc_id, n_bytes, bsum // n_bytes AS mean_byte,
-               'stub_ok' AS decode_status
+        SELECT doc_id, n_bytes,
+               CASE WHEN n_bytes = 0 THEN 0 ELSE bsum // n_bytes END AS mean_byte,
+               CASE WHEN n_bytes = 0 THEN 'empty' ELSE 'stub_ok' END AS decode_status
         FROM b
     """,
 )
@@ -73,6 +74,9 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _stub_decode(payload: bytes) -> tuple[int, int, str]:
         arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) == 0:
+            # zero-byte blobs are routine for a real decoder; degrade, don't die
+            return 0, 0, "empty"
         return len(arr), int(arr.sum()) // len(arr), "stub_ok"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -69,18 +69,24 @@ def k02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                round((value - avg(value) OVER (PARTITION BY event_type))
-                     / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+                     / nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0),
+                     6) AS z
         FROM events
     """,
 )
 def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-group pandas transform (z-score); pandas ddof=1 == stddev_samp
+    # per-group pandas transform (z-score); pandas ddof=1 == stddev_samp.
+    # Degenerate groups (single row / zero variance) emit NULL — pandas
+    # would produce NaN/inf where SQL's NULL-propagating division yields
+    # NULL, so the guard uses the nullable Float64 dtype (Arrow -> null).
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        return pd.DataFrame({
-            "event_id": pdf["event_id"],
-            "z": (v - v.mean()) / v.std(ddof=1),
-        })
+        std = v.std(ddof=1)
+        if len(pdf) < 2 or pd.isna(std) or std == 0.0:
+            z = pd.array([pd.NA] * len(pdf), dtype="Float64")
+        else:
+            z = (v - v.mean()) / std
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
     ev = load_table(spark, sf_dir, "events")
     out = ev.groupBy("event_type").applyInPandas(zscore, "event_id long, z double")

@@ -108,7 +108,7 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j03_stream_session",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
@@ -116,7 +116,7 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
             FROM flagged
         )
@@ -168,9 +168,8 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     two files late), maxFilesPerTrigger=1 forces 10 batches, and a 30-min
     watermark in append mode drops rows older than watermark and withholds
     unfinalized windows."""
-    configure(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    from ..loader import load_table
+    ev = load_table(spark, sf_dir, "events")
     src = scratch_dir("j05", sf_dir, "arrivals")
     n_files = 10
     expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
@@ -258,7 +257,10 @@ def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle.  Fresh checkpoint per run: a reused checkpoint would replay
     # nothing and emit an empty table.
     ev = _events_stream(spark, sf_dir)
-    base = scratch_dir("j06", sf_dir, uuid.uuid4().hex[:8])
+    # stable dir, wiped per run: deletion gives the fresh-checkpoint
+    # guarantee without accumulating uuid-named orphans in .scratch
+    base = scratch_dir("j06", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     q = (
