@@ -61,11 +61,16 @@ def main() -> None:
     # warm-up mirrors BASELINE.md methodology ("warm session"): the baseline
     # session had executed the same query shapes for the sf0.01 value check
     # before timing, so codegen/broadcast machinery was compiled.  Replicate
-    # by running each headline query once at the smallest sf first.
+    # by running each headline query once at the smallest sf, then touch
+    # every target-scale table once (count()) so the OS page cache is warm
+    # SYMMETRICALLY — no timed query gets flattered or penalized by being
+    # the first to fault in a file.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     for qid in HEADLINE.values():
         queries[qid](spark, warm_dir).collect()
-    queries["d01_groupby_core"](spark, sf_dir).collect()
+    from csv_to_parquet_aws_datalake_spark.loader import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     for name, qid in HEADLINE.items():
@@ -73,13 +78,17 @@ def main() -> None:
         queries[qid](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(sf_tag)
+    except ValueError:
+        sf = sf_tag  # non-numeric dir name: report the tag verbatim
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
     }))
     spark.stop()
 

@@ -1,6 +1,13 @@
 """Physical-plan assertions — the 100 TB design is enforced here, not just
 described: tests fail if a filter stops pushing down, a dimension join
 stops broadcasting, or a top-k degenerates into a global sort.
+
+AQE caveat: before execution, ``physical_plan`` shows the INITIAL adaptive
+plan (``isFinalPlan=false``) — static properties (PushedFilters,
+ReadSchema, pinned broadcast hints) are valid there, but anything AQE can
+rewrite at runtime (join strategy switches, coalesced reads, codegen
+spans) is only trustworthy on the FINAL plan.  ``assert_in_final_plan``
+executes the DataFrame first and asserts on what actually ran.
 """
 
 from __future__ import annotations
@@ -8,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def physical_plan(df: DataFrame) -> str:
+def physical_plan(df: DataFrame, *, executed: bool = False) -> str:
+    if executed:
+        df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -17,12 +26,24 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def assert_in_plan(df: DataFrame, *needles: str) -> None:
+    """Assert against the static (pre-execution) plan; use only for
+    properties AQE cannot change (pushdown, read schema, hints)."""
     plan = physical_plan(df)
     for n in needles:
-        assert n in plan, f"expected {n!r} in physical plan:\n{plan}"
+        if n not in plan:
+            raise AssertionError(f"expected {n!r} in physical plan:\n{plan}")
+
+
+def assert_in_final_plan(df: DataFrame, *needles: str) -> None:
+    """Execute, then assert against the finalized adaptive plan."""
+    plan = physical_plan(df, executed=True)
+    for n in needles:
+        if n not in plan:
+            raise AssertionError(f"expected {n!r} in FINAL plan:\n{plan}")
 
 
 def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
     plan = physical_plan(df)
     for n in needles:
-        assert n not in plan, f"did not expect {n!r} in physical plan:\n{plan}"
+        if n in plan:
+            raise AssertionError(f"did not expect {n!r} in physical plan:\n{plan}")

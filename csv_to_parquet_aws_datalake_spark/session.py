@@ -16,6 +16,7 @@ Scale notes (100 TB design intent, SURVEY.md §7.4):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -25,15 +26,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # without this (SURVEY.md §1.3 — the single biggest trap in this repo).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    # AQE coalesces over-partitioned shuffles, but NOT for stateful
-    # streaming (AQE is disabled there) — the default 200 partitions makes
-    # every micro-batch churn 200 state-store instances on a small box, so
-    # pin it; on a real cluster this would be 2-3x total executor cores.
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
+
+#: applied only when the session still runs Spark's 200 default: AQE
+#: coalesces over-partitioned batch shuffles but NOT stateful streaming
+#: ones, where 200 partitions churn 200 state stores per micro-batch.  A
+#: deliberate caller-chosen value (e.g. cores-matched) is left alone.
+DEFAULT_SHUFFLE_PARTITIONS = "32"
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -41,8 +43,18 @@ def configure(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf locked by the host session — keep going
+        except Exception as exc:  # conf locked by the host session
+            # do not die, but never silently: a locked timeZone/nanosAsLong
+            # shows up later as inscrutable oracle mismatches
+            print(f"[engine] WARNING: could not set {k}={v}: {exc}",
+                  file=sys.stderr)
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           DEFAULT_SHUFFLE_PARTITIONS)
+    except Exception as exc:
+        print(f"[engine] WARNING: could not adjust shuffle partitions: {exc}",
+              file=sys.stderr)
     return spark
 
 
@@ -54,13 +66,15 @@ def build_session(app_name: str = "csv_to_parquet_aws_datalake_spark",
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
+    # cores-matched shuffle width, set AFTER the loop so it wins (configure()
+    # respects any non-default value)
+    b = b.config("spark.sql.shuffle.partitions", str(cpus))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)

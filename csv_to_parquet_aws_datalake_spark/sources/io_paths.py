@@ -10,19 +10,20 @@ return.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _BASE = os.path.join(_REPO, ".scratch")
 
 
-def scratch_base() -> str:
-    os.makedirs(_BASE, exist_ok=True)
-    return _BASE
-
-
 def scratch_dir(query_id: str, sf_dir: str, leaf: str = "") -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # tag = basename + short hash of the FULL path: two data directories
+    # sharing a leaf name (e.g. /a/sf0.01 vs /b/sf0.01) must not collide,
+    # or reuse-aware queries (j05) would replay stale fixtures
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    sf_tag = (os.path.basename(norm) + "-"
+              + hashlib.sha1(norm.encode()).hexdigest()[:8])
     d = os.path.join(_BASE, query_id, sf_tag, leaf) if leaf else os.path.join(
         _BASE, query_id, sf_tag)
     os.makedirs(d if not leaf else os.path.dirname(d), exist_ok=True)

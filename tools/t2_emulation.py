@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Full driver-style t2 emulation: one conf-free SparkSession (as the
 grading driver builds it), every ``queries()`` entry executed at sf0.01 and
-compared against its ``oracle_sql()`` via DuckDB — row count, sorted-name
-schema, order-insensitive values.  Rows-only queries are executed twice to
-check run-to-run stability.
+compared against its ``oracle_sql()`` via the same comparator the test
+suite uses (tests/differential.compare: row count, sorted-name schema,
+order-insensitive values).  Rows-only queries run twice and must reproduce
+the identical normalized value multiset, not just the same row count.
 
 Usage: python tools/t2_emulation.py [sf_dir]
 """
@@ -16,10 +17,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
 from pyspark.sql import SparkSession
 
-from tests.differential import _norm
+from tests.differential import _norm, compare, make_oracle_con
+
+
+def _normalized_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
 
 
 def main() -> int:
@@ -33,10 +38,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    con = duckdb.connect()
-    from csv_to_parquet_aws_datalake_spark.loader import TABLES
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = make_oracle_con(sf_dir)
 
     n_rows = len(entry_mod.entry(spark).collect())
     print(f"entry(): {n_rows} rows")
@@ -45,32 +47,21 @@ def main() -> int:
     for name in sorted(qs):
         try:
             df = qs[name](spark, sf_dir)
-            s_cols = sorted(df.columns)
-            s_rows = sorted(
-                (tuple(_norm(r[c]) for c in s_cols) for r in df.collect()))
             if name not in osql:
-                again = len(qs[name](spark, sf_dir).collect())
-                status = "rows-only-stable" if again == len(s_rows) \
-                    else f"ROWS-ONLY-FLAKY {len(s_rows)} vs {again}"
+                first = _normalized_rows(df)
+                again = _normalized_rows(qs[name](spark, sf_dir))
+                status = "rows-only-stable" if first == again \
+                    else "ROWS-ONLY-FLAKY (values differ across runs)"
             else:
-                cur = con.execute(osql[name])
-                d_cols = [c[0] for c in cur.description]
-                rows = cur.fetchall()
-                d_rows = sorted(
-                    (tuple(_norm(r[d_cols.index(c)]) for c in sorted(d_cols))
-                     for r in rows))
-                if sorted(s_cols) != sorted(d_cols):
-                    status = f"SCHEMA {s_cols} vs {sorted(d_cols)}"
-                elif s_rows != d_rows:
-                    status = "VALUES"
-                else:
-                    status = "ok"
-            if status not in ("ok", "rows-only-stable"):
-                failures.append((name, status))
-            print(f"{name:30s} {status}")
+                compare(df, con, osql[name])
+                status = "ok"
+        except AssertionError as exc:
+            status = f"DIFF {exc}"
         except Exception as exc:  # noqa: BLE001 — report and continue
-            failures.append((name, repr(exc)[:120]))
-            print(f"{name:30s} ERROR {repr(exc)[:120]}")
+            status = f"ERROR {repr(exc)[:120]}"
+        if status not in ("ok", "rows-only-stable"):
+            failures.append((name, status))
+        print(f"{name:30s} {status[:160]}")
     print(f"\n{len(qs)} queries in {time.perf_counter() - t0:.0f}s; "
           f"{len(failures)} failures")
     for f in failures:
