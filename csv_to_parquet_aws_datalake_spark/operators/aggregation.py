@@ -201,6 +201,22 @@ def d10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d15_percentile_approx")  # KLL/GK sketches engine-specific -> rows-only
+def d15_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles — the 100 TB path where d09's exact percentile
+    (full sort per group) is unaffordable: a fixed-size sketch per
+    partition, merged map-side, error bounded by the accuracy parameter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+         .getItem(0).alias("p50"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+         .getItem(1).alias("p90"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+         .getItem(2).alias("p99"),
+    )
+
+
 @query(
     "d11_collect_sorted",
     oracle="""

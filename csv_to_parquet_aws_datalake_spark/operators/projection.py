@@ -104,6 +104,22 @@ def b04_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b06_stratified_sample")  # partitioning-dependent picks -> rows-only
+def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
+    a fixed seed — the standard corpus-downsampling primitive (e.g. keep
+    10% of 'view' events but all 'purchase').  Map-side only; row picks
+    depend on the seed AND the input partitioning, hence rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.sampleBy(
+        "event_type",
+        fractions={"view": 0.1, "click": 0.1, "error": 0.5,
+                   "signup": 1.0, "purchase": 1.0},
+        seed=42,
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 @query(
     "b05_cast",
     oracle="""
