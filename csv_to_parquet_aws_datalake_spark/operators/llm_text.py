@@ -56,9 +56,9 @@ def i02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "i03_shingle_jaccard",
-    oracle="""
+# i03's oracle, reused verbatim by i22's cluster oracle so both derive the
+# same near-dup pair set
+_I03_PAIRS_SQL = """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
             WHERE len(string_split(text, ' ')) >= 3
@@ -80,8 +80,10 @@ def i02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN counts ca ON da = ca.doc_id
         JOIN counts cb ON db = cb.doc_id
         WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 6) >= 0.1
-    """,
-)
+"""
+
+
+@query("i03_shingle_jaccard", oracle=_I03_PAIRS_SQL)
 def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: 3-token shingles, exact Jaccard >= 0.1 on the
     distinct-shingle sets.  Candidates come from an equi-join on shingle, so
@@ -108,6 +110,64 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", jac.alias("jac"))
         .filter(F.col("jac") >= 0.1)
     )
+
+
+@query(
+    "i22_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE near AS ({_I03_PAIRS_SQL}),
+        edges AS (
+            SELECT da AS a, db AS b FROM near
+            UNION
+            SELECT db, da FROM near
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1
+    """,
+)
+def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the near-dup pair graph
+    (i03 edges), each document labeled with the smallest doc_id reachable —
+    so one representative per duplicate CLUSTER can be kept, not just per
+    pair.  Implemented as Pregel-style iterative min-label propagation:
+    each round is one shuffle (edges ⋈ labels, groupBy min), looped until a
+    fixed point; iteration count is the graph diameter (tiny for dup
+    clusters).  localCheckpoint truncates the growing lineage.  At 100 TB
+    the identical loop runs with the large-star/small-star optimization;
+    the oracle is a recursive-CTE transitive closure (fine at oracle scale,
+    quadratic in cluster size so never the production path)."""
+    edges = i03_shingle_jaccard(spark, sf_dir).select("da", "db")
+    sym = edges.union(edges.select(F.col("db").alias("da"),
+                                   F.col("da").alias("db")))
+    sym = sym.localCheckpoint()  # tiny edge set; pin it once
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster"))
+    while True:
+        neigh = (
+            sym.join(labels, sym.db == labels.doc_id)
+            .groupBy("da").agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.da, "left")
+            .select(
+                "doc_id",
+                F.least("cluster", F.coalesce("nmin", "cluster")).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
 
 
 @query("i04_minhash_lsh")  # hash seeds are engine-specific -> rows-only
