@@ -90,6 +90,64 @@ def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "i23_nearest_centroid",
+    oracle="""
+        WITH pos AS (
+            SELECT vec_id, label, p.pos, embedding[p.pos] AS v
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+        ), cen AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+            FROM pos GROUP BY 1, 2
+        ), cenarr AS (
+            SELECT label AS clabel, list(c ORDER BY pos) AS carr
+            FROM cen GROUP BY 1
+        ), assigned AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                carr), 6) AS cos
+            FROM embeddings e CROSS JOIN cenarr c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY cos DESC, c.clabel) = 1
+        )
+        SELECT label, clabel AS assigned, count(*) AS n
+        FROM assigned GROUP BY 1, 2
+    """,
+)
+def i23_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means step / centroid
+    classifier): per-label centroids from posexplode + exact DECIMAL(18,6)
+    dimension sums (fold-order-proof, cf. the e06 discipline), then every
+    vector joins the broadcast 10-row centroid table and takes its
+    highest-cosine centroid.  Output is the label-vs-assigned confusion
+    census.  At 100 TB this is the IVF training loop shape: centroid agg is
+    one shuffle on (label, dim); assignment is map-side vs broadcast
+    centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cen = pos.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("c"))
+    cenarr = cen.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x.c).alias("carr"))
+    from pyspark.sql.window import Window as W
+    scored = (
+        emb.crossJoin(F.broadcast(cenarr))
+        .select("vec_id", "label", "clabel",
+                F.round(cosine("embedding", "carr"), 6).alias("cos"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("i19_euclidean_lsh")  # projection seeds engine-specific -> rows-only
 def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean ANN via BucketedRandomProjectionLSH (pyspark.ml): vectors
