@@ -170,6 +170,64 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             return labels
 
 
+@query(
+    "i24_curation_pipeline",
+    oracle=f"""
+        WITH RECURSIVE near AS ({_I03_PAIRS_SQL}),
+        edges AS (
+            SELECT da AS a, db AS b FROM near
+            UNION
+            SELECT db, da FROM near
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (
+            SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1
+        ),
+        quality AS (
+            SELECT doc_id,
+                   (least(len(string_split(text, ' ')), 100)
+                    * ((len(list_distinct(string_split(text, ' '))) * 10000)
+                       // len(string_split(text, ' ')))) // 100 AS score_e4
+            FROM documents
+        )
+        SELECT d.lang, d.source,
+               count(*) AS n_docs,
+               sum(CASE WHEN c.cluster = d.doc_id AND q.score_e4 >= 2500
+                        THEN 1 ELSE 0 END) AS n_kept
+        FROM documents d
+        JOIN clusters c USING (doc_id)
+        JOIN quality q USING (doc_id)
+        GROUP BY 1, 2
+    """,
+)
+def i24_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, composed from the engine's own
+    operators: near-dup clustering (i22) keeps one representative per
+    duplicate cluster (the smallest doc_id), the fixed-point quality score
+    (i14) gates low-diversity documents, and the output is the per
+    (lang, source) kept-vs-total census a data pipeline reports.  The
+    composition stays lazy — Catalyst fuses the quality filter into the
+    scan side while the cluster labels arrive from the iterative join."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = i22_dedup_clusters(spark, sf_dir)
+    quality = i14_quality_score(spark, sf_dir).select("doc_id", "score_e4")
+    return (
+        d.join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when((F.col("cluster") == F.col("doc_id"))
+                         & (F.col("score_e4") >= 2500), 1).otherwise(0))
+             .alias("n_kept"),
+        )
+    )
+
+
 @query("i04_minhash_lsh")  # hash seeds are engine-specific -> rows-only
 def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable near-dup via MinHash banding: shingle -> binary feature
