@@ -93,7 +93,7 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
-    )
+    ).localCheckpoint()  # reused 3x (counts + both join sides): pin the explode
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("a")
@@ -112,10 +112,9 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "i22_dedup_clusters",
-    oracle=f"""
-        WITH RECURSIVE near AS ({_I03_PAIRS_SQL}),
+# connected-component clustering CTE chain over the i03 pair set; shared by
+# the i22 and i24 oracles so a threshold/formula change cannot drift them
+_CLUSTERS_CTES_SQL = f"""near AS ({_I03_PAIRS_SQL}),
         edges AS (
             SELECT da AS a, db AS b FROM near
             UNION
@@ -125,8 +124,17 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, doc_id FROM documents
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        )
-        SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1
+        ),
+        clusters AS (
+            SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1
+        )"""
+
+
+@query(
+    "i22_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTERS_CTES_SQL}
+        SELECT doc_id, cluster FROM clusters
     """,
 )
 def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,20 +181,7 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "i24_curation_pipeline",
     oracle=f"""
-        WITH RECURSIVE near AS ({_I03_PAIRS_SQL}),
-        edges AS (
-            SELECT da AS a, db AS b FROM near
-            UNION
-            SELECT db, da FROM near
-        ),
-        reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        ),
-        clusters AS (
-            SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1
-        ),
+        WITH RECURSIVE {_CLUSTERS_CTES_SQL},
         quality AS (
             SELECT doc_id,
                    (least(len(string_split(text, ' ')), 100)
@@ -208,10 +203,11 @@ def i24_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation, composed from the engine's own
     operators: near-dup clustering (i22) keeps one representative per
     duplicate cluster (the smallest doc_id), the fixed-point quality score
-    (i14) gates low-diversity documents, and the output is the per
-    (lang, source) kept-vs-total census a data pipeline reports.  The
-    composition stays lazy — Catalyst fuses the quality filter into the
-    scan side while the cluster labels arrive from the iterative join."""
+    (i14) gates low-diversity documents (threshold = corpus median), and
+    the output is the per (lang, source) kept-vs-total census a data
+    pipeline reports.  Note: the cluster labels are materialized EAGERLY —
+    i22's fixed-point loop runs at construction time — while the quality
+    gate and census stay lazy on the returned plan."""
     d = load_table(spark, sf_dir, "documents")
     clusters = i22_dedup_clusters(spark, sf_dir)
     quality = i14_quality_score(spark, sf_dir).select("doc_id", "score_e4")
@@ -634,7 +630,9 @@ def i17_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair census by SimHash hamming distance (<=4 of 16 bits).
     At 100 TB: pigeonhole-block on 4-bit sub-keys so candidates arrive via
     equi-join instead of this demonstration cross-join."""
-    fps = i16_simhash(spark, sf_dir)
+    # pin the fingerprint table: both sides of the quadratic join would
+    # otherwise recompute the full explode+md5+16-column aggregation
+    fps = i16_simhash(spark, sf_dir).localCheckpoint()
     a, b = fps.alias("a"), fps.alias("b")
     hd = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, norm
+from ..functions.vector import cosine, dot, norm
 from ..loader import load_table
 from ..registry import query
 
@@ -219,17 +219,13 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
         )
     )
-    def _dot(v: str) -> F.Column:
-        return F.expr(
-            f"aggregate(zip_with(embedding, {v}, (x, y) -> x * 1.0 * y),"
-            " 0.0D, (a, c) -> a + c)")
     coded = (
         emb.crossJoin(F.broadcast(basis))
         .select(
             "vec_id", "embedding",
-            (F.when(_dot("b1") > 0, 4).otherwise(0)
-             + F.when(_dot("b2") > 0, 2).otherwise(0)
-             + F.when(_dot("b3") > 0, 1).otherwise(0)).alias("bucket"),
+            (F.when(dot("embedding", "b1") > 0, 4).otherwise(0)
+             + F.when(dot("embedding", "b2") > 0, 2).otherwise(0)
+             + F.when(dot("embedding", "b3") > 0, 1).otherwise(0)).alias("bucket"),
         )
     )
     q = (coded.filter(F.col("vec_id") == 0)
