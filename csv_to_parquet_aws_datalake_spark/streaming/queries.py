@@ -210,6 +210,49 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j08_stream_stream_join",
+    oracle="""
+        SELECT p.event_id AS pid, c.event_id AS cid
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE
+                      AND p.ts + INTERVAL 10 MINUTE
+    """,
+)
+def j08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks of the same
+    user within ±10 minutes.  Both sides carry watermarks and the join has
+    an event-time range condition, which is exactly what lets Spark bound
+    the join STATE — each side buffers only rows younger than
+    watermark + range, the crux of stream joins at production scale.  One
+    availableNow batch sees everything, so the batch join is the oracle."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & F.col("cts").between(
+            F.col("pts") - F.expr("INTERVAL 10 MINUTES"),
+            F.col("pts") + F.expr("INTERVAL 10 MINUTES"),
+        ),
+        "inner",
+    ).select("pid", "cid")
+    return _run_to_memory(joined, "j08", "append")
+
+
+@query(
     "j07_stateful_custom",
     oracle="SELECT user_id, count(*) AS n FROM events GROUP BY 1",
 )
