@@ -243,6 +243,49 @@ def e09_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e12_resample_locf",
+    oracle="""
+        WITH grid AS (
+            SELECT u.user_id, g.gts
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                TIMESTAMP '2024-01-08',
+                                                INTERVAL 6 HOUR)) AS gts) g
+        )
+        SELECT grid.user_id, grid.gts, e.value AS last_value
+        FROM grid ASOF LEFT JOIN events e
+          ON grid.user_id = e.user_id AND grid.gts >= e.ts
+    """,
+)
+def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap-fill: sample every user's stream on
+    a fixed 6-hour grid, carrying the last observation forward (LOCF) —
+    NULL before the first event.  Same scale-safe shape as the as-of join
+    (c09): union grid + events, one window pass over (user_id), no join —
+    the standard downsampling plan for feature snapshots at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    grid_ts = F.expr(
+        "sequence(to_timestamp('2024-01-01'), to_timestamp('2024-01-08'),"
+        " interval 6 hours)")
+    grid = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(grid_ts).alias("gts"))
+        .select("user_id", F.col("gts").alias("ts"),
+                F.lit(None).cast("double").alias("v"), F.lit(1).alias("tag"))
+    )
+    obs = ev.select("user_id", "ts", F.col("value").alias("v"),
+                    F.lit(0).alias("tag"))
+    w = (W.partitionBy("user_id").orderBy("ts", "tag")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        grid.unionByName(obs)
+        .withColumn("last_value", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("user_id", F.col("ts").alias("gts"), "last_value")
+    )
+
+
+@query(
     "e11_funnel_conversion",
     oracle="""
         WITH per_user AS (
