@@ -48,13 +48,27 @@ def configure(spark: SparkSession) -> SparkSession:
             # shows up later as inscrutable oracle mismatches
             print(f"[engine] WARNING: could not set {k}={v}: {exc}",
                   file=sys.stderr)
-    try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-            spark.conf.set("spark.sql.shuffle.partitions",
-                           DEFAULT_SHUFFLE_PARTITIONS)
-    except Exception as exc:
-        print(f"[engine] WARNING: could not adjust shuffle partitions: {exc}",
-              file=sys.stderr)
+    # local-rig input sizing (§7.4 "size maxPartitionBytes for the target
+    # SF"): each table here is ONE small parquet file, so the 128 MB
+    # default yields ~3 scan tasks and 29 idle cores; 8 MB splits restore
+    # scan parallelism.  A 4 MB broadcast threshold stops AQE from
+    # single-threadedly serializing a ~20 MB fact side as a broadcast
+    # (dimensions still qualify).  Both are applied ONLY when still at the
+    # Spark default — on a real cluster with 128 MB row groups the
+    # defaults are correct and a deliberate setting wins.
+    defaults = {
+        "spark.sql.shuffle.partitions": ("200", DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.files.maxPartitionBytes": ("134217728b", "8m"),
+        "spark.sql.autoBroadcastJoinThreshold": ("10485760b", "4m"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": ("-1", "4m"),
+    }
+    for k, (default_v, v) in defaults.items():
+        try:
+            if spark.conf.get(k, default_v) == default_v:
+                spark.conf.set(k, v)
+        except Exception as exc:
+            print(f"[engine] WARNING: could not adjust {k}: {exc}",
+                  file=sys.stderr)
     return spark
 
 
