@@ -243,6 +243,40 @@ def a09_curated_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a10_schema_evolution",
+    oracle="""
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_status,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+    """,
+)
+def a10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution in the curated zone: an old batch (2 columns) and a
+    new batch (adds o_orderstatus) coexist in one dataset; mergeSchema
+    unions the schemas on read and null-fills the missing column — how a
+    lake absorbs producer-side schema changes without rewriting history.
+    (mergeSchema triggers a footer-merging job: fine for evolution windows,
+    not a default at 100 TB — pin the unified schema in the catalog once
+    evolution settles.)"""
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("a10", sf_dir, "parquet")
+    (o.filter(F.col("o_orderkey") % 2 == 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(os.path.join(root, "v1")))
+    (o.filter(F.col("o_orderkey") % 2 == 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(os.path.join(root, "v2")))
+    merged = (spark.read.option("mergeSchema", True)
+              .option("recursiveFileLookup", True).parquet(root))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 @query("a08_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def a08_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second columnar format of the lake surface; oracle = original table,
