@@ -117,6 +117,36 @@ def k04_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k08_broadcast_udf",
+    oracle="""
+        SELECT o_orderkey,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                    ELSE 5 END AS prio_rank
+        FROM orders
+    """,
+)
+def k08_broadcast_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the correct pattern for driver-side lookup state in a UDF: a broadcast
+    # variable is shipped to each executor ONCE, instead of re-pickling a
+    # captured dict into every task closure (guide pitfall).  For a mapping
+    # this small a join/CASE is of course the better plan — the point is
+    # the plumbing for lookups too big to inline but small enough to ship.
+    ranks = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3,
+             "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf(T.IntegerType())
+    def prio_rank(prio: pd.Series) -> pd.Series:
+        m = b_ranks.value
+        return prio.map(lambda p: m.get(p, 5)).astype("int32")
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", prio_rank("o_orderpriority").alias("prio_rank"))
+
+
+@query(
     "k05_python_udtf",
     oracle="""
         SELECT tok, count(*) AS n
