@@ -321,6 +321,29 @@ def h13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h15_map_hof",
+    oracle="""
+        SELECT o_orderkey, 'total' AS key, o_totalprice + 1000.0 AS value
+        FROM orders WHERE o_totalprice + 1000.0 > 300000
+        UNION ALL
+        SELECT o_orderkey, 'triple', o_totalprice * 3 + 1000.0
+        FROM orders WHERE o_totalprice * 3 + 1000.0 > 300000
+    """,
+)
+def h15_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # map higher-order functions: transform_values + map_filter, JVM-side,
+    # flattened back to rows; the oracle unrolls the two entries
+    o = load_table(spark, sf_dir, "orders")
+    m0 = F.create_map(
+        F.lit("total"), F.col("o_totalprice"),
+        F.lit("triple"), F.col("o_totalprice") * 3,
+    )
+    m1 = F.transform_values(m0, lambda k, v: v + 1000.0)
+    m2 = F.map_filter(m1, lambda k, v: v > 300000)
+    return o.select("o_orderkey", F.explode(m2).alias("key", "value"))
+
+
+@query(
     "h12_struct",
     oracle="""
         SELECT o_orderkey, o_orderstatus AS st, round(o_totalprice, 2) AS tp
