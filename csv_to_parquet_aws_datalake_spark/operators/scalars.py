@@ -238,6 +238,70 @@ def h09_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h16_from_json",
+    oracle="""
+        SELECT event_type,
+               min(CAST(props ->> 'k' AS INT)) AS min_k,
+               max(CAST(props ->> 'k' AS INT)) AS max_k,
+               count(DISTINCT CAST(props ->> 'k' AS INT)) AS n_k
+        FROM events GROUP BY 1
+    """,
+)
+def h16_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-declared JSON parsing (vs h09's path extraction): from_json
+    # materializes a typed struct once, the efficient form when several
+    # fields are consumed downstream
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return (
+        ev.withColumn("p", F.from_json("props", schema))
+        .groupBy("event_type")
+        .agg(
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.countDistinct("p.k").alias("n_k"),
+        )
+    )
+
+
+@query(
+    "h17_array_setops",
+    oracle="""
+        WITH halves AS (
+            SELECT doc_id,
+                   list_distinct(string_split(substring(text, 1, n_chars // 2), ' ')) AS a,
+                   list_distinct(string_split(substring(text, n_chars // 2 + 1, n_chars), ' ')) AS b
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_distinct(list_concat(a, b))) AS n_union,
+               len(list_filter(a, x -> list_contains(b, x))) AS n_inter,
+               len(list_filter(a, x -> NOT list_contains(b, x))) AS n_minus
+        FROM halves
+    """,
+)
+def h17_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array_union / array_intersect / array_except between the distinct
+    # token sets of each document's two halves — all JVM-side set algebra
+    d = load_table(spark, sf_dir, "documents")
+    a = F.array_distinct(F.split(
+        F.expr("substring(text, 1, n_chars div 2)"), " "))
+    b = F.array_distinct(F.split(
+        F.expr("substring(text, n_chars div 2 + 1, n_chars)"), " "))
+    return (
+        d.withColumn("a", a).withColumn("b", b)
+        .select(
+            "doc_id",
+            F.size(F.array_union("a", "b")).alias("n_union"),
+            F.size(F.array_intersect("a", "b")).alias("n_inter"),
+            F.size(F.array_except("a", "b")).alias("n_minus"),
+        )
+    )
+
+
+@query(
     "h10_conditional",
     oracle="""
         SELECT o_orderkey,
