@@ -104,6 +104,29 @@ def b04_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b07_hash_sample",
+    oracle="""
+        SELECT event_type, count(*) AS n, min(event_id) AS first_id
+        FROM events
+        WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+        GROUP BY 1
+    """,
+)
+def b07_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash (md5 of the key): unlike
+    seeded Bernoulli sampling (b06), the picked SET is a pure function of
+    the data — reproducible across engines, reruns, partitionings, and
+    cluster sizes, which is what a training-data pipeline needs for
+    auditable subsets.  Fully oracle-checkable for the same reason."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "1a")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id"))
+    )
+
+
 @query("b06_stratified_sample")  # partitioning-dependent picks -> rows-only
 def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
