@@ -238,6 +238,34 @@ def h09_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h18_bitops",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS lo_byte,
+               l_orderkey | 15 AS or_mask,
+               xor(l_orderkey, l_partkey) AS x,
+               l_orderkey >> 4 AS shr,
+               (l_orderkey & 1023) << 2 AS shl,
+               bit_count(l_orderkey) AS pop
+        FROM lineitem
+    """,
+)
+def h18_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bitwise surface (&, |, xor, shifts, popcount) — exact integer ops,
+    # the primitives under the SimHash/hamming family (i16/i17)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("l_orderkey & 255").alias("lo_byte"),
+        F.expr("l_orderkey | 15").alias("or_mask"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("x"),
+        F.expr("shiftright(l_orderkey, 4)").alias("shr"),
+        F.expr("shiftleft(l_orderkey & 1023, 2)").alias("shl"),
+        F.bit_count("l_orderkey").alias("pop"),
+    )
+
+
+@query(
     "h16_from_json",
     oracle="""
         SELECT event_type,
