@@ -137,7 +137,7 @@ def d06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS rev_f,
                round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS rev_o,
-               sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk
+               CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
         FROM lineitem GROUP BY 1
     """,
 )

@@ -191,8 +191,8 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.lang, d.source,
                count(*) AS n_docs,
-               sum(CASE WHEN c.cluster = d.doc_id AND q.score_e4 >= 2500
-                        THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(CASE WHEN c.cluster = d.doc_id AND q.score_e4 >= 2500
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM documents d
         JOIN clusters c USING (doc_id)
         JOIN quality q USING (doc_id)
@@ -295,14 +295,17 @@ def i07_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(doc, term) tf-idf, top-3 terms per document.  Two aggregations
     + a broadcast of the tiny df table; at corpus scale df is itself huge,
-    so it stays a shuffle join on term."""
+    so it stays a shuffle join on term.  The corpus size N enters as a
+    broadcast 1-row aggregate (not a driver-side count), so the whole query
+    is a single lazy job."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, folded as a literal
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("nd")))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "tok").withColumn(
-        "tfidf_raw", F.col("c") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    scored = tf.join(df, "tok").crossJoin(n_docs).withColumn(
+        "tfidf_raw",
+        F.col("c") * F.log(F.col("nd").cast("double") / F.col("df")))
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "tok")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -350,7 +353,8 @@ _SOURCES = [f"src{i}" for i in range(20)]
     "i10_pivot_lang_source",
     oracle="SELECT lang, "
            + ", ".join(
-               f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS {s}"
+               f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {s}"
                for s in _SOURCES)
            + " FROM documents GROUP BY 1",
 )

@@ -58,9 +58,14 @@ def i05_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def i06_pairwise_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # embedding-cosine near-dup: all pairs with cos >= 0.3.  Brute force is
-    # acceptable to ~10k vectors; beyond that i18's bucketing or
-    # BucketedRandomProjectionLSH keeps candidates near-linear.
+    """Embedding-cosine near-dup, exact all-pairs baseline (cos >= 0.3).
+
+    O(n^2) theta join — the CORRECTNESS baseline only.  Do not run above
+    ~10k vectors: at corpus scale this is a disguised cartesian product.
+    The production paths are i18_ann_bucketed (sign-random-projection
+    bucketing, candidates only within a bucket) and i19_euclidean_lsh
+    (BucketedRandomProjectionLSH distance-threshold join), both registered
+    queries in this module."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))

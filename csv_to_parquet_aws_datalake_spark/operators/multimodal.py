@@ -60,7 +60,8 @@ def k06_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_bytes,
-               CASE WHEN n_bytes = 0 THEN 0 ELSE bsum // n_bytes END AS mean_byte,
+               CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE bsum // n_bytes END
+                    AS BIGINT) AS mean_byte,
                CASE WHEN n_bytes = 0 THEN 'empty' ELSE 'stub_ok' END AS decode_status
         FROM b
     """,

@@ -61,8 +61,9 @@ def b02_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_total,
                count(st) AS n_nonnull,
-               sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS n_null,
-               sum(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS n_f_nullsafe
+               CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_f_nullsafe
         FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders)
     """,
 )

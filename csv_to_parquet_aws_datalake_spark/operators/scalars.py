@@ -118,7 +118,8 @@ def h04_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                    AS TIMESTAMP) AS plus3m,
                o_orderdate + INTERVAL 36 HOUR AS plus36h
         FROM orders
     """,
@@ -132,7 +133,8 @@ def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.datediff(F.lit("1998-01-01").cast("date"),
                    F.col("o_orderdate").cast("date")).alias("days_to_98"),
-        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp")
+         .alias("plus3m"),
         (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("plus36h"),
     )
 
@@ -374,7 +376,7 @@ _DATE_SPINE_SQL = """
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
         WHERE m < DATE '2000-12-01'
     )
-    SELECT m, count(o_orderkey) AS n
+    SELECT CAST(m AS TIMESTAMP) AS m, count(o_orderkey) AS n
     FROM months LEFT JOIN {orders} ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
     GROUP BY 1
 """

@@ -247,7 +247,8 @@ def a09_curated_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_schema_evolution",
     oracle="""
         SELECT count(*) AS n,
-               sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_status,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_status,
                round(sum(o_totalprice), 2) AS total
         FROM orders
     """,
@@ -297,7 +298,7 @@ def a08_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS sv,
-               sum(CAST(props ->> 'k' AS INT)) AS sk
+               CAST(sum(CAST(props ->> 'k' AS INT)) AS BIGINT) AS sk
         FROM events GROUP BY 1
     """,
 )

@@ -143,7 +143,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e06_running_sum",
     oracle=_DAILY_ORACLE + """
-        SELECT l_returnflag, d,
+        SELECT l_returnflag, CAST(d AS TIMESTAMP) AS d,
                CAST(sum(daily_rev) OVER (PARTITION BY l_returnflag ORDER BY d
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS DOUBLE) AS cum_rev
@@ -151,11 +151,13 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # d leaves as TIMESTAMP on both sides: Spark DATE -> pandas object(date)
+    # but DuckDB DATE -> datetime64, and the driver hash is type-sensitive
     daily = _daily_revenue(spark, sf_dir)
     w = (W.partitionBy("l_returnflag").orderBy("d")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return daily.select(
-        "l_returnflag", "d",
+        "l_returnflag", F.col("d").cast("timestamp").alias("d"),
         # exact decimal cum -> double at the very end; no 2-dp recast, since
         # decimal->decimal casts round differently across engines
         F.sum("daily_rev").over(w).cast("double").alias("cum_rev"),
@@ -173,7 +175,7 @@ def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY d
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         )
-        SELECT l_returnflag, d,
+        SELECT l_returnflag, CAST(d AS TIMESTAMP) AS d,
                (((10 * s_e4) // n7 + 5) // 10) / 10000.0 AS ma7
         FROM win
     """,
@@ -193,7 +195,7 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("daily_rev").over(w).alias("n7"),
         )
         .select(
-            "l_returnflag", "d",
+            "l_returnflag", F.col("d").cast("timestamp").alias("d"),
             (F.expr("((10 * s_e4) div n7 + 5) div 10") / 10000.0).alias("ma7"),
         )
     )
@@ -295,10 +297,11 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1
         )
         SELECT count(*) AS n_users,
-               sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN first_signup IS NOT NULL
-                         AND first_purchase > first_signup THEN 1 ELSE 0 END)
-                   AS n_converted
+               CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN first_signup IS NOT NULL
+                             AND first_purchase > first_signup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted
         FROM per_user
     """,
 )
@@ -339,7 +342,7 @@ def e11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
             FROM flagged
         )
-        SELECT user_id, sess, count(*) AS n_events,
+        SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
                epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         FROM sessions GROUP BY 1, 2
     """,

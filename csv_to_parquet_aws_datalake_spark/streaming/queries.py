@@ -165,7 +165,8 @@ def j04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-row dropping, observable only across micro-batches:
     events are replayed as 10 arrival-ordered files (≈5% shifted to arrive
-    two files late), maxFilesPerTrigger=1 forces 10 batches, and a 30-min
+    two files late), maxFilesPerTrigger=2 forces 5 batches — a +2-file
+    shift still lands exactly one batch after its peers — and a 30-min
     watermark in append mode drops rows older than watermark and withholds
     unfinalized windows."""
     from ..loader import load_table
@@ -198,7 +199,7 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d)
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+        .option("maxFilesPerTrigger", 2).parquet(src)
     )
     agg = (
         stream.withWatermark("ts", "30 minutes")

@@ -38,8 +38,73 @@ def _norm(v):
     return ("s", str(v))
 
 
+# Driver-hash dtype families, calibrated against CORRECTNESS_r01: the driver
+# tolerated int-width (int8 vs int64) and datetime-resolution (ns vs us)
+# differences but FAILED on DuckDB HUGEINT (pandas float64/Decimal) vs Spark
+# BIGINT.  DATE and DECIMAL render differently across the two engines' pandas
+# conversions (object-vs-datetime64, object-vs-float64), so outputs must not
+# contain them at all — cast to TIMESTAMP / DOUBLE / BIGINT at the very end.
+_BANNED = ("hugeint", "decimal", "date")
+
+
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if t == "HUGEINT" or t == "UHUGEINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "DATE":
+        return "date"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t == "BOOLEAN":
+        return "bool"
+    return "object"
+
+
+def _spark_family(dt) -> str:
+    name = dt.typeName()
+    if name == "decimal":
+        return "decimal"
+    if name == "date":
+        return "date"
+    if name in ("byte", "short", "integer", "long"):
+        return "int"
+    if name in ("float", "double"):
+        return "float"
+    if name.startswith("timestamp"):
+        return "datetime"
+    if name == "boolean":
+        return "bool"
+    return "object"
+
+
+def check_dtypes(spark_df, con, sql: str) -> None:
+    """Assert Spark and DuckDB output types land in the same pandas-level
+    family (plan-only: DESCRIBE + df.schema, no query execution)."""
+    d_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    s_types = {f.name: f.dataType for f in spark_df.schema.fields}
+    for c in sorted(s_types):
+        if c not in d_types:
+            continue  # name mismatch is reported by compare()
+        sf, df_ = _spark_family(s_types[c]), _duck_family(d_types[c])
+        assert sf not in _BANNED, \
+            f"dtype[{c}]: spark outputs {sf} — cast to timestamp/double/bigint"
+        assert df_ not in _BANNED, \
+            f"dtype[{c}]: oracle outputs {d_types[c]} — CAST it (BIGINT/TIMESTAMP/DOUBLE)"
+        assert sf == df_, \
+            f"dtype[{c}]: spark={s_types[c].simpleString()}({sf}) " \
+            f"duckdb={d_types[c]}({df_}) — driver hash will diverge"
+
+
 def compare(spark_df, con, sql: str) -> None:
     """Raise AssertionError with a diff summary on any mismatch."""
+    check_dtypes(spark_df, con, sql)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(sql)

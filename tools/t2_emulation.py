@@ -43,8 +43,10 @@ def main() -> int:
     n_rows = len(entry_mod.entry(spark).collect())
     print(f"entry(): {n_rows} rows")
     failures = []
+    timings = {}
     t0 = time.perf_counter()
     for name in sorted(qs):
+        tq = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
             if name not in osql:
@@ -59,11 +61,14 @@ def main() -> int:
             status = f"DIFF {exc}"
         except Exception as exc:  # noqa: BLE001 — report and continue
             status = f"ERROR {repr(exc)[:120]}"
+        timings[name] = time.perf_counter() - tq
         if status not in ("ok", "rows-only-stable"):
             failures.append((name, status))
-        print(f"{name:30s} {status[:160]}")
+        print(f"{name:30s} {timings[name]:6.1f}s {status[:150]}", flush=True)
     print(f"\n{len(qs)} queries in {time.perf_counter() - t0:.0f}s; "
           f"{len(failures)} failures")
+    print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in
+          sorted(timings.items(), key=lambda kv: -kv[1])[:15]))
     for f in failures:
         print("FAIL:", *f)
     spark.stop()
