@@ -645,3 +645,211 @@ def i17_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hd").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("hd") <= 4)
     )
+
+
+@query(
+    "i25_repetition_filter",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), tri AS (
+            SELECT doc_id, len(toks) AS n,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [] END AS tg
+            FROM t
+        ), tstats AS (
+            SELECT doc_id, n, len(tg) AS n_tri,
+                   len(list_distinct(tg)) AS n_uniq_tri
+            FROM tri
+        ), topt AS (
+            SELECT doc_id, max(c) AS top_cnt FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CASE WHEN n_tri > 0
+                    THEN ((n_tri - n_uniq_tri) * 10000) // n_tri
+                    ELSE 0 END AS dup3_e4,
+               (top_cnt * 10000) // n AS top_e4,
+               (CASE WHEN n_tri > 0
+                     THEN ((n_tri - n_uniq_tri) * 10000) // n_tri
+                     ELSE 0 END) < 2000
+                 AND (top_cnt * 10000) // n < 2000 AS keep
+        FROM tstats s JOIN topt USING (doc_id)
+    """,
+)
+def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style repetition filters: fraction of duplicate 3-grams
+    and most-frequent-token share per document, fixed-point e4 integers
+    (integer div — the only cross-engine-deterministic rounding), plus the
+    combined keep gate (<20% on both axes).
+
+    Scale shape: the trigram stats are pure map-side array expressions
+    (transform/array_distinct, no explode); the top-token share is the
+    standard explode -> (doc, tok) count -> per-doc max, two shuffles both
+    keyed by doc_id-prefixed keys, then a doc_id equi-join — every stage is
+    partial-aggregated before its exchange, so the 100 TB cost is one scan
+    plus token-count shuffles, never a per-doc collect."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    tstats = t.selectExpr(
+        "doc_id",
+        "size(toks) AS n",
+        """size(CASE WHEN size(toks) >= 3
+                THEN transform(sequence(1, size(toks) - 2),
+                     i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+                ELSE cast(array() AS array<string>) END) AS n_tri""",
+        """size(array_distinct(CASE WHEN size(toks) >= 3
+                THEN transform(sequence(1, size(toks) - 2),
+                     i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+                ELSE cast(array() AS array<string>) END)) AS n_uniq_tri""",
+    )
+    topt = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_cnt"))
+    )
+    return tstats.join(topt, "doc_id").selectExpr(
+        "doc_id",
+        "CASE WHEN n_tri > 0 THEN ((n_tri - n_uniq_tri) * 10000) div n_tri"
+        " ELSE 0 END AS dup3_e4",
+        "(top_cnt * 10000) div n AS top_e4",
+        "(CASE WHEN n_tri > 0 THEN ((n_tri - n_uniq_tri) * 10000) div n_tri"
+        " ELSE 0 END) < 2000 AND (top_cnt * 10000) div n < 2000 AS keep",
+    )
+
+
+@query(
+    "i26_pii_redaction",
+    oracle="""
+        WITH bodies AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' and backup b' || CAST(doc_id AS VARCHAR)
+                                     || '@alt.example.org'
+                                ELSE '' END
+                        || ' or call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+                        || ' now' AS body
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(body, '[a-z0-9.]+@[a-z0-9.]+')) AS n_email,
+               len(regexp_extract_all(body, '555-[0-9]+')) AS n_phone,
+               md5(regexp_replace(regexp_replace(body,
+                   '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '555-[0-9]+', '<PHONE>', 'g')) AS red_fp
+        FROM bodies
+    """,
+)
+def i26_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the redaction pass every training-data pipeline runs
+    before anything else: count and replace email/phone spans with typed
+    placeholder tags.  The corpus text is lowercase words only, so a
+    deterministic synthetic contact block (keyed off doc_id, identical
+    construction on both engines, cf. i20's suffix trick) is appended to
+    exercise the patterns — 1 or 2 emails plus one phone per document.
+    md5 of the redacted body proves replacement byte-equality cross-engine.
+
+    Patterns stay in the RE2-compatible subset (character classes, +) so
+    Java regex (Spark) and RE2 (DuckDB) match identically; DuckDB needs the
+    'g' flag to mirror Spark's replace-all default.  Pure map-side — the
+    100 TB plan is scan + project, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" and backup b"), F.col("doc_id").cast("string"),
+                        F.lit("@alt.example.org"))).otherwise(""),
+        F.lit(" or call 555-"), (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" now"))
+    email, phone = "[a-z0-9.]+@[a-z0-9.]+", "555-[0-9]+"
+    red = F.regexp_replace(F.regexp_replace(body, email, "<EMAIL>"),
+                           phone, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(email), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(body, F.lit(phone), F.lit(0))).alias("n_phone"),
+        F.md5(red).alias("red_fp"),
+    )
+
+
+@query(
+    "i27_cc_bigstar",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTERS_CTES_SQL}
+        SELECT doc_id, cluster FROM clusters
+    """,
+)
+def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clusters via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the production-scale alternative to i22's plain label
+    propagation: converges in O(log n) rounds independent of component
+    DIAMETER, so a 100 TB near-dup graph with long chains still finishes.
+
+    Each round is two grouped aggregations keyed by node (min-neighbor) and
+    two doc_id equi-joins — no collect_set, no per-node neighbor lists, so
+    a hot node (a boilerplate document near-dup to millions) stays a
+    streaming aggregate instead of an OOM array.  Same output contract as
+    i22 (doc_id -> min doc_id of its cluster) and the same recursive-CTE
+    oracle, so the two implementations police each other."""
+    edges = i03_shingle_jaccard(spark, sf_dir).select("da", "db")
+    # symmetric directed edge set (u, v)
+    e = (edges.select(F.col("da").alias("u"), F.col("db").alias("v"))
+         .union(edges.select(F.col("db").alias("u"), F.col("da").alias("v")))
+         .distinct().localCheckpoint())
+
+    def large_star(sym: DataFrame) -> DataFrame:
+        # connect every neighbor v > u to m(u) = min(N(u) + {u})
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        out = (sym.join(mins, "u")
+               .filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("a"), m.alias("b")))
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    def small_star(und: DataFrame) -> DataFrame:
+        # orient each edge large -> small, then connect all smaller
+        # neighbors (and the center) to the minimum
+        o = und.select(F.greatest("a", "b").alias("u"),
+                       F.least("a", "b").alias("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+        nbr = (o.join(mins, "u")
+               .select(F.col("v").alias("a"), F.col("mn").alias("b")))
+        ctr = mins.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+        return (nbr.union(ctr)
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    cur = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    while True:
+        stars = small_star(large_star(
+            cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))
+               .distinct()))
+        nxt = stars.localCheckpoint()
+        # canonical undirected form for the fixed-point test
+        canon = lambda df: df.select(  # noqa: E731
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        if (canon(nxt).exceptAll(canon(cur)).count() == 0
+                and canon(cur).exceptAll(canon(nxt)).count() == 0):
+            break
+        cur = nxt
+    # converged: stars centered at component minima; label = least(self,
+    # min neighbor), isolated docs label themselves
+    d = load_table(spark, sf_dir, "documents")
+    sym = (cur.select(F.col("a").alias("doc_id"), F.col("b").alias("nb"))
+           .union(cur.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))))
+    nbmin = sym.groupBy("doc_id").agg(F.min("nb").alias("mn"))
+    return (
+        d.select("doc_id").join(nbmin, "doc_id", "left")
+        .select("doc_id",
+                F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
+                 .alias("cluster"))
+    )
