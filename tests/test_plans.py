@@ -95,3 +95,19 @@ def test_semi_anti_stay_joins_not_subquery_loops(spark, sf_dir):
     for qid in ("c04_semi", "c05_anti"):
         plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
         assert "Join LeftSemi" in plan or "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    # i26 is the pure map-side curation shape: scan + project, zero
+    # exchanges, and the scan reads only the two columns it needs
+    plan = physical_plan(registry.QUERIES["i26_pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_repetition_filter_partial_aggregates(spark, sf_dir):
+    # i25's token counts must combine map-side before each exchange and
+    # prune the documents scan to (doc_id, text)
+    plan = physical_plan(registry.QUERIES["i25_repetition_filter"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_max" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
