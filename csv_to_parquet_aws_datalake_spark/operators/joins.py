@@ -353,3 +353,39 @@ def c11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "c14_salted_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+)
+def c14_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the manual remedy when one join key holds a
+    disproportionate share of the fact side (AQE's skew split only kicks in
+    per shuffle-partition; a single pathological key inside one partition
+    still needs salting).  The fact side gets a deterministic salt
+    (o_orderkey % 8) and the dimension side is replicated once per salt
+    value, so the composite key (custkey, salt) spreads each hot customer
+    over 8 reducers; every fact row still matches exactly one replicated
+    dim row, which the c01-identical oracle proves.  Cost: dim side x8 —
+    why salting is reserved for genuinely skewed keys (at 100 TB, salt
+    ONLY the keys above a frequency threshold and union the rest through
+    the plain join)."""
+    buckets = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % buckets).cast("int"))
+    c = load_table(spark, sf_dir, "customer")
+    salts = spark.range(buckets).select(F.col("id").cast("int").alias("salt"))
+    c_rep = c.select("c_custkey", "c_mktsegment").crossJoin(salts)
+    return (
+        o.join(c_rep, (o.o_custkey == c_rep.c_custkey)
+               & (o.salt == c_rep.salt), "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

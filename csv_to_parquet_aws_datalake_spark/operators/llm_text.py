@@ -853,3 +853,52 @@ def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
                  .alias("cluster"))
     )
+
+
+@query(
+    "i28_text_canonicalize",
+    oracle="""
+        WITH messy AS (
+            SELECT doc_id, text,
+                   '  ' || upper(substr(text, 1, 5)) || substr(text, 6)
+                        || CASE WHEN doc_id % 2 = 0 THEN '!!' ELSE ' .' END
+                        || '  ' AS body
+            FROM documents
+        ), canon AS (
+            SELECT doc_id, text,
+                   length(body) AS n_raw,
+                   trim(regexp_replace(regexp_replace(lower(body),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
+            FROM messy
+        )
+        SELECT doc_id, n_raw,
+               length(c) AS n_canon,
+               md5(c) AS canon_fp,
+               c = text AS matches_original
+        FROM canon
+    """,
+)
+def i28_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before exact dedup: lowercase, strip punctuation,
+    collapse runs of whitespace, trim — so near-identical crawls ("Same
+    text!!" vs "same text .") collide on one md5 fingerprint instead of
+    escaping exact dedup (i01/i15 operate downstream of this).  The corpus
+    text is already canonical, so a deterministic mess (case-flip + edge
+    punctuation + padding, keyed off doc_id, identical construction on
+    both engines) is applied first; `matches_original` then proves the
+    normalizer inverts exactly the mess it was given.  Pure map-side
+    string kernel — scan + project, no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("  "), F.upper(F.substring("text", 1, 5)),
+        F.expr("substring(text, 6)"),
+        F.when(F.col("doc_id") % 2 == 0, "!!").otherwise(" ."), F.lit("  "))
+    canon = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(body), "[^a-z0-9 ]", ""), " +", " "))
+    return d.select(
+        "doc_id",
+        F.length(body).alias("n_raw"),
+        F.length(canon).alias("n_canon"),
+        F.md5(canon).alias("canon_fp"),
+        (canon == F.col("text")).alias("matches_original"),
+    )

@@ -314,3 +314,32 @@ def a06_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sv"),
         F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sk"),
     )
+
+
+@query("a11_compaction", oracle=_ROUNDTRIP_ORACLE)
+def a11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job every curated zone
+    needs: streaming/partitioned ingestion leaves thousands of KB-sized
+    parquet files whose open/footer overhead dominates scan cost, so a
+    periodic pass rewrites each table (at 100 TB: each Hive partition)
+    into target-size files.  Fragment lineitem into 64 shards, compact to
+    4, and prove losslessness against the ORIGINAL table's aggregate.
+    On a cluster the 4 becomes ceil(bytes / 512 MB) and the repartition's
+    round-robin shuffle is the price of even output sizes; coalesce()
+    would be shuffle-free but inherits upstream skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = scratch_dir("a11", sf_dir, "fragmented")
+    compact = scratch_dir("a11", sf_dir, "compacted")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    small.repartition(4).write.mode("overwrite").parquet(compact)
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    n_comp = sum(f.endswith(".parquet") for f in os.listdir(compact))
+    if not (n_comp <= 4 < n_frag):
+        raise AssertionError(f"compaction failed: {n_frag} -> {n_comp} files")
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
