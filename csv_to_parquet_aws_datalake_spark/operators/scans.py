@@ -343,3 +343,39 @@ def a11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "a12_text_log_parse",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1
+    """,
+)
+def a12_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text log ingestion — the lake's lowest-level landing format:
+    pipe-delimited lines written with the text sink, read back as unparsed
+    strings, fields recovered via regexp_extract and ANSI casts, then
+    aggregated against the ORIGINAL table so the parse must be lossless.
+    Doubles survive because Spark's string rendering is shortest-roundtrip.
+    Scale shape: text scan + regexp projection is map-side and splittable
+    by line — the same plan ingests TB-sized server logs; the regexp stays
+    in codegen, never a Python UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("a12", sf_dir, "logs")
+    (o.select(F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string")).alias("value"))
+     .write.mode("overwrite").text(out))
+    lines = spark.read.text(out)
+    pat = r"^([0-9]+)\|([^|]*)\|(.*)$"
+    parsed = lines.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("o_orderkey"),
+        F.regexp_extract("value", pat, 2).alias("o_orderstatus"),
+        F.regexp_extract("value", pat, 3).cast("double").alias("o_totalprice"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -173,3 +173,38 @@ def k05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_documents, LATERAL tokenize_udtf(text) t
         GROUP BY 1 ORDER BY n DESC, tok LIMIT 25
     """)
+
+
+@query(
+    "k09_map_in_arrow",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 1
+    """,
+)
+def k09_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy Python extension point below pandas:
+    the callback receives raw pyarrow RecordBatches (no pandas conversion
+    cost), here computing per-batch PARTIAL aggregates — user-space
+    map-side combine — finished by a tiny JVM groupBy.  The shuffle
+    carries one row per (batch, group) instead of per input row, the same
+    contract Catalyst's partial aggregation gives built-ins; l_quantity is
+    integer-valued so re-folding partial double sums is exact."""
+    import pyarrow as pa
+
+    def partial_agg(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            g = t.group_by("l_returnflag").aggregate(
+                [("l_quantity", "sum"), ("l_quantity", "count")])
+            yield from g.to_batches()
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity")
+    partial = li.mapInArrow(
+        partial_agg,
+        "l_returnflag string, l_quantity_sum double, l_quantity_count long")
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("l_quantity_count").alias("n"),
+        F.round(F.sum("l_quantity_sum"), 2).alias("sum_qty"))

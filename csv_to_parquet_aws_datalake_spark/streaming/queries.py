@@ -1,4 +1,4 @@
-"""Structured Streaming operators (SURVEY.md §2.10, rows j01-j06).
+"""Structured Streaming operators (SURVEY.md §2.10, rows j01-j09).
 
 Testability strategy (§2.10): stream FROM the driver parquet itself via
 ``readStream.schema(...).parquet(...)`` with ``trigger(availableNow=True)``
@@ -318,3 +318,39 @@ def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+
+
+@query(
+    "j09_foreach_batch",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        FROM events GROUP BY 1
+    """,
+)
+def j09_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch — the production sink escape hatch: each micro-batch
+    arrives as a BATCH DataFrame inside a user callback, which is how
+    streams reach sinks with no streaming writer (JDBC upserts, MERGE
+    INTO).  Idempotence discipline: the batch writes to a batch_id-named
+    partition with mode=overwrite, so a replayed batch after failure
+    overwrites its own output instead of duplicating — exactly-once at the
+    sink built from at-least-once delivery + deterministic batch ids.
+    The read-back aggregate must equal the batch answer."""
+    ev = _events_stream(spark, sf_dir)
+    base = scratch_dir("j09", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(out, f"batch_id={batch_id}")))
+
+    q = (ev.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"))
