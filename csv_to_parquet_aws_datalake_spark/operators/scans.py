@@ -379,3 +379,38 @@ def a12_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a13_dynamic_partition_overwrite",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total
+        FROM orders GROUP BY 1
+    """,
+)
+def a13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lake's partition-level upsert: a
+    restated batch replaces ONLY the Hive partitions it contains, leaving
+    sibling partitions' files untouched (static overwrite would wipe the
+    whole table root).  Orders land partitioned by status, then a revised
+    batch for status=F (prices doubled — an exact power-of-two scaling, so
+    no float drift) is overwritten dynamically; the read-back must show F
+    revised and O/P intact, which the oracle encodes.  At 100 TB this is
+    how late-arriving daily restatements commit without rewriting years of
+    history; correctness only needs the writer option, no table format."""
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("a13", sf_dir, "parquet")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    revised = (o.filter(F.col("o_orderstatus") == "F")
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    (revised.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("o_orderstatus").parquet(out))
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
