@@ -114,3 +114,31 @@ def test_join_shape_agreement(prop_env, jtype, pred):
     s_rows = norm(tuple(r) for r in spark.sql(sql).collect())
     d_rows = norm(con.execute(sql).fetchall())
     assert s_rows == d_rows, f"divergence for {jtype} with predicate: {pred}"
+
+
+# i28's canonicalization kernel on both engines; alphabet excludes quote
+# chars so literals can be inlined, and stays ASCII on purpose — the op's
+# contract (DuckDB reverses graphemes, Spark codepoints; §7.3)
+_canon_text = st.text(alphabet=" abcXYZ09.!?-", min_size=0, max_size=40)
+
+
+def _canon_spark(spark, s: str) -> str:
+    return spark.sql(
+        "SELECT trim(regexp_replace(regexp_replace(lower('" + s + "'),"
+        " '[^a-z0-9 ]', ''), ' +', ' ')) AS c").collect()[0][0]
+
+
+def _canon_duck(con, s: str) -> str:
+    return con.execute(
+        "SELECT trim(regexp_replace(regexp_replace(lower(?),"
+        " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))", [s]).fetchone()[0]
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(s=_canon_text)
+def test_canonicalize_kernel_agreement(prop_env, s):
+    spark, con = prop_env
+    sp, du = _canon_spark(spark, s), _canon_duck(con, s)
+    assert sp == du, f"kernel divergence for {s!r}: spark={sp!r} duckdb={du!r}"
+    # canonicalization must be idempotent: a second pass is a no-op
+    assert _canon_duck(con, du) == du, f"not idempotent for {s!r}"
