@@ -95,10 +95,23 @@ def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "i23_nearest_centroid",
-    oracle="""
-        WITH pos AS (
+def _centroid_table(emb: DataFrame) -> DataFrame:
+    """Per-label mean centroids as (clabel, carr) — exact DECIMAL(18,6)
+    dimension sums (fold-order-proof, cf. e06) so both engines derive
+    byte-identical centroids.  Shared by i23 and i29."""
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cen = pos.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("c"))
+    return cen.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x.c).alias("carr"))
+
+
+# i23's centroid CTE chain, shared verbatim with i29's oracle
+_CENTROID_CTES_SQL = """
+        pos AS (
             SELECT vec_id, label, p.pos, embedding[p.pos] AS v
             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
         ), cen AS (
@@ -108,7 +121,14 @@ def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), cenarr AS (
             SELECT label AS clabel, list(c ORDER BY pos) AS carr
             FROM cen GROUP BY 1
-        ), assigned AS (
+        )
+"""
+
+
+@query(
+    "i23_nearest_centroid",
+    oracle=f"""
+        WITH {_CENTROID_CTES_SQL}, assigned AS (
             SELECT e.vec_id, e.label, c.clabel,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                 carr), 6) AS cos
@@ -130,14 +150,7 @@ def i23_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on (label, dim); assignment is map-side vs broadcast
     centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
-    cen = pos.groupBy("label", "pos").agg(
-        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
-         / F.count(F.lit(1))).alias("c"))
-    cenarr = cen.groupBy(F.col("label").alias("clabel")).agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda x: x.c).alias("carr"))
+    cenarr = _centroid_table(emb)
     from pyspark.sql.window import Window as W
     scored = (
         emb.crossJoin(F.broadcast(cenarr))
@@ -241,4 +254,71 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(cosine("embedding", "qv"), 6).alias("cos"))
         .orderBy(F.desc("cos"), "vec_id")
         .limit(5)
+    )
+
+
+@query(
+    "i29_ivf_multiprobe",
+    oracle=f"""
+        WITH {_CENTROID_CTES_SQL}, q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), probes AS (
+            SELECT clabel
+            FROM cenarr CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(carr, qv), 6) DESC, clabel
+            LIMIT 3
+        ), assigned AS (
+            SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM embeddings e CROSS JOIN cenarr c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
+                         c.clabel) = 1
+        )
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.emb, q.qv), 6) AS cos
+        FROM assigned a JOIN probes p ON a.clabel = p.clabel CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search with multi-probe — the production ANN shape
+    end-to-end: a coarse quantizer (the i23 label-mean centroids) assigns
+    every vector to its nearest-centroid partition once at index-build
+    time; a query then ranks centroids, probes only the nprobe=3 nearest
+    partitions, and brute-forces cosine top-10 INSIDE them — ~3/10 of the
+    corpus scanned instead of all of it, with recall controlled by nprobe
+    (i18 is the nprobe=1 corner).  At 100 TB the assignment is a parquet
+    partition key, so probing is partition pruning: the query literally
+    never reads the other partitions' files.  Centroids/assignment reuse
+    i23's exact-DECIMAL machinery and rounding so both engines pick
+    identical partitions; final top-k is TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cenarr = _centroid_table(emb)
+    from pyspark.sql.window import Window as W
+    assigned = (
+        emb.crossJoin(F.broadcast(cenarr))
+        .select("vec_id", "clabel", "embedding",
+                F.round(cosine("embedding", "carr"), 6).alias("acos"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel", "embedding")
+    )
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    probes = (
+        cenarr.crossJoin(F.broadcast(q))
+        .orderBy(F.round(cosine("carr", "qv"), 6).desc(), "clabel")
+        .limit(3).select("clabel")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "clabel")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "qv"), 6).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
     )
