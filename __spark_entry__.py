@@ -57,9 +57,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
     names = sorted(registry.QUERIES)
     # unproven block is interleaved round-robin across §2 families so a
-    # budget cut at any depth still lands driver rows for EVERY family
+    # budget cut at any depth still lands driver rows for EVERY family;
+    # depth counts only unproven names, so late-numbered additions (i25+)
+    # interleave fairly instead of queueing behind their family's history
     depth = {}
     for n in names:
+        if n in _R1_RECORDED or n in _R1_FIXED_FAILURES:
+            continue
         fam = n.split("_")[0][0]
         depth[n] = depth.get(fam, -1) + 1
         depth[fam] = depth[n]

@@ -696,17 +696,20 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus token-count shuffles, never a per-doc collect."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # build the trigram array ONCE per row (Catalyst does not CSE
+    # higher-order-function lambdas), then take both sizes from it —
+    # mirroring the oracle's tri/tstats CTE split
     tstats = t.selectExpr(
         "doc_id",
         "size(toks) AS n",
-        """size(CASE WHEN size(toks) >= 3
+        """CASE WHEN size(toks) >= 3
                 THEN transform(sequence(1, size(toks) - 2),
                      i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
-                ELSE cast(array() AS array<string>) END) AS n_tri""",
-        """size(array_distinct(CASE WHEN size(toks) >= 3
-                THEN transform(sequence(1, size(toks) - 2),
-                     i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
-                ELSE cast(array() AS array<string>) END)) AS n_uniq_tri""",
+                ELSE cast(array() AS array<string>) END AS tg""",
+    ).selectExpr(
+        "doc_id", "n",
+        "size(tg) AS n_tri",
+        "size(array_distinct(tg)) AS n_uniq_tri",
     )
     topt = (
         t.select("doc_id", F.explode("toks").alias("tok"))
@@ -834,11 +837,13 @@ def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                .union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))
                .distinct()))
         nxt = stars.localCheckpoint()
-        # canonical undirected form for the fixed-point test
+        # canonical undirected form for the fixed-point test; one action
+        # evaluates the symmetric difference instead of two exceptAll jobs
         canon = lambda df: df.select(  # noqa: E731
-            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
-        if (canon(nxt).exceptAll(canon(cur)).count() == 0
-                and canon(cur).exceptAll(canon(nxt)).count() == 0):
+            F.least("a", "b").alias("x"),
+            F.greatest("a", "b").alias("y")).distinct()
+        a, b = canon(nxt), canon(cur)
+        if a.exceptAll(b).union(b.exceptAll(a)).isEmpty():
             break
         cur = nxt
     # converged: stars centered at component minima; label = least(self,

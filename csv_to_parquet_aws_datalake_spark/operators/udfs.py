@@ -198,6 +198,9 @@ def k09_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = pa.Table.from_batches([batch])
             g = t.group_by("l_returnflag").aggregate(
                 [("l_quantity", "sum"), ("l_quantity", "count")])
+            # select by NAME: pyarrow's key-column position moved across
+            # versions, and mapInArrow binds the declared schema by position
+            g = g.select(["l_returnflag", "l_quantity_sum", "l_quantity_count"])
             yield from g.to_batches()
 
     li = load_table(spark, sf_dir, "lineitem").select(
