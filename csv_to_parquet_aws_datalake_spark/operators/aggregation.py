@@ -287,3 +287,71 @@ def d13_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .distinct() is rewritten by Catalyst to a hash aggregate (§4).
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "d16_profile_stats",
+    oracle="""
+        WITH t AS (
+            SELECT o_custkey, o_totalprice,
+                   nullif(o_orderstatus, 'P') AS o_status
+            FROM orders
+        ), m AS (
+            SELECT count(*) AS n,
+                   count(o_custkey) AS c1, count(DISTINCT o_custkey) AS d1,
+                   CAST(min(o_custkey) AS DOUBLE) AS lo1,
+                   CAST(max(o_custkey) AS DOUBLE) AS hi1,
+                   count(o_totalprice) AS c2, count(DISTINCT o_totalprice) AS d2,
+                   min(o_totalprice) AS lo2, max(o_totalprice) AS hi2,
+                   count(o_status) AS c3, count(DISTINCT o_status) AS d3,
+                   min(o_status) AS lo3, max(o_status) AS hi3
+            FROM t
+        )
+        SELECT 'o_custkey' AS col_name, n - c1 AS n_null, d1 AS n_distinct,
+               lo1 AS min_num, hi1 AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM m
+        UNION ALL
+        SELECT 'o_totalprice', n - c2, d2, lo2, hi2, NULL, NULL FROM m
+        UNION ALL
+        SELECT 'o_status', n - c3, d3, NULL, NULL, lo3, hi3 FROM m
+    """,
+)
+def d16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE / catalog-crawler shape): null
+    count, distinct count, and min/max per column, computed in ONE scan —
+    all metrics land in a single aggregate row, then stack() pivots to the
+    long (col_name, stats...) form.  Numeric and string extremes ride
+    separate typed columns, never a stringified union (double rendering
+    differs across engines).  A null-bearing column is injected via nullif
+    since the fixtures are null-free.  At 100 TB this is how table stats
+    are refreshed: one pass, no per-column rescans; count(DISTINCT) over
+    several columns expands to an expand-node — swap for approx sketches
+    (d10) when exactness is not required."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_custkey", "o_totalprice",
+        F.expr("nullif(o_orderstatus, 'P')").alias("o_status"))
+    m = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("c1"),
+        F.countDistinct("o_custkey").alias("d1"),
+        F.min("o_custkey").cast("double").alias("lo1"),
+        F.max("o_custkey").cast("double").alias("hi1"),
+        F.count("o_totalprice").alias("c2"),
+        F.countDistinct("o_totalprice").alias("d2"),
+        F.min("o_totalprice").alias("lo2"),
+        F.max("o_totalprice").alias("hi2"),
+        F.count("o_status").alias("c3"),
+        F.countDistinct("o_status").alias("d3"),
+        F.min("o_status").alias("lo3"),
+        F.max("o_status").alias("hi3"),
+    )
+    return m.selectExpr("""stack(3,
+        'o_custkey',    n - c1, d1, lo1, hi1,
+                        CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_totalprice', n - c2, d2, lo2, hi2,
+                        CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_status',     n - c3, d3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                        lo3, hi3
+    ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
