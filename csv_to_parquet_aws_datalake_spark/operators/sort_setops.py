@@ -152,3 +152,39 @@ def g05_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supp").alias("side"),
     )
     return d1.unionByName(d2, allowMissingColumns=True)
+
+
+@query(
+    "g06_intersect_all",
+    oracle="""
+        SELECT o_custkey, o_orderstatus FROM orders
+        INTERSECT ALL
+        SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def g06_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiset intersection: duplicate (custkey, status) rows keep the
+    # MINIMUM multiplicity of the two sides — the semantics plain INTERSECT
+    # erases; both engines plan it as a counted hash join, one shuffle
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderstatus")
+    right = (o.filter(F.col("o_totalprice") > 100000)
+             .select("o_custkey", "o_orderstatus"))
+    return left.intersectAll(right)
+
+
+@query(
+    "g07_except_all",
+    oracle="""
+        SELECT o_custkey, o_orderstatus FROM orders
+        EXCEPT ALL
+        SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def g07_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiset difference: multiplicities subtract instead of vanishing
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderstatus")
+    right = (o.filter(F.col("o_totalprice") > 100000)
+             .select("o_custkey", "o_orderstatus"))
+    return left.exceptAll(right)

@@ -365,3 +365,86 @@ def e10_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
         )
     )
+
+
+@query(
+    "e13_resample_interp",
+    oracle="""
+        WITH grid AS (
+            SELECT u.user_id, g.gts
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                TIMESTAMP '2024-01-08',
+                                                INTERVAL 6 HOUR)) AS gts) g
+        ), unioned AS (
+            SELECT user_id, gts AS ts, CAST(NULL AS DOUBLE) AS v,
+                   CAST(NULL AS TIMESTAMP) AS ots, 1 AS tag
+            FROM grid
+            UNION ALL
+            SELECT user_id, ts, value, ts, 0 FROM events
+        ), wnd AS (
+            SELECT user_id, ts, tag,
+                   last_value(v IGNORE NULLS) OVER wp AS pv,
+                   last_value(ots IGNORE NULLS) OVER wp AS pt,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(ots IGNORE NULLS) OVER wf AS nt
+            FROM unioned
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts, tag
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts, tag
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, ts AS gts,
+               round(CASE
+                   WHEN pv IS NULL OR nv IS NULL THEN coalesce(pv, nv)
+                   ELSE pv + (nv - pv)
+                        * (epoch_us(ts) - epoch_us(pt)) * 1.0
+                        / (epoch_us(nt) - epoch_us(pt))
+               END, 6) AS interp
+        FROM wnd WHERE tag = 1
+    """,
+)
+def e13_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — e12's LOCF
+    sibling: each 6-hour grid point takes
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev), edge grid
+    points falling back to the single available neighbor.  Same union +
+    window plan as e12 (one shuffle on user_id, no join): the preceding
+    frame carries the last observation, the following frame the next one.
+    The (ts, tag) ordering puts a same-timestamp observation INSIDE the
+    preceding frame, so the fraction is exactly 0 there and the grid point
+    reproduces the observation; t_next > t >= t_prev strictly, so the
+    divisor can never be zero (ANSI-safe).  Timestamps enter the fraction
+    as exact integer micros; both engines then divide identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    grid_ts = F.expr(
+        "sequence(to_timestamp('2024-01-01'), to_timestamp('2024-01-08'),"
+        " interval 6 hours)")
+    grid = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(grid_ts).alias("ts"),
+                F.lit(None).cast("double").alias("v"),
+                F.lit(None).cast("timestamp").alias("ots"),
+                F.lit(1).alias("tag"))
+    )
+    obs = ev.select("user_id", "ts", F.col("value").alias("v"),
+                    F.col("ts").alias("ots"), F.lit(0).alias("tag"))
+    wp = (W.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    frac = ((F.unix_micros("ts") - F.unix_micros("pt")).cast("double")
+            / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double"))
+    interp = (F.when(F.col("pv").isNull() | F.col("nv").isNull(),
+                     F.coalesce("pv", "nv"))
+              .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+    return (
+        grid.unionByName(obs)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last("ots", ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("nt", F.first("ots", ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 1)
+        .select("user_id", F.col("ts").alias("gts"),
+                F.round(interp, 6).alias("interp"))
+    )
