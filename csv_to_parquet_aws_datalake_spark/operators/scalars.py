@@ -453,3 +453,48 @@ def h12_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").getField("st").alias("st"),
         F.round(F.col("s").getField("tp"), 2).alias("tp"),
     )
+
+
+@query(
+    "h19_url_parse",
+    oracle="""
+        WITH urls AS (
+            SELECT o_orderkey,
+                   'https://shop' || CAST(o_custkey % 20 AS VARCHAR)
+                     || '.example.com/cat/item-' || CAST(o_orderkey AS VARCHAR)
+                     || '?s=' || lower(o_orderstatus)
+                     || '&p=' || CAST(o_custkey % 7 AS VARCHAR) AS url
+            FROM orders
+        )
+        SELECT o_orderkey,
+               regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]s=([^&]*)', 1) AS q_s,
+               regexp_extract(url, '[?&]p=([^&]*)', 1) AS q_p
+        FROM urls
+    """,
+)
+def h19_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the first projection over any web-crawl corpus:
+    host / path / individual query parameters, extracted with anchored
+    regular expressions in the RE2-compatible subset so Spark (Java regex)
+    and DuckDB (RE2) capture identically.  URLs are synthesized
+    deterministically from order keys (the i26 construction trick: the
+    fixtures carry no URLs, and both engines build byte-identical input).
+    Spark's parse_url() exists but regexp keeps the oracle symmetric and
+    the whole query inside whole-stage codegen; pure map-side either way,
+    and at 100 TB host becomes the partition/bucketing key for
+    per-site crawl dedup."""
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com/cat/item-"), F.col("o_orderkey").cast("string"),
+        F.lit("?s="), F.lower("o_orderstatus"),
+        F.lit("&p="), (F.col("o_custkey") % 7).cast("string"))
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(url, r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]s=([^&]*)", 1).alias("q_s"),
+        F.regexp_extract(url, r"[?&]p=([^&]*)", 1).alias("q_p"),
+    )
