@@ -47,3 +47,31 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
     for n in needles:
         if n in plan:
             raise AssertionError(f"did not expect {n!r} in physical plan:\n{plan}")
+
+
+# Scale anti-patterns linted on EVERY oracle-paired query (wired into
+# tests/test_differential.py, so the check is free — the DataFrame is
+# already constructed there).  Queries whose CONTRACT is the anti-pattern
+# opt out explicitly.
+ANTIPATTERN_ALLOW: dict[str, set[str]] = {
+    "c06_cross": {"cartesian"},                     # the cross-join row itself
+    "i06_pairwise_sim_threshold": {"cartesian"},    # documented O(n^2) baseline
+    "c08_range_theta": {"cartesian"},               # theta join, BNLJ/cartesian
+    "k01_python_udf": {"python_row_udf"},           # the row-at-a-time contract row
+    "k05_python_udtf": {"python_row_udf"},          # UDTFs evaluate row-at-a-time
+}
+
+
+def assert_no_antipatterns(name: str, df: DataFrame) -> None:
+    """Fail if a query's physical plan contains a scale anti-pattern it has
+    not explicitly opted into: an unbroadcast cartesian product, or
+    row-at-a-time Python evaluation (pickled round trips) where an
+    Arrow-vectorized form exists."""
+    plan = physical_plan(df)
+    allowed = ANTIPATTERN_ALLOW.get(name, set())
+    if "CartesianProduct" in plan and "cartesian" not in allowed:
+        raise AssertionError(
+            f"{name}: CartesianProduct in plan — broadcast or re-key the join")
+    if "BatchEvalPython" in plan and "python_row_udf" not in allowed:
+        raise AssertionError(
+            f"{name}: row-at-a-time Python UDF in plan — use a pandas/Arrow form")
