@@ -414,3 +414,30 @@ def a13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a14_catalog_table",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM customer GROUP BY 1
+    """,
+)
+def a14_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-managed tables — the Glue-catalog analog of the reference's
+    curated zone: saveAsTable registers the dataset under a name, and
+    downstream queries address `spark.table(name)` instead of paths, which
+    is what lets the optimizer attach statistics and what a lakehouse
+    permissions layer governs.  The table is EXTERNAL (explicit scratch
+    location) so the repo's warehouse dir stays empty; re-runs drop and
+    recreate.  The read-back aggregate must match the source table."""
+    c = load_table(spark, sf_dir, "customer")
+    loc = scratch_dir("a14", sf_dir, "table")
+    spark.sql("DROP TABLE IF EXISTS curated_customer")
+    (c.write.mode("overwrite").option("path", loc)
+     .saveAsTable("curated_customer"))
+    back = spark.table("curated_customer")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+    )
