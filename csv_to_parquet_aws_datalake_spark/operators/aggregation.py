@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..loader import load_table
 from ..registry import query
@@ -355,3 +356,62 @@ def d16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         'o_status',     n - c3, d3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                         lo3, hi3
     ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+
+
+@query(
+    "d17_mode",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus AS mode_status, n
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY count(*) DESC, o_orderstatus) AS rn
+            FROM orders GROUP BY 1, 2
+        ) t
+        WHERE rn = 1
+    """,
+)
+def d17_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode.  Native mode() is tie-arbitrary in
+    BOTH engines, so the operator is spelled as count + row_number with an
+    explicit (count DESC, value ASC) tie-break — the only formulation two
+    engines can agree on.  Scale shape: the heavy reduction happens in the
+    partial/final count aggregate (map-side combine on (group, value));
+    the window then runs over |distinct groups x values| rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderpriority", "o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderpriority",
+                    F.col("o_orderstatus").alias("mode_status"), "n"))
+
+
+@query(
+    "d18_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity), 2) AS wsum,
+               round(sum(l_quantity), 2)                   AS wtot,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+                   AS wavg_price
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def d18_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as two plain sums + one division — the decomposition
+    that keeps the aggregate ALGEBRAIC (partial-aggregatable), unlike a
+    naive avg-of-ratios.  At 100 TB both sums combine map-side; the final
+    divide touches |groups| rows.  Both raw sums are emitted alongside the
+    ratio so a flap in the quotient's last digit is diagnosable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wsum = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    wtot = F.sum("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wsum, 2).alias("wsum"),
+        F.round(wtot, 2).alias("wtot"),
+        F.round(wsum / wtot, 2).alias("wavg_price"),
+    )

@@ -389,3 +389,36 @@ def c14_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@query(
+    "c15_lateral_topk",
+    oracle="""
+        SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2) c
+    """,
+)
+def c15_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — "top-2 customers per nation" phrased the
+    way an app developer writes it.  Catalyst decorrelates the lateral
+    subquery into a window-rank over the inner side joined back to the
+    outer (DecorrelateInnerQuery), so execution is ONE ranked shuffle of
+    customer, not |nation| re-scans — the property that makes lateral
+    joins survive 100 TB.  Both engines pick identical rows because the
+    inner ORDER BY is total (acctbal DESC, custkey)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("lat_nation")
+    c.createOrReplaceTempView("lat_customer")
+    return spark.sql("""
+        SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+        FROM lat_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 2) c
+    """)

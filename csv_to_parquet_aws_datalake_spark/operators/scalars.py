@@ -498,3 +498,71 @@ def h19_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, r"[?&]s=([^&]*)", 1).alias("q_s"),
         F.regexp_extract(url, r"[?&]p=([^&]*)", 1).alias("q_p"),
     )
+
+
+@query(
+    "h20_sequence_explode",
+    oracle="""
+        SELECT o_orderkey, unnest(generate_series(1, o_orderkey % 5 + 1)) AS n
+        FROM orders
+    """,
+)
+def h20_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence() + explode is Spark's generate_series —
+    the standard way to densify (calendar spines, per-unit expansion of a
+    quantity column) without a driver-side range.  Pure map-side row
+    multiplication inside whole-stage codegen; at 100 TB the expansion
+    factor (here <=5x) is the only sizing concern, no shuffle appears."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 5 + 1)
+    return o.select("o_orderkey", F.explode(seq).alias("n"))
+
+
+@query(
+    "h21_edit_distance",
+    oracle="""
+        SELECT c_custkey,
+               levenshtein(c_name, 'Customer#000000000') AS d_name,
+               levenshtein(c_mktsegment, 'BUILDING')     AS d_seg
+        FROM customer
+    """,
+)
+def h21_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance — fuzzy string matching for entity
+    resolution / near-dup candidate scoring.  Both engines implement the
+    identical integer DP, so outputs agree exactly (unlike the float
+    jaro_winkler variants, deliberately avoided).  O(len^2) per row but
+    JVM-side and embarrassingly parallel; at scale it is the RE-RANKER
+    after a cheap blocking join (i03/i17), never the pairing predicate."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000000")).alias("d_name"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("d_seg"),
+    )
+
+
+@query(
+    "h22_binary_encode",
+    oracle="""
+        SELECT o_orderkey,
+               to_base64(encode(o_orderpriority))          AS b64,
+               hex(o_orderpriority)                        AS hx,
+               decode(from_base64(to_base64(encode(o_orderpriority)))) AS rt
+        FROM orders
+    """,
+)
+def h22_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary <-> text codecs (base64 / hex) with a proven round-trip —
+    the plumbing layer for opaque payload columns (k06 multimodal bytes
+    travel through exactly these casts when serialized to JSON/CSV).
+    Byte-identical across engines: both emit RFC-4648 base64 and
+    uppercase hex over the UTF-8 bytes.  Map-side codegen, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    b64 = F.base64(F.col("o_orderpriority").cast("binary"))
+    return o.select(
+        "o_orderkey",
+        b64.alias("b64"),
+        F.hex(F.col("o_orderpriority")).alias("hx"),
+        F.unbase64(b64).cast("string").alias("rt"),
+    )

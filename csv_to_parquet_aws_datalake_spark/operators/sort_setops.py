@@ -188,3 +188,30 @@ def g07_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = (o.filter(F.col("o_totalprice") > 100000)
              .select("o_custkey", "o_orderstatus"))
     return left.exceptAll(right)
+
+
+@query(
+    "f03_offset_pagination",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS tp
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+)
+def f03_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of a 20-row listing.  offset+limit
+    still compiles to a single TakeOrderedAndProject (per-partition heaps
+    of offset+limit rows, driver merge, then the offset rows are dropped)
+    — no global sort.  The deep-page trap is documented rather than
+    hidden: at offset k every partition ships k+limit rows, so 100 TB
+    pagination should switch to keyset predicates (WHERE (price, key) <
+    last_seen) once k grows; the ORDER BY is total (unique o_orderkey
+    tie-break) so both engines cut the same 20 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
+    )

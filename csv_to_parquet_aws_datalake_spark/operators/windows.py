@@ -448,3 +448,48 @@ def e13_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").alias("gts"),
                 F.round(interp, 6).alias("interp"))
     )
+
+
+@query(
+    "e14_islands_gaps",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, day_n,
+                   day_n - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day_n) AS grp
+            FROM days
+        )
+        SELECT user_id,
+               min(day_n) AS start_day,
+               max(day_n) AS end_day,
+               count(*)   AS n_days
+        FROM numbered
+        GROUP BY user_id, grp
+    """,
+)
+def e14_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's activity into maximal runs of
+    CONSECUTIVE days (streak detection / retention analysis).  The classic
+    day_n - row_number() trick turns every run into a constant group key,
+    so the whole operator is one window + one aggregate — both partitioned
+    by user_id, so at 100 TB the single hash exchange on user_id is reused
+    by the window sort AND the final groupBy (no second shuffle).  Days
+    are epoch-day integers end to end: the banned DATE dtype never reaches
+    the output and the arithmetic is exact."""
+    e = load_table(spark, sf_dir, "events")
+    days = (e.select(
+                "user_id",
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_n"))
+            .distinct())
+    w = W.partitionBy("user_id").orderBy("day_n")
+    numbered = days.withColumn("grp", F.col("day_n") - F.row_number().over(w))
+    return (numbered.groupBy("user_id", "grp")
+            .agg(F.min("day_n").alias("start_day"),
+                 F.max("day_n").alias("end_day"),
+                 F.count(F.lit(1)).alias("n_days"))
+            .select("user_id", "start_day", "end_day", "n_days"))
