@@ -907,3 +907,102 @@ def i28_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("canon_fp"),
         (canon == F.col("text")).alias("matches_original"),
     )
+
+
+@query(
+    "i30_zipf_token_rank",
+    oracle="""
+        WITH raw AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT tok, count(*) AS n FROM raw WHERE tok <> '' GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        ranked AS (
+            SELECT tok, n,
+                   row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+                   CAST(sum(n) OVER (ORDER BY n DESC, tok
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM counts
+        )
+        SELECT tok, n, rnk, (cum * 10000) // total AS cum_bp
+        FROM ranked, total
+        ORDER BY rnk
+        LIMIT 50
+    """,
+)
+def i30_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf curve of the corpus vocabulary: global token rank + cumulative
+    corpus share in basis points.  Share is computed with BIGINT floor
+    division ((cum*10000) div total) — exact in both engines, no float
+    quotient to flap (README determinism rule 3).  Scale shape: the heavy
+    explode+count reduces corpus -> vocabulary map-side; the unpartitioned
+    rank/cumsum window then runs over the VOCABULARY (~10^5 rows at any
+    corpus size, Heaps' law), which is why a single-task window is the
+    honest plan here and not a scale bug; total is a broadcast 1-row agg,
+    not a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        "tok", "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select("tok", "n", "rnk",
+                F.expr("(cum * 10000) div total").alias("cum_bp"))
+        .orderBy("rnk")
+        .limit(50)
+    )
+
+
+@query(
+    "i32_token_cooccurrence",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> '')
+        SELECT t1.tok AS tok_a, t2.tok AS tok_b, count(*) AS n
+        FROM toks t1 JOIN toks t2
+          ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok
+        GROUP BY 1, 2
+        ORDER BY n DESC, tok_a, tok_b
+        LIMIT 50
+    """,
+)
+def i32_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence counts — the integer sufficient
+    statistics for PMI / association mining, deliberately emitted as raw
+    counts (downstream PMI needs log(), which IEEE does not pin
+    cross-engine).  Per-doc distinct tokens via array_distinct BEFORE the
+    explode (map-side, no dedup shuffle), then a self-equi-join on doc_id:
+    pair blow-up is bounded by (tokens/doc)^2 per document, never corpus-
+    quadratic.  At 100 TB the standard pruning is a vocabulary filter
+    (drop tokens below a count floor / above a doc-frequency ceiling)
+    before the self-join; top-k compiles to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id",
+                 F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    return (
+        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id"))
+                & (F.col("t1.tok") < F.col("t2.tok")))
+        .groupBy(F.col("t1.tok").alias("tok_a"), F.col("t2.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok_a", "tok_b")
+        .limit(50)
+    )

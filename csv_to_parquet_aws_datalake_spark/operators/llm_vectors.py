@@ -322,3 +322,50 @@ def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "i31_embedding_quantize",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xd,
+                   nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> abs(x))), 0) AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id,
+                   list_transform(xd, x -> CAST(floor(x / scale * 127) AS BIGINT))
+                       AS qv
+            FROM s
+        )
+        SELECT vec_id, list_min(qv) AS q_min, list_max(qv) AS q_max,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum
+        FROM q
+    """,
+)
+def i31_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard 4×
+    storage/bandwidth cut before ANN serving.  Per-vector absmax scale,
+    then floor(x/scale*127): floor (not round) because IEEE pins the
+    division/multiply exactly but half-up-vs-half-even rounding does not
+    agree cross-engine.  All-zero vectors are nulled via nullif rather
+    than erroring under ANSI division.  Entirely JVM higher-order
+    functions over the array column — map-side, no UDF, no shuffle; the
+    emitted min/max/sum are the exact-integer audit of the codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = (emb.withColumn("xd", xd)
+         .withColumn("absmax",
+                     F.array_max(F.transform(F.col("xd"), lambda x: F.abs(x))))
+         .withColumn("scale", F.when(F.col("absmax") != 0, F.col("absmax"))))
+    q = s.withColumn(
+        "qv", F.transform(F.col("xd"),
+                          lambda x: F.floor(x / F.col("scale") * 127)))
+    return q.select(
+        "vec_id",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("q_sum"),
+    )

@@ -211,3 +211,63 @@ def k09_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("l_quantity_count").alias("n"),
         F.round(F.sum("l_quantity_sum"), 2).alias("sum_qty"))
+
+
+@query(
+    "k10_arrow_python_udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                    AS BIGINT) AS n_vowels
+        FROM documents
+    """,
+)
+def k10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row Python UDF (useArrow=True, Spark 3.5+): same
+    per-row programming model as k01 but the executor<->Python transfer is
+    Arrow batches instead of pickled rows — the migration path that speeds
+    up legacy row UDFs ~2-5x without rewriting them as pandas UDFs.  Still
+    Python-bound per row, so at 100 TB the built-in regexp (the oracle's
+    formulation) remains the real answer; this row exists to pin the
+    plumbing."""
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def n_vowels(s: str) -> int:
+        return sum(s.count(v) for v in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_vowels("text").alias("n_vowels"))
+
+
+@query(
+    "k11_iterator_pandas_udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS n_runs
+        FROM documents
+    """,
+)
+def k11_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: the init-once-per-task variant — the
+    compiled regex is built ONE time per executor task, then reused across
+    every Arrow batch (the pattern for loading a tokenizer/model once
+    instead of per batch; k08 is the sibling for broadcast lookup state).
+    Counts maximal vowel runs, an exact-integer output both engines' regex
+    dialects (Java / RE2) agree on."""
+    from typing import Iterator
+
+    def n_runs_fn(it):
+        import re
+        pat = re.compile(r"[aeiou]+")  # once per task, amortized over batches
+        for s in it:
+            yield s.map(lambda t: len(pat.findall(t))).astype("int64")
+
+    # module-level `from __future__ import annotations` stringifies inline
+    # hints, which pyspark's signature inference cannot evaluate — attach
+    # the real annotation OBJECTS instead
+    n_runs_fn.__annotations__ = {
+        "it": Iterator[pd.Series], "return": Iterator[pd.Series]}
+    n_runs = F.pandas_udf(n_runs_fn, T.LongType())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_runs("text").alias("n_runs"))

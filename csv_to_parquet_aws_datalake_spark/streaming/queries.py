@@ -354,3 +354,29 @@ def j09_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sv"))
+
+
+@query(
+    "j10_stream_static_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sv
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1
+    """,
+)
+def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension (the
+    single most common streaming-ETL shape — events against a user/device
+    table).  The static side is re-planned per micro-batch, so a broadcast
+    hint keeps every batch shuffle-free on the stream side; state is only
+    needed for the downstream aggregate, not the join itself (unlike j08's
+    stream-stream case).  availableNow drains everything in one batch, so
+    the batch join+groupBy is the oracle."""
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sv")))
+    return _run_to_memory(agg, "j10", "complete")
