@@ -415,3 +415,79 @@ def d18_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wtot, 2).alias("wtot"),
         F.round(wsum / wtot, 2).alias("wavg_price"),
     )
+
+
+@query(
+    "d19_corr_regression",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4)       AS r,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
+               round(regr_slope(l_extendedprice, l_quantity), 2) AS slope
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def d19_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covariance / OLS slope) as single-pass
+    streaming aggregates — Spark's CentralMomentAgg keeps per-partition
+    co-moments that merge associatively, so the full regression runs in
+    one map-side-combined shuffle, never a second pass.  d08's rounding
+    discipline (4 dp ratios, 2 dp money-scaled moments) absorbs the
+    engines' different co-moment update orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cv"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+    )
+
+
+@query(
+    "d20_bool_agg",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity >= 1)    AS all_qty,
+               bool_or(l_discount > 0.09)   AS any_deep_disc,
+               count(*) FILTER (WHERE l_tax > 0.05) AS n_taxed
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def d20_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean reductions (every/any) + filtered count.  bool_and/bool_or
+    are algebraic single-bit aggregates (map-side combine to one boolean
+    per partition); the filtered count is spelled count(CASE) on the Spark
+    side and count(*) FILTER in the oracle — both BIGINT, avoiding the
+    HUGEINT sum(CASE) trap that cost round 1 three hash failures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("n_taxed"),
+    )
+
+
+@query(
+    "d21_bitwise_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               bit_and(o_orderkey) AS ba,
+               bit_or(o_orderkey)  AS bo,
+               bit_xor(o_orderkey) AS bx
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def d21_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — exact-integer, order-insensitive,
+    and algebraic (each folds map-side), the properties that make them
+    the cheapest possible group fingerprints: bit_xor over row hashes is
+    the standard O(1)-state table checksum at any scale (h11 uses the
+    same idea per row; this is the grouped reduction)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("ba"),
+        F.bit_or("o_orderkey").alias("bo"),
+        F.bit_xor("o_orderkey").alias("bx"),
+    )

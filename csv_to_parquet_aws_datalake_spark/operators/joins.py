@@ -422,3 +422,32 @@ def c15_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey
                  LIMIT 2) c
     """)
+
+
+_C16_SQL = """
+    SELECT s_suppkey, s_name
+    FROM {supplier} s
+    WHERE EXISTS (SELECT 1 FROM {lineitem} l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l2
+                      WHERE l2.l_suppkey = s.s_suppkey
+                        AND l2.l_returnflag = 'R'
+                        AND l2.l_quantity > 45)
+"""
+
+
+@query(
+    "c16_exists_subquery",
+    oracle=_C16_SQL.format(supplier="supplier", lineitem="lineitem"),
+)
+def c16_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the SQL spelling of c04/c05's
+    semi/anti joins, kept as its own row because Catalyst must PLAN the
+    decorrelation (RewritePredicateSubquery folds both predicates into one
+    left-semi + one left-anti join against the same fact scan).  The
+    correlated side carries extra filters, so predicate pushdown into the
+    lineitem scans is the thing to watch in the plan at 100 TB."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ex_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+    return spark.sql(_C16_SQL.format(supplier="ex_supplier",
+                                     lineitem="ex_lineitem"))

@@ -1006,3 +1006,54 @@ def i32_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+@query(
+    "i33_decontamination",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        ),
+        ng AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(0, len(t) - 5),
+                                         i -> array_to_string(t[i+1:i+5], ' ')))
+                       AS g
+            FROM toks WHERE len(t) >= 5
+        ),
+        bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+        corpus AS (SELECT DISTINCT doc_id, g FROM ng WHERE source <> 'src0')
+        SELECT doc_id, count(*) AS n_hits
+        FROM corpus JOIN bench USING (g)
+        GROUP BY 1
+    """,
+)
+def i33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    5-gram with the held-out set (here: source 'src0' plays the eval
+    suite).  The canonical pre-training hygiene pass: n-gram the eval set
+    once (distinct grams, tiny), n-gram the corpus, and count distinct
+    matching grams per document via a broadcast equi-join — corpus-linear,
+    one shuffle for the per-doc count.  At 100 TB the broadcast of eval
+    grams (millions of rows, not billions) still fits; if not, the same
+    plan runs as a shuffled semi-join with a bloom-filter pushdown.
+    Gram construction is sequence+slice+concat_ws, all JVM higher-order
+    functions — no Python in the hot path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    ng = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                "transform(sequence(0, size(t) - 5),"
+                " i -> concat_ws(' ', slice(t, i + 1, 5)))")).alias("g"))
+    )
+    bench = ng.filter(F.col("source") == "src0").select("g").distinct()
+    corpus = (ng.filter(F.col("source") != "src0")
+              .select("doc_id", "g").distinct())
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

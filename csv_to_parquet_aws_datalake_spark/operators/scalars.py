@@ -566,3 +566,32 @@ def h22_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("o_orderpriority")).alias("hx"),
         F.unbase64(b64).cast("string").alias("rt"),
     )
+
+
+@query(
+    "h23_string_shape",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0')  AS padded,
+               translate(c_mktsegment, 'AEIOU', 'aeiou')  AS tr,
+               reverse(c_name)                            AS rev,
+               trim(rpad(c_mktsegment, 12, ' '))          AS rt,
+               repeat('-', CAST(c_custkey % 4 AS INT))    AS dashes
+        FROM customer
+    """,
+)
+def h23_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width shaping primitives (pad / translate / reverse / trim /
+    repeat) — the formatting layer for key normalization and legacy
+    fixed-width exports.  All JVM codegen, map-side; lpad-with-zeros is
+    the canonical sortable-string key trick (padded keys sort
+    lexicographically = numerically, which range-partitioners rely on)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+        F.reverse("c_name").alias("rev"),
+        F.trim(F.rpad("c_mktsegment", 12, " ")).alias("rt"),
+        F.expr("repeat('-', CAST(c_custkey % 4 AS INT))").alias("dashes"),
+    )

@@ -441,3 +441,60 @@ def a14_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("bal"),
     )
+
+
+@query("a16_csv_gzip_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def a16_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a02 with a gzip-compressed raw zone — the wire format crawl dumps
+    actually arrive in.  Spark transparently decompresses *.csv.gz, but
+    gzip is NOT splittable: one file = one task regardless of size, so at
+    100 TB the raw zone must arrive as MANY gzip members (or zstd/bzip2)
+    for scan parallelism — the curated parquet rewrite exists exactly to
+    pay that cost once.  Same lossless-roundtrip oracle as a02."""
+    li = load_table(spark, sf_dir, "lineitem")
+    csv_dir = scratch_dir("a16", sf_dir, "csvgz")
+    (li.write.mode("overwrite")
+       .options(header=True, timestampFormat=_TS_FMT, compression="gzip")
+       .csv(csv_dir))
+    back = (spark.read.schema(LINEITEM)
+            .options(header=True, timestampFormat=_TS_FMT)
+            .csv(csv_dir))
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "a17_jsonlines_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total, max(o_orderpriority) AS top_prio
+        FROM orders GROUP BY 1
+    """,
+)
+def a17_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + declared-schema source — the interchange format
+    for document corpora (one JSON object per line, splittable, appends
+    cheaply).  Schema is DECLARED on read-back (inference over JSON
+    samples the whole input at scale); the aggregate proves numeric and
+    string fields survive the text round-trip exactly."""
+    from pyspark.sql import types as T
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    out = scratch_dir("a17", sf_dir, "jsonl")
+    o.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.max("o_orderpriority").alias("top_prio"),
+    )
