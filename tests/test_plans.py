@@ -111,3 +111,40 @@ def test_repetition_filter_partial_aggregates(spark, sf_dir):
     plan = physical_plan(registry.QUERIES["i25_repetition_filter"](spark, sf_dir))
     assert "partial_count" in plan or "partial_max" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_offset_pagination_is_take_ordered(spark, sf_dir):
+    # f03: offset+limit must still compile to per-partition heaps, never a
+    # global Sort node
+    plan = physical_plan(registry.QUERIES["f03_offset_pagination"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    # c15: the correlated LATERAL subquery must become a ranked join, not a
+    # per-outer-row nested loop re-scan of customer
+    plan = physical_plan(registry.QUERIES["c15_lateral_topk"](spark, sf_dir))
+    assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_compiles_to_semi_anti(spark, sf_dir):
+    # c16: EXISTS/NOT EXISTS must rewrite to one semi + one anti join with
+    # the correlated filters pushed into the lineitem scans
+    plan = physical_plan(registry.QUERIES["c16_exists_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,49" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    # i33: the eval-set gram join must be a broadcast (corpus-linear), and
+    # the documents scan pruned to the three needed columns
+    plan = physical_plan(registry.QUERIES["i33_decontamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_quantize_is_shuffle_free(spark, sf_dir):
+    # i31: pure per-row array math — scan + project, zero exchanges
+    plan = physical_plan(registry.QUERIES["i31_embedding_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan
