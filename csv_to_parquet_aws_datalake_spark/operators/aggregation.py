@@ -491,3 +491,24 @@ def d21_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("bo"),
         F.bit_xor("o_orderkey").alias("bx"),
     )
+
+
+@query("d22_hll_sketch_rollup")  # HLL binary sketches are engine-specific -> rows-only
+def d22_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per (event_type, day) HLL
+    sketches built with hll_sketch_agg, then MERGED across days per
+    event_type with hll_union_agg — the two-level pattern that makes
+    distinct counts composable at 100 TB (daily sketches persist a few KB
+    each; any date-range distinct count is a union of sketches, never a
+    rescan).  d10 is the one-shot estimate; this row pins the
+    merge path.  Sketch bytes are Apache DataSketches-specific, so the
+    check is rows-only (d10's precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )

@@ -1057,3 +1057,84 @@ def i33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def _i34_sig_sql() -> str:
+    mins = ",\n                   ".join(
+        f"min(md5('{k}|' || sh)) AS s{k}" for k in range(8))
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS b, md5(s{2*j} || s{2*j+1}) AS bk FROM sig"
+        for j in range(4))
+    matches = " + ".join(
+        f"(CASE WHEN sa.s{k} = sb.s{k} THEN 1 ELSE 0 END)" for k in range(8))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY 1
+        ), bands AS (
+            {bands}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT da, db, {matches} AS n_sig_match
+        FROM cand
+        JOIN sig sa ON da = sa.doc_id
+        JOIN sig sb ON db = sb.doc_id
+    """
+
+
+@query("i34_minhash_banding", oracle=_i34_sig_sql())
+def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding built from first principles with a
+    cross-engine-deterministic hash: each of the 8 signature slots is
+    min(md5(seed || shingle)) — lexicographic min over hex digests, which
+    both engines compute byte-identically — so unlike i04's
+    engine-seeded MinHashLSH this pipeline is fully oracle-checkable.
+    4 bands x 2 rows: documents agreeing on any band key become candidate
+    pairs via an equi-join on (band, key) — the near-linear LSH shape
+    (never all-pairs); the emitted n_sig_match (0-8 agreeing slots) is
+    the integer Jaccard estimate.  At 100 TB: signatures are one
+    map-side-combined agg over shingles; band join cost is bounded by
+    bucket collision counts, the knob being (bands, rows-per-band)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
+    )
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
+        for k in range(8)
+    ]).localCheckpoint()  # reused 6x (4 band arms + both pair sides)
+    bands = None
+    for j in range(4):
+        arm = sig.select(
+            "doc_id", F.lit(j).alias("b"),
+            F.md5(F.concat(F.col(f"s{2*j}"), F.col(f"s{2*j+1}"))).alias("bk"))
+        bands = arm if bands is None else bands.unionAll(arm)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.b") == F.col("b.b")) & (F.col("a.bk") == F.col("b.bk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    n_match = sum(
+        (F.col(f"sa.s{k}") == F.col(f"sb.s{k}")).cast("int") for k in range(8))
+    return (
+        cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select("da", "db", n_match.alias("n_sig_match"))
+    )

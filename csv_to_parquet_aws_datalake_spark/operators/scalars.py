@@ -595,3 +595,31 @@ def h23_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.rpad("c_mktsegment", 12, " ")).alias("rt"),
         F.expr("repeat('-', CAST(c_custkey % 4 AS INT))").alias("dashes"),
     )
+
+
+@query(
+    "h24_epoch_micros",
+    oracle="""
+        SELECT event_id,
+               epoch_us(ts)                        AS us,
+               make_timestamp(epoch_us(ts))        AS ts2,
+               epoch_us(ts) // 1000000             AS sec
+        FROM events
+    """,
+)
+def h24_epoch_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp <-> epoch conversions on the EXACT integer path:
+    unix_micros/epoch_us and timestamp_micros/make_timestamp are lossless
+    BIGINT round-trips in both engines, unlike epoch-seconds (DuckDB's
+    epoch() is DOUBLE and fractional).  Epoch integers are also the right
+    wire format for timestamps at 100 TB: sortable, partition-prunable,
+    and immune to session-timezone drift (the UTC session conf pins the
+    reverse conversion)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        us.alias("us"),
+        F.timestamp_micros(us).alias("ts2"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )

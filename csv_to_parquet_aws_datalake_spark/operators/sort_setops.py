@@ -215,3 +215,36 @@ def f03_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
     )
+
+
+@query(
+    "g08_symmetric_difference",
+    oracle="""
+        SELECT o_custkey, 'F_only' AS side FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT o_custkey, 'O_only' FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+    """,
+)
+def g08_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: customers appearing in exactly
+    one of two cohorts, tagged by side.  Composed from two EXCEPTs + a
+    disjoint UNION ALL; Catalyst rewrites each EXCEPT into an aggregate +
+    anti-join, and both reuse the same orders scan.  The audit shape for
+    migration cutovers (old vs new pipeline output diff) at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        f_keys.subtract(o_keys)
+        .withColumn("side", F.lit("F_only"))
+        .unionAll(o_keys.subtract(f_keys)
+                  .withColumn("side", F.lit("O_only")))
+    )

@@ -271,3 +271,36 @@ def k11_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_runs("text").alias("n_runs"))
+
+
+@query(
+    "k12_cogrouped_map",
+    oracle="""
+        WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               COALESCE(n, 0) AS n_orders,
+               round(c_acctbal, 2) AS bal
+        FROM customer FULL JOIN oc ON c_custkey = o_custkey
+    """,
+)
+def k12_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas map (groupBy.cogroup.applyInPandas): both tables
+    are hash-partitioned on the key and each key's two pandas frames meet
+    in one Python call — the extension point for custom merge logic no
+    join expresses (interval alignment, per-key model scoring).  Here it
+    re-derives an outer join + count so the DuckDB oracle can check the
+    plumbing exactly: keys seen on either side must appear once, with
+    empty-side frames handled (the classic cogroup edge case)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def merge(key, cpdf, opdf):
+        bal = round(float(cpdf["c_acctbal"].iloc[0]), 2) if len(cpdf) else None
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_orders": [len(opdf)], "bal": [bal]})
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, "custkey long, n_orders long, bal double")
+    )
