@@ -451,3 +451,32 @@ def c16_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ex_lineitem")
     return spark.sql(_C16_SQL.format(supplier="ex_supplier",
                                      lineitem="ex_lineitem"))
+
+
+@query(
+    "c17_null_safe_join",
+    oracle="""
+        WITH o2 AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+                    FROM orders),
+        dim AS (SELECT DISTINCT st FROM o2)
+        SELECT d.st, count(*) AS n
+        FROM o2 o JOIN dim d ON o.st IS NOT DISTINCT FROM d.st
+        GROUP BY 1
+    """,
+)
+def c17_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics dimension lookups with
+    an explicit 'unknown' bucket need.  Spark plans <=> as a hash join on
+    the null-safe key (EqualNullSafe stays sargable), not a nested loop;
+    the NULL group's row count proves the rows a plain equi-join would
+    silently drop."""
+    o = load_table(spark, sf_dir, "orders")
+    o2 = o.select("o_orderkey",
+                  F.expr("nullif(o_orderstatus, 'P')").alias("st")).alias("o")
+    dim = o2.select("st").distinct().alias("d")
+    return (
+        o2.join(F.broadcast(dim), F.expr("o.st <=> d.st"))
+        .groupBy(F.col("d.st").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1138,3 +1138,37 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
         .select("da", "db", n_match.alias("n_sig_match"))
     )
+
+
+@query(
+    "i35_incremental_dedup",
+    oracle="""
+        WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        existing AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+        batch AS (SELECT doc_id, fp FROM fp WHERE source = 'src19')
+        SELECT fp, min(doc_id) AS doc_id
+        FROM batch
+        WHERE fp NOT IN (SELECT fp FROM existing)
+        GROUP BY fp
+    """,
+)
+def i35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the ingestion-time variant of
+    i01: a NEW batch (source 'src19' stands in for today's crawl) is
+    deduplicated against the EXISTING corpus by content fingerprint, then
+    within itself (min doc_id per fingerprint).  Shape: anti-join on
+    md5(text) + one grouped min — both shuffle on the fingerprint, and at
+    100 TB the existing-corpus side is a pre-built fingerprint index
+    (bucketed on fp), so daily ingestion touches the index, never the
+    corpus text.  The md5 fingerprint is engine-identical, making the
+    whole path oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", F.md5("text").alias("fp"))
+    existing = (fp.filter(F.col("source") != "src19")
+                .select("fp").distinct())
+    batch = fp.filter(F.col("source") == "src19").select("doc_id", "fp")
+    return (
+        batch.join(existing, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )

@@ -623,3 +623,29 @@ def h24_epoch_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(us).alias("ts2"),
         F.expr("unix_micros(ts) div 1000000").alias("sec"),
     )
+
+
+@query(
+    "h25_printf_format",
+    oracle="""
+        SELECT o_orderkey,
+               printf('ORD-%07d/%s', o_orderkey, lower(o_orderstatus)) AS tag,
+               chr(65 + CAST(o_custkey % 26 AS INT)) AS bucket,
+               ascii(o_orderstatus)                  AS code
+        FROM orders
+    """,
+)
+def h25_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style key formatting + chr/ascii codepoint primitives — the
+    id-minting layer (zero-padded order tags, letter bucketing).  Integer
+    and string conversions only: %f is deliberately excluded because Java's
+    Formatter (HALF_UP) and C printf (half-even) disagree on halfway
+    floats.  Pure map-side codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%07d/%s", F.col("o_orderkey"),
+                        F.lower("o_orderstatus")).alias("tag"),
+        F.chr(F.lit(65) + (F.col("o_custkey") % 26).cast("int")).alias("bucket"),
+        F.ascii("o_orderstatus").alias("code"),
+    )

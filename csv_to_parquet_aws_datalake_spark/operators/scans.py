@@ -498,3 +498,30 @@ def a17_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.max("o_orderpriority").alias("top_prio"),
     )
+
+
+@query(
+    "a18_glob_partition_read",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS tp
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1
+    """,
+)
+def a18_glob_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-glob partition selection: read ONLY the partition directories
+    named by a Hadoop glob ({a,b} alternation), with basePath preserving
+    the partition column — the manual twin of a03's filter-based pruning,
+    and the shape external orchestrators use when they fan out one job
+    per partition.  Listing cost scales with the GLOB match, not the
+    table: untouched partitions are never even stat'd."""
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("a18", sf_dir, "parquet")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = (spark.read.option("basePath", out)
+            .parquet(out + "/o_orderpriority={1-URGENT,2-HIGH}"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("tp"),
+    )

@@ -493,3 +493,34 @@ def e14_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("day_n").alias("end_day"),
                  F.count(F.lit(1)).alias("n_days"))
             .select("user_id", "start_day", "end_day", "n_days"))
+
+
+@query(
+    "e15_rank_ties_topk",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS tp, rnk
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
+        ) t
+        WHERE rnk <= 3
+    """,
+)
+def e15_rank_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH ties: rank() <= k keeps every row tied at the
+    boundary (e01's row_number() cuts arbitrarily; when the metric has
+    duplicates, rank is what "top 3 prices" actually means, and its output
+    is deterministic as a SET without any tie-break column).  Same
+    single-window shape as e01 — one hash exchange on the partition key;
+    at 100 TB a pre-filter on a per-group threshold sketch would shrink
+    the window input first."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                F.round("o_totalprice", 2).alias("tp"), "rnk")
+    )
