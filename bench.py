@@ -72,11 +72,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Median of 3 timed runs per query: the box is shared, and single-shot
+    # wall clock moved ~1.7x between rounds on byte-identical code
+    # (BENCH_r01 6.71s vs BENCH_r02 11.25s).  The median discards one
+    # co-tenant spike per query without inflating the suite runtime much.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, qid in HEADLINE.items():
-        t0 = time.perf_counter()
-        queries[qid](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            queries[qid](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

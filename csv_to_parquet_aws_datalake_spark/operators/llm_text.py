@@ -16,6 +16,8 @@ Scale notes (§7.4):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -130,6 +132,9 @@ _CLUSTERS_CTES_SQL = f"""near AS ({_I03_PAIRS_SQL}),
         )"""
 
 
+I22_MAX_ITERS = 20
+
+
 @query(
     "i22_dedup_clusters",
     oracle=f"""
@@ -147,14 +152,20 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters).  localCheckpoint truncates the growing lineage.  At 100 TB
     the identical loop runs with the large-star/small-star optimization;
     the oracle is a recursive-CTE transitive closure (fine at oracle scale,
-    quadratic in cluster size so never the production path)."""
+    quadratic in cluster size so never the production path).
+
+    Iterations are bounded at I22_MAX_ITERS: min-label propagation
+    converges in graph-diameter rounds, so hitting the cap means a bug or
+    a pathological edge set — fail loudly instead of looping forever.  For
+    graphs whose diameter could be large, the production path is
+    i27_cc_bigstar (large-star/small-star, O(log n) rounds)."""
     edges = i03_shingle_jaccard(spark, sf_dir).select("da", "db")
     sym = edges.union(edges.select(F.col("db").alias("da"),
                                    F.col("da").alias("db")))
     sym = sym.localCheckpoint()  # tiny edge set; pin it once
     d = load_table(spark, sf_dir, "documents")
     labels = d.select("doc_id", F.col("doc_id").alias("cluster"))
-    while True:
+    for _ in range(I22_MAX_ITERS):
         neigh = (
             sym.join(labels, sym.db == labels.doc_id)
             .groupBy("da").agg(F.min("cluster").alias("nmin"))
@@ -176,6 +187,11 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             return labels
+    raise AssertionError(
+        f"i22 min-label propagation did not converge in {I22_MAX_ITERS} "
+        f"iterations (expected graph-diameter rounds); check the edge set, "
+        f"or use i27_cc_bigstar (O(log n) rounds) for high-diameter graphs."
+    )
 
 
 @query(
@@ -831,7 +847,19 @@ def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("a") != F.col("b")).distinct())
 
     cur = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    while True:
+    # big-star/small-star converges in O(log n) rounds; bound the loop at
+    # ceil(log2(n)) + slack and fail loudly — a regression in the star
+    # transforms must not hang the run (each round costs a localCheckpoint
+    # plus a symmetric-difference action).  count() on the checkpointed
+    # edge set is cheap.
+    max_rounds = max(8, math.ceil(math.log2(e.count() + 2)) + 4)
+    for _round in range(max_rounds + 1):
+        if _round == max_rounds:
+            raise AssertionError(
+                f"i27 big-star/small-star did not converge in {max_rounds} "
+                f"rounds (expected O(log n)); the star transforms or the "
+                f"edge set are pathological."
+            )
         stars = small_star(large_star(
             cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
                .union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))

@@ -46,6 +46,9 @@ def i05_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+I06_ROW_CAP = 10_000
+
+
 @query(
     "i06_pairwise_sim_threshold",
     oracle="""
@@ -57,16 +60,30 @@ def i05_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
     """,
 )
-def i06_pairwise_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def i06_pairwise_sim_threshold(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup, exact all-pairs baseline (cos >= 0.3).
 
-    O(n^2) theta join — the CORRECTNESS baseline only.  Do not run above
-    ~10k vectors: at corpus scale this is a disguised cartesian product.
-    The production paths are i18_ann_bucketed (sign-random-projection
-    bucketing, candidates only within a bucket) and i19_euclidean_lsh
-    (BucketedRandomProjectionLSH distance-threshold join), both registered
-    queries in this module."""
+    O(n^2) theta join — the CORRECTNESS baseline only.  Hard-capped at
+    I06_ROW_CAP input vectors (the probe reads at most cap+1 rows, not the
+    full table): at corpus scale this is a disguised cartesian product, and
+    a docstring alone does not stop anyone from running it there.  The
+    production paths are i18_ann_bucketed (sign-random-projection
+    bucketing, candidates only within a bucket), i19_euclidean_lsh
+    (BucketedRandomProjectionLSH distance-threshold join), and
+    i34_minhash_banding — all registered queries.  Pass
+    ``allow_quadratic=True`` to override deliberately."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if not allow_quadratic:
+        n = emb.limit(I06_ROW_CAP + 1).count()
+        if n > I06_ROW_CAP:
+            raise ValueError(
+                f"i06 is the O(n^2) all-pairs baseline and the input exceeds "
+                f"{I06_ROW_CAP} vectors; use i18_ann_bucketed / "
+                f"i19_euclidean_lsh / i34_minhash_banding at scale, or pass "
+                f"allow_quadratic=True to override."
+            )
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     c = F.round(cosine("ea", "eb"), 6)

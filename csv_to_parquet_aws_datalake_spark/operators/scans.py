@@ -330,7 +330,10 @@ def a11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     frag = scratch_dir("a11", sf_dir, "fragmented")
     compact = scratch_dir("a11", sf_dir, "compacted")
-    li.repartition(64).write.mode("overwrite").parquet(frag)
+    # content-deterministic fixture: reuse a completed (_SUCCESS) fragment
+    # layout instead of re-sharding on every driver/test invocation
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
     small.repartition(4).write.mode("overwrite").parquet(compact)
     n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
@@ -403,7 +406,12 @@ def a13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     history; correctness only needs the writer option, no table format."""
     o = load_table(spark, sf_dir, "orders")
     out = scratch_dir("a13", sf_dir, "parquet")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # the base layout is content-deterministic and the dynamic overwrite
+    # below re-derives the F partition from the ORIGINAL table, so reusing
+    # a completed base write is idempotent (re-running the revision
+    # overwrites F with the same doubled rows)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     revised = (o.filter(F.col("o_orderstatus") == "F")
                .withColumn("o_totalprice", F.col("o_totalprice") * 2))
     (revised.write.mode("overwrite")

@@ -381,7 +381,8 @@ def e10_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(NULL AS TIMESTAMP) AS ots, 1 AS tag
             FROM grid
             UNION ALL
-            SELECT user_id, ts, value, ts, 0 FROM events
+            SELECT user_id, ts, min(value), ts, 0
+            FROM events GROUP BY user_id, ts
         ), wnd AS (
             SELECT user_id, ts, tag,
                    last_value(v IGNORE NULLS) OVER wp AS pv,
@@ -411,11 +412,16 @@ def e13_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     points falling back to the single available neighbor.  Same union +
     window plan as e12 (one shuffle on user_id, no join): the preceding
     frame carries the last observation, the following frame the next one.
-    The (ts, tag) ordering puts a same-timestamp observation INSIDE the
-    preceding frame, so the fraction is exactly 0 there and the grid point
-    reproduces the observation; t_next > t >= t_prev strictly, so the
-    divisor can never be zero (ANSI-safe).  Timestamps enter the fraction
-    as exact integer micros; both engines then divide identical doubles."""
+    Observations are pre-aggregated to one row per (user_id, ts) —
+    min(value), deterministic and float-exact in any fold order — so
+    (ts, tag) is a TOTAL order and last/first tie resolution cannot
+    diverge between engines if a user ever has two events on one
+    timestamp.  The (ts, tag) ordering puts a same-timestamp observation
+    INSIDE the preceding frame, so the fraction is exactly 0 there and the
+    grid point reproduces the observation; t_next > t >= t_prev strictly,
+    so the divisor can never be zero (ANSI-safe).  Timestamps enter the
+    fraction as exact integer micros; both engines then divide identical
+    doubles."""
     ev = load_table(spark, sf_dir, "events")
     grid_ts = F.expr(
         "sequence(to_timestamp('2024-01-01'), to_timestamp('2024-01-08'),"
@@ -427,8 +433,9 @@ def e13_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("timestamp").alias("ots"),
                 F.lit(1).alias("tag"))
     )
-    obs = ev.select("user_id", "ts", F.col("value").alias("v"),
-                    F.col("ts").alias("ots"), F.lit(0).alias("tag"))
+    obs = (ev.groupBy("user_id", "ts").agg(F.min("value").alias("v"))
+           .select("user_id", "ts", "v",
+                   F.col("ts").alias("ots"), F.lit(0).alias("tag")))
     wp = (W.partitionBy("user_id").orderBy("ts", "tag")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     wf = (W.partitionBy("user_id").orderBy("ts", "tag")

@@ -68,10 +68,20 @@ def a15_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's sum of BIGINT is HUGEINT, hence the explicit BIGINT cast
     discipline does not apply to count/min/max but sv must stay BIGINT
     via the Spark-side sum over bigint (Spark) vs CAST in the oracle."""
+    # the DataSource class is cloudpickled to executor-side Python workers;
+    # module-level classes normally serialize BY REFERENCE, which breaks
+    # when the driver process runs outside the repo (workers can't import
+    # the package).  Registering the module by value makes the pickle
+    # self-contained — verified against a conf-free session started in /tmp.
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     try:
         spark.dataSource.register(SynthRowsSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:  # tolerate ONLY re-registration in a warm session
+        if "already" not in str(exc).lower():
+            raise
     df = (spark.read.format("synthrows")
           .option("n", "10000").option("parts", "8").load())
     return df.groupBy("grp").agg(

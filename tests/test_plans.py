@@ -148,3 +148,59 @@ def test_quantize_is_shuffle_free(spark, sf_dir):
     # i31: pure per-row array math — scan + project, zero exchanges
     plan = physical_plan(registry.QUERIES["i31_embedding_quantize"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_minhash_banding_is_equi_join_not_cartesian(spark, sf_dir):
+    # i34: candidate pairs must come from the (band, key) equi-join — the
+    # near-linear LSH shape.  A CartesianProduct/BroadcastNestedLoop here
+    # means the banding collapsed to all-pairs.
+    plan = physical_plan(registry.QUERIES["i34_minhash_banding"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_shuffles_on_fingerprint_only(spark, sf_dir):
+    # i35: the anti-join + grouped min both key on the md5 fingerprint, so
+    # the ONLY shuffle keys are fp — never doc text.  At 100 TB the
+    # existing-corpus side is a bucketed-on-fp index, so this shape is what
+    # makes daily ingestion corpus-scan-free.
+    plan = physical_plan(registry.QUERIES["i35_incremental_dedup"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "fp#" in line, f"non-fingerprint shuffle: {line.strip()}"
+    assert "Exchange hashpartitioning(text" not in plan
+
+
+def test_canonicalize_is_shuffle_free(spark, sf_dir):
+    # i28: pure map-side string kernel — scan + project, zero exchanges
+    plan = physical_plan(registry.QUERIES["i28_text_canonicalize"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir):
+    # i29: probed centroid ids and the query vector are tiny broadcast
+    # sides; the corpus-sized assigned table must never shuffle for the
+    # probe join (at 100 TB the probe is partition pruning)
+    plan = physical_plan(registry.QUERIES["i29_ivf_multiprobe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_partial_counts_before_vocabulary_window(spark, sf_dir):
+    # i30: the corpus-sized explode must combine map-side; only the
+    # vocabulary (bounded by Heaps' law) crosses the single-task window
+    plan = physical_plan(registry.QUERIES["i30_zipf_token_rank"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cooccurrence_self_join_is_equi_on_doc_id(spark, sf_dir):
+    # i32: pair blow-up must be bounded per-document via the doc_id
+    # equi-join — a cartesian here is corpus-quadratic
+    plan = physical_plan(registry.QUERIES["i32_token_cooccurrence"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

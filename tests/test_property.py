@@ -123,9 +123,10 @@ _canon_text = st.text(alphabet=" abcXYZ09.!?-", min_size=0, max_size=40)
 
 
 def _canon_spark(spark, s: str) -> str:
+    # parameterized, not spliced — safe for any future alphabet widening
     return spark.sql(
-        "SELECT trim(regexp_replace(regexp_replace(lower('" + s + "'),"
-        " '[^a-z0-9 ]', ''), ' +', ' ')) AS c").collect()[0][0]
+        "SELECT trim(regexp_replace(regexp_replace(lower(:s),"
+        " '[^a-z0-9 ]', ''), ' +', ' ')) AS c", args={"s": s}).collect()[0][0]
 
 
 def _canon_duck(con, s: str) -> str:

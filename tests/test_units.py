@@ -107,3 +107,30 @@ def test_exact_decimal_revenue_is_4dp(spark, sf_dir):
         .alias("diff"))
     mx = chk.agg(F.max(F.abs("diff"))).first()[0]
     assert mx == 0.0
+
+
+def test_i06_quadratic_guard_raises_above_cap(spark, sf_dir, monkeypatch):
+    # the all-pairs baseline must refuse to run a disguised cartesian at
+    # scale unless explicitly overridden
+    import pytest
+
+    from csv_to_parquet_aws_datalake_spark.operators import llm_vectors as lv
+
+    monkeypatch.setattr(lv, "I06_ROW_CAP", 10)
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        lv.i06_pairwise_sim_threshold(spark, sf_dir)
+    # the override builds the plan (no collect needed to prove no raise)
+    df = lv.i06_pairwise_sim_threshold(spark, sf_dir, allow_quadratic=True)
+    assert df.columns == ["va", "vb", "cos"]
+
+
+def test_i22_iteration_cap_fails_loudly(spark, sf_dir, monkeypatch):
+    # min-label propagation converges in graph-diameter rounds; hitting the
+    # cap must raise (pointing at i27), not loop forever
+    import pytest
+
+    from csv_to_parquet_aws_datalake_spark.operators import llm_text as lt
+
+    monkeypatch.setattr(lt, "I22_MAX_ITERS", 0)
+    with pytest.raises(AssertionError, match="i27_cc_bigstar"):
+        lt.i22_dedup_clusters(spark, sf_dir)
