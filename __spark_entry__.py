@@ -33,8 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # is part of the contract surface.  The proven set is read from the driver's
 # own CORRECTNESS_r*.json artifacts at call time: names whose last recorded
 # run FAILED rank first (a fix must be re-proven immediately), never-recorded
-# names next (interleaved round-robin across §2 families so a budget cut at
-# any depth still lands rows for every family), green names last.
+# SURVEY.md §2 rows next, then never-recorded extension queries (each block
+# interleaved round-robin across families so a budget cut at any depth still
+# lands rows for every family), green names last.
+
+# Highest query number per family that belongs to SURVEY.md §2 (rows beyond
+# these are this repo's extensions).
+_S2_FAMILY_MAX = {
+    "a": 6, "b": 5, "c": 11, "d": 13, "e": 10, "f": 2,
+    "g": 5, "h": 12, "i": 12, "j": 6, "k": 5,
+}
+
+
+def _is_s2(name: str) -> bool:
+    fam, num = name[0], name.split("_")[0][1:]
+    return num.isdigit() and int(num) <= _S2_FAMILY_MAX.get(fam, 0)
 def _driver_record() -> dict[str, bool]:
     """name -> last recorded run was green (hash match or rows-only)."""
     import glob
@@ -57,20 +70,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
     names = sorted(registry.QUERIES)
     record = _driver_record()
-    # depth counts only unproven names, so late-numbered additions
-    # interleave fairly instead of queueing behind their family's history
+    # depth counts only unproven names within each block (§2 vs extension),
+    # so late-numbered additions interleave fairly instead of queueing
+    # behind their family's history
     depth = {}
     for n in names:
         if n in record:
             continue
-        fam = n.split("_")[0][0]
-        depth[n] = depth.get(fam, -1) + 1
-        depth[fam] = depth[n]
+        key = (n.split("_")[0][0], _is_s2(n))
+        depth[n] = depth.get(key, -1) + 1
+        depth[key] = depth[n]
 
-    def rank(name: str) -> tuple[int, int, str]:
+    def rank(name: str) -> tuple[int, int, int, str]:
         if name in record:
-            return (0 if not record[name] else 2, 0, name)
-        return (1, depth[name], name)
+            return (0 if not record[name] else 3, 0, 0, name)
+        return (1 if _is_s2(name) else 2, depth[name], 0, name)
 
     ordered = sorted(names, key=rank)
     return {n: registry.QUERIES[n] for n in ordered}

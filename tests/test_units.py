@@ -134,3 +134,25 @@ def test_i22_iteration_cap_fails_loudly(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(lt, "I22_MAX_ITERS", 0)
     with pytest.raises(AssertionError, match="i27_cc_bigstar"):
         lt.i22_dedup_clusters(spark, sf_dir)
+
+
+def test_queries_ordering_prioritizes_unproven_s2_rows():
+    # the driver records only ~50 entries per round in dict order, so
+    # queries() must rank: failed > unproven SURVEY-2 rows > unproven
+    # extensions > proven-green.  Guarantees every SURVEY-2 row meets the
+    # oracle before any extension burns a slot.
+    import __spark_entry__ as entry_mod
+
+    record = entry_mod._driver_record()
+    names = list(entry_mod.queries().keys())
+    assert len(names) == len(set(names))
+
+    def block(n):
+        if n in record:
+            return 0 if not record[n] else 3
+        return 1 if entry_mod._is_s2(n) else 2
+
+    blocks = [block(n) for n in names]
+    assert blocks == sorted(blocks), "queries() order violates rank blocks"
+    assert entry_mod._is_s2("h12_struct") and not entry_mod._is_s2("h13_unpivot")
+    assert entry_mod._is_s2("a01_scan_agg") and not entry_mod._is_s2("a07_bucketed_join")
