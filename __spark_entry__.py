@@ -35,7 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # run FAILED rank first (a fix must be re-proven immediately), never-recorded
 # SURVEY.md §2 rows next, then never-recorded extension queries (each block
 # interleaved round-robin across families so a budget cut at any depth still
-# lands rows for every family), green names last.
+# lands rows for every family), green names last — STALEST first (lowest
+# recording round), so spare slots re-prove the rows that have seen the most
+# code churn since their last oracle check.
 
 # Highest query number per family that belongs to SURVEY.md §2 (rows beyond
 # these are this repo's extensions).
@@ -48,13 +50,16 @@ _S2_FAMILY_MAX = {
 def _is_s2(name: str) -> bool:
     fam, num = name[0], name.split("_")[0][1:]
     return num.isdigit() and int(num) <= _S2_FAMILY_MAX.get(fam, 0)
-def _driver_record() -> dict[str, bool]:
-    """name -> last recorded run was green (hash match or rows-only)."""
+def _driver_record() -> dict[str, tuple[bool, int]]:
+    """name -> (last recorded run was green, round it was recorded in)."""
     import glob
     import json
+    import re
 
-    record: dict[str, bool] = {}
+    record: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -62,7 +67,7 @@ def _driver_record() -> dict[str, bool]:
             continue
         for name, res in rows.items():
             ok = bool(res.get("hash_match")) or res.get("err") == "no_oracle"
-            record[name] = ok
+            record[name] = (ok, rnd)
     return record
 
 
@@ -83,7 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rank(name: str) -> tuple[int, int, int, str]:
         if name in record:
-            return (0 if not record[name] else 3, 0, 0, name)
+            ok, rnd = record[name]
+            # greens: stalest recording round first, so spare slots re-prove
+            # the rows with the most code churn since their last check
+            return (0, 0, 0, name) if not ok else (3, rnd, 0, name)
         return (1 if _is_s2(name) else 2, depth[name], 0, name)
 
     ordered = sorted(names, key=rank)
@@ -91,5 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # mirror queries() ordering so the per-round artifacts diff cleanly
     registry.load_all()
-    return dict(registry.ORACLES)
+    order = list(queries())
+    oracles = registry.ORACLES
+    return {n: oracles[n] for n in order if n in oracles}

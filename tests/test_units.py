@@ -117,8 +117,15 @@ def test_i06_quadratic_guard_raises_above_cap(spark, sf_dir, monkeypatch):
     from csv_to_parquet_aws_datalake_spark.operators import llm_vectors as lv
 
     monkeypatch.setattr(lv, "I06_ROW_CAP", 10)
-    with pytest.raises(ValueError, match="allow_quadratic"):
+    with pytest.raises(ValueError) as excinfo:
         lv.i06_pairwise_sim_threshold(spark, sf_dir)
+    # exact message text: a refactor must not silently widen this guard
+    assert str(excinfo.value) == (
+        "i06 is the O(n^2) all-pairs baseline and the input exceeds 10 "
+        "vectors; use i18_ann_bucketed / i19_euclidean_lsh / "
+        "i34_minhash_banding at scale, or pass allow_quadratic=True to "
+        "override."
+    )
     # the override builds the plan (no collect needed to prove no raise)
     df = lv.i06_pairwise_sim_threshold(spark, sf_dir, allow_quadratic=True)
     assert df.columns == ["va", "vb", "cos"]
@@ -132,8 +139,14 @@ def test_i22_iteration_cap_fails_loudly(spark, sf_dir, monkeypatch):
     from csv_to_parquet_aws_datalake_spark.operators import llm_text as lt
 
     monkeypatch.setattr(lt, "I22_MAX_ITERS", 0)
-    with pytest.raises(AssertionError, match="i27_cc_bigstar"):
+    with pytest.raises(AssertionError) as excinfo:
         lt.i22_dedup_clusters(spark, sf_dir)
+    # exact message text: a refactor must not silently widen this guard
+    assert str(excinfo.value) == (
+        "i22 min-label propagation did not converge in 0 iterations "
+        "(expected graph-diameter rounds); check the edge set, or use "
+        "i27_cc_bigstar (O(log n) rounds) for high-diameter graphs."
+    )
 
 
 def test_queries_ordering_prioritizes_unproven_s2_rows():
@@ -149,10 +162,23 @@ def test_queries_ordering_prioritizes_unproven_s2_rows():
 
     def block(n):
         if n in record:
-            return 0 if not record[n] else 3
+            return 0 if not record[n][0] else 3
         return 1 if entry_mod._is_s2(n) else 2
 
     blocks = [block(n) for n in names]
     assert blocks == sorted(blocks), "queries() order violates rank blocks"
+    # within the green block, stalest recording round first so spare driver
+    # slots re-prove the rows with the most churn since their last check
+    green_rounds = [record[n][1] for n in names if block(n) == 3]
+    assert green_rounds == sorted(green_rounds), "greens not staleness-ordered"
     assert entry_mod._is_s2("h12_struct") and not entry_mod._is_s2("h13_unpivot")
     assert entry_mod._is_s2("a01_scan_agg") and not entry_mod._is_s2("a07_bucketed_join")
+
+
+def test_oracle_sql_order_matches_queries_order():
+    # the driver keys artifacts by name, but symmetric ordering keeps the
+    # per-round CORRECTNESS/BENCH diffs auditable
+    import __spark_entry__ as entry_mod
+
+    qnames = [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
+    assert list(entry_mod.oracle_sql()) == qnames
