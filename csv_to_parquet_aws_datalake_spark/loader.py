@@ -1,12 +1,17 @@
 """Table loading with schema normalization.
 
-All ten driver tables (TESTDATA.md / FIXTURES.md §1) load through here so the
-``events.ts`` nanosecond fix is applied exactly once:
+All ten driver tables (TESTDATA.md / FIXTURES.md §1) load through here so
+timestamp-layout normalization is applied exactly once.  The driver has
+shipped two physical layouts across rounds; both must land as microsecond
+``TimestampType`` (oracle-equal to DuckDB's naive read under UTC):
 
-- parquet stores ``timestamp[ns]``; with ``nanosAsLong`` the column arrives as
+- ``timestamp[ns]`` (rounds 1-3): with ``nanosAsLong`` the column arrives as
   long nanos and is converted via ``timestamp_micros(ts div 1000)`` — integer
   ``div``, never ``/`` (float division of ~1.7e18 exceeds double's 2^53 exact
-  range; SURVEY.md §1.3).  Result is microsecond-equal to DuckDB's read.
+  range; SURVEY.md §1.3).
+- untagged ``timestamp[us]`` (round 4+): ``inferTimestampNTZ`` is disabled in
+  session.py so these read directly as TimestampType; if a host session locks
+  that conf, the NTZ cast below restores it.
 
 At 100 TB the equivalent of this module is the catalog: the conversion is a
 zero-shuffle map expression, fully fused into the scan by codegen.
@@ -30,6 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # untagged parquet timestamp[us] arrives as TIMESTAMP_NTZ when the host
+    # session locked inferTimestampNTZ on; cast back to TimestampType (value-
+    # preserving under the UTC session zone) so every downstream schema and
+    # oracle hash sees microsecond TIMESTAMP regardless of host confs.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -25,6 +25,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries timestamp[ns]; Spark 4 rejects it outright
     # without this (SURVEY.md §1.3 — the single biggest trap in this repo).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata timestamps are untagged parquet timestamp[us]
+    # (isAdjustedToUTC=false); Spark 4 would infer TIMESTAMP_NTZ, while the
+    # DuckDB oracle reads the same bytes as naive TIMESTAMP.  Reading them as
+    # microsecond TimestampType under the UTC session zone keeps the stored
+    # micros — and every date-part / window / hash downstream — oracle-equal.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -22,21 +22,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..registry import query
 from ..session import configure
 from ..sources.io_paths import scratch_dir
-
-EVENTS_RAW = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a DIRECTORY; expose the single events
@@ -50,8 +39,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.link(src, dst)
         except OSError:
             shutil.copyfile(src, dst)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(stream_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # readStream needs an explicit schema; take it from the file footer so the
+    # stream tracks the driver's physical layout (timestamp[ns]-as-long in
+    # early rounds, untagged timestamp[us] now) instead of hardcoding one.
+    raw_schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong layout
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(agg: DataFrame, name: str, mode: str) -> DataFrame:
