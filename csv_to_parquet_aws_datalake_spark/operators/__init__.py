@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregation,
     joins,
+    llm_pipeline,
     llm_text,
     llm_vectors,
     multimodal,

@@ -204,3 +204,41 @@ def test_cooccurrence_self_join_is_equi_on_doc_id(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    # i36: split assignment is a narrow projection fused into the scan —
+    # zero exchanges, and only doc_id is read (the hash keys on it)
+    plan = physical_plan(registry.QUERIES["i36_hash_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
+    # i37: exactly one hash shuffle, keyed on the stratum (lang) — the
+    # per-stratum top-k sorts inside each partition, never globally
+    plan = physical_plan(registry.QUERIES["i37_stratified_sample"](spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, f"expected 1 stratum shuffle, got: {exchanges}"
+    assert "lang#" in exchanges[0]
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_doc_chunking_is_shuffle_free_explode(spark, sf_dir):
+    # i38: map-side explode — zero exchanges, output inherits the scan's
+    # partitioning, and the scan reads only (doc_id, text, n_chars)
+    plan = physical_plan(registry.QUERIES["i38_doc_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_sequence_packing_shuffles_per_shard_not_globally(spark, sf_dir):
+    # i39: the running-offset window partitions by the shard key, so the
+    # cumulative sum parallelizes per shard; hashpartitioning(lang) also
+    # satisfies the (lang, bin) grouping, so there is exactly ONE exchange
+    # — and no rangepartitioning (a global running sum would serialize)
+    plan = physical_plan(registry.QUERIES["i39_sequence_packing"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, f"expected 1 shard shuffle, got: {exchanges}"
+    assert "lang#" in exchanges[0]
