@@ -96,3 +96,113 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id long, n_bytes long, mean_byte long, decode_status string",
     )
+
+
+@query(
+    "k13_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, length(text) // 32)) AS frame_id
+            FROM documents
+        )
+        SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+               CAST(list_sum(list_transform(range(1, 33),
+                        j -> ord(substr(text, CAST(frame_id * 32 + j AS INTEGER), 1))))
+                    // 32 AS BIGINT) AS frame_mean
+        FROM f WHERE frame_id % 4 = 0
+    """,
+)
+def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads (video stand-in).
+
+    The payload is chunked into fixed 32-byte frames (tail dropped, as a
+    real fixed-GOP sampler would) and every 4th frame is kept; the
+    "feature" per kept frame is its integer mean byte.  A real video
+    pipeline swaps the frame slicing for an ffmpeg keyframe extractor — the Spark
+    side (Arrow-batched mapInPandas, one row per sampled frame, map-side
+    only) is exactly this shape.  The oracle recomputes the byte
+    arithmetic in SQL (ASCII text => codepoint == byte).
+    """
+    import numpy as np
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, means = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(arr) // 32
+                if n_frames == 0:
+                    continue
+                frames = arr[: n_frames * 32].reshape(n_frames, 32)
+                for fid in range(0, n_frames, 4):
+                    ids.append(doc_id)
+                    fids.append(fid)
+                    means.append(int(frames[fid].sum()) // 32)
+            yield pd.DataFrame({"doc_id": ids, "frame_id": fids,
+                                "frame_mean": means})
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary.mapInPandas(
+        sample_batches, "doc_id long, frame_id long, frame_mean long")
+
+
+@query(
+    "k14_image_resize",
+    oracle="""
+        WITH px AS (
+            SELECT doc_id, text, unnest(range(0, 4)) AS py FROM documents
+            WHERE n_chars >= 64
+        ), cells AS (
+            SELECT doc_id, text, py, unnest(range(0, 4)) AS px FROM px
+        )
+        SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+               CAST((ord(substr(text, CAST(py * 16 + px * 2 + 1 AS INTEGER), 1))
+                   + ord(substr(text, CAST(py * 16 + px * 2 + 2 AS INTEGER), 1))
+                   + ord(substr(text, CAST(py * 16 + px * 2 + 9 AS INTEGER), 1))
+                   + ord(substr(text, CAST(py * 16 + px * 2 + 10 AS INTEGER), 1)))
+                    // 4 AS BIGINT) AS pool
+        FROM cells
+    """,
+)
+def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize / downsample over opaque payloads (2x block-mean pool).
+
+    The first 64 payload bytes are an 8x8 single-channel "image"; 2x2
+    block-mean pooling resizes it to 4x4 (one output row per pooled pixel:
+    py, px, integer mean of the 4 source bytes).  Docs shorter than 64
+    bytes are skipped, as a real decoder would reject truncated images.
+    A real pipeline swaps the numpy pooling for PIL/cv2 resize — the
+    plumbing (binary column in, Arrow batches, schema-declared rows out,
+    zero shuffles) is the production shape.  Oracle: same integer
+    arithmetic via ord(substr) — row py of the 8x8 image starts at byte
+    2*py*8, so pooled cell (py,px) averages bytes {py*16 + px*2 + {1,2}}
+    and the row below at +8 (1-based substr).
+    """
+    import numpy as np
+
+    def pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, pools = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if len(arr) < 64:
+                    continue
+                img = arr[:64].reshape(8, 8).astype(np.int64)
+                pooled = (img[0::2, 0::2] + img[0::2, 1::2]
+                          + img[1::2, 0::2] + img[1::2, 1::2]) // 4
+                for py in range(4):
+                    for px in range(4):
+                        ids.append(doc_id)
+                        pys.append(py)
+                        pxs.append(px)
+                        pools.append(int(pooled[py, px]))
+            yield pd.DataFrame({"doc_id": ids, "py": pys, "px": pxs,
+                                "pool": pools})
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = (d.filter(F.col("n_chars") >= 64)
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return binary.mapInPandas(
+        pool_batches, "doc_id long, py long, px long, pool long")

@@ -242,3 +242,14 @@ def test_sequence_packing_shuffles_per_shard_not_globally(spark, sf_dir):
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(exchanges) == 1, f"expected 1 shard shuffle, got: {exchanges}"
     assert "lang#" in exchanges[0]
+
+
+def test_multimodal_frame_ops_are_shuffle_free_arrow(spark, sf_dir):
+    # k13/k14: decode-family ops must be map-side Arrow batches — a
+    # MapInPandas over the scan with zero exchanges and no row-at-a-time
+    # BatchEvalPython
+    for qid in ("k13_frame_sample", "k14_image_resize"):
+        plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
+        assert "Exchange" not in plan, qid
+        assert "MapInPandas" in plan, qid
+        assert "BatchEvalPython" not in plan, qid
