@@ -62,6 +62,8 @@ def test_loader_normalizes_ntz_when_host_locks_conf(spark, sf_dir):
     # turns it off, but a host session may lock confs — the loader's NTZ
     # cast fallback must still deliver TimestampType, value-preserving
     # under the UTC session zone.
+    import pytest
+
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     try:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -205,3 +207,54 @@ def test_oracle_sql_order_matches_queries_order():
 
     qnames = [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
     assert list(entry_mod.oracle_sql()) == qnames
+
+
+def test_i38_chunks_reassemble_to_original(spark, sf_dir):
+    # semantic invariant beyond the oracle: chunk 0 + each later chunk
+    # minus its 20-char overlap reproduces every document exactly, so no
+    # character is lost or duplicated by the chunking parameters
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        i38_doc_chunking,
+    )
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    chunks = {}
+    for r in i38_doc_chunking(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    assert set(chunks) == set(docs)
+    for doc_id, by_idx in chunks.items():
+        assert sorted(by_idx) == list(range(len(by_idx)))  # contiguous ids
+        rebuilt = by_idx[0] + "".join(by_idx[i][20:] for i in range(1, len(by_idx)))
+        assert rebuilt == docs[doc_id], f"doc {doc_id} reassembly mismatch"
+
+
+def test_i36_split_is_total_stable_and_proportional(spark, sf_dir):
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        i36_hash_split,
+    )
+
+    a = {r.doc_id: r.split for r in i36_hash_split(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in i36_hash_split(spark, sf_dir).collect()}
+    assert a == b  # deterministic across runs
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(a) == n_docs  # total: every doc gets exactly one split
+    frac_train = sum(1 for s in a.values() if s == "train") / n_docs
+    # 80.1% nominal; loose bounds absorb small-sample noise at sf0.001
+    assert 0.7 < frac_train < 0.9, frac_train
+
+
+def test_i39_packing_conserves_tokens_and_docs(spark, sf_dir):
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        i39_sequence_packing,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    expected_docs = d.count()
+    expected_toks = (d.selectExpr("sum(size(split(text, ' '))) AS t")
+                     .collect()[0].t)
+    rows = i39_sequence_packing(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == expected_docs
+    assert sum(r.sum_toks for r in rows) == expected_toks
+    for r in rows:
+        assert r.bin >= 0
