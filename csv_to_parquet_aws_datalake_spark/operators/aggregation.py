@@ -512,3 +512,53 @@ def d22_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
     )
+
+
+@query(
+    "d23_integrity_audit",
+    oracle="""
+        SELECT 'orders_orphan_custkey' AS chk,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS n_bad
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'customer_negative_acctbal',
+               (SELECT count(*) FROM customer WHERE c_acctbal < 0)
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               (SELECT count(*) FROM lineitem
+                WHERE l_discount < 0 OR l_discount > 1)
+    """,
+)
+def d23_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-layer constraint audit: referential integrity via anti-joins
+    plus declarative range checks, one (check, violation-count) row each —
+    the validation gate a lake runs between raw ingestion and publishing.
+    Scale shapes: orders→customer anti-join broadcasts the dimension;
+    lineitem→orders anti-join shuffles on the key (both sides fact-sized,
+    the standard shape); range checks are map-side partial counts.  All
+    four checks run in parallel as independent branches of one union."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chk(name, cnt_df):
+        return cnt_df.select(F.lit(name).alias("chk"),
+                             F.count(F.lit(1)).alias("n_bad"))
+
+    orphan_orders = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    orphan_items = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    neg_bal = c.filter(F.col("c_acctbal") < 0)
+    bad_disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    return (
+        chk("orders_orphan_custkey", orphan_orders)
+        .unionAll(chk("lineitem_orphan_orderkey", orphan_items))
+        .unionAll(chk("customer_negative_acctbal", neg_bal))
+        .unionAll(chk("lineitem_discount_range", bad_disc))
+    )

@@ -1200,3 +1200,46 @@ def i35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+
+
+@query(
+    "i40_token_rarity_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok, dense_rank() OVER (ORDER BY count(*) DESC, tok) AS rar
+            FROM tok GROUP BY tok
+        )
+        SELECT t.doc_id, count(*) AS n_toks,
+               CAST(sum(v.rar) * 100 // count(*) AS BIGINT) AS mean_rarity_e2
+        FROM tok t JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    """,
+)
+def i40_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity score: rank every vocabulary token by corpus
+    frequency (rank 1 = most common; dense_rank with a token tie-break so
+    the rank is a total order), then score each doc by the mean rank of
+    its token stream (fixed-point x100).  This is the integer-exact proxy
+    for unigram surprisal: documents full of rare tokens score high,
+    boilerplate scores low — the same signal as a unigram log-prob
+    quality filter but with no cross-engine float-log hazard.  Scale
+    shape mirrors i30: corpus-sized explode partial-aggregates map-side;
+    only the Heaps'-law-bounded vocabulary crosses the single-task
+    ranking window; the ranked vocab then broadcasts back onto the token
+    stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", F.dense_rank().over(
+            W.orderBy(F.desc("cnt"), "tok")).alias("rar"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"),
+             F.expr("CAST(sum(rar) * 100 div count(1) AS BIGINT)")
+              .alias("mean_rarity_e2"))
+    )

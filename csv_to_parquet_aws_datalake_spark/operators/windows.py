@@ -531,3 +531,51 @@ def e15_rank_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey",
                 F.round("o_totalprice", 2).alias("tp"), "rnk")
     )
+
+
+@query(
+    "e16_scd2_history",
+    oracle="""
+        WITH changes AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), versions AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM changes
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type, valid_from, valid_to,
+               CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM versions
+    """,
+)
+def e16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build from a change log:
+    collapse consecutive rows with an unchanged attribute, then stamp each
+    surviving version with [valid_from, valid_to) via lead(), open-ended
+    (NULL valid_to, is_current=1) for the latest version per key.  Two
+    windows over the SAME (user_id | ts, event_id) partitioning+ordering,
+    so Catalyst plans ONE hash exchange and one sort — the change-filter
+    and the interval stamping reuse the partitioning.  This is the
+    standard warehouse pattern for turning event streams into versioned
+    dimensions, and it scales as a single shuffle on the entity key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id",
+                  F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"))
+        .withColumn("is_current",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+    )

@@ -253,3 +253,28 @@ def test_multimodal_frame_ops_are_shuffle_free_arrow(spark, sf_dir):
         assert "Exchange" not in plan, qid
         assert "MapInPandas" in plan, qid
         assert "BatchEvalPython" not in plan, qid
+
+
+def test_integrity_audit_join_strategies(spark, sf_dir):
+    # d23: the dimension-side referential check must broadcast (customer
+    # is dim-sized); no cartesian anywhere in the four-branch union
+    plan = physical_plan(registry.QUERIES["d23_integrity_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_reuses_one_entity_shuffle(spark, sf_dir):
+    # e16: both windows share (user_id | ts, event_id), so the change
+    # filter and the interval stamping ride ONE hash exchange
+    plan = physical_plan(registry.QUERIES["e16_scd2_history"](spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, f"expected 1 entity shuffle, got: {exchanges}"
+    assert "user_id#" in exchanges[0]
+
+
+def test_token_rarity_broadcasts_vocab(spark, sf_dir):
+    # i40: the ranked vocabulary joins back onto the token stream via
+    # broadcast — the token-stream side must never shuffle on tok
+    plan = physical_plan(registry.QUERIES["i40_token_rarity_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
