@@ -258,3 +258,25 @@ def test_i39_packing_conserves_tokens_and_docs(spark, sf_dir):
     assert sum(r.sum_toks for r in rows) == expected_toks
     for r in rows:
         assert r.bin >= 0
+
+
+def test_e16_versions_are_contiguous_and_single_current(spark, sf_dir):
+    # semantic invariants beyond the oracle: per user, exactly one open
+    # version (is_current), each version's valid_to equals the next
+    # version's valid_from (contiguous history, no gaps or overlaps), and
+    # consecutive versions never repeat the attribute value (true SCD2)
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        e16_scd2_history,
+    )
+
+    by_user = {}
+    for r in e16_scd2_history(spark, sf_dir).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user_id, rows in by_user.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rows) == 1, user_id
+        assert rows[-1].is_current == 1 and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, user_id   # contiguous
+            assert a.event_type != b.event_type, user_id  # real change
