@@ -174,7 +174,7 @@ def a05_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_null_bal"),
-    ).crossJoin(drop_agg)
+    ).crossJoin(F.broadcast(drop_agg))  # 1-row x 1-row combine, broadcast for uniformity
 
 
 @query(
