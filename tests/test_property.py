@@ -143,3 +143,26 @@ def test_canonicalize_kernel_agreement(prop_env, s):
     assert sp == du, f"kernel divergence for {s!r}: spark={sp!r} duckdb={du!r}"
     # canonicalization must be idempotent: a second pass is a no-op
     assert _canon_duck(con, du) == du, f"not idempotent for {s!r}"
+
+
+# the md5-hex -> integer-bucket kernel behind i36's split assignment (and
+# the i16 simhash digit extraction it generalizes): both engines must map
+# ANY key string to the same 0..255 bucket, or split membership would
+# silently diverge between the engine and external auditors
+_key_text = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789:-", min_size=0, max_size=30)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(key=_key_text)
+def test_hash_bucket_kernel_agreement(prop_env, key):
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import _bucket256
+
+    spark, con = prop_env
+    sp = spark.sql(
+        f"SELECT {_bucket256('hx', True)} AS b FROM "
+        "(SELECT md5(:k) AS hx)", args={"k": key}).collect()[0].b
+    du = con.execute(
+        f"SELECT {_bucket256('hx', False)} FROM (SELECT md5(?) AS hx)",
+        [key]).fetchone()[0]
+    assert sp == du, f"bucket divergence for {key!r}: spark={sp} duckdb={du}"
+    assert 0 <= sp <= 255
