@@ -36,6 +36,19 @@ HEADLINE = {
     "q_setop": "g03_intersect",
 }
 
+# LLM-pipeline curation hot path (VERDICT r4 item 2): no BASELINE.md numbers
+# exist, so these are a round-over-round signal only.  Reported in the SAME
+# single JSON line (extra keys) so the driver's one-line contract holds.
+LLM_TRANCHE = (
+    "i25_repetition_filter",
+    "i28_text_canonicalize",
+    "i33_decontamination",
+    "i34_minhash_banding",
+    "i35_incremental_dedup",
+    "i40_token_rarity_score",
+    "k14_image_resize",
+)
+
 
 def _batch_tumbling(spark, sf_dir):
     """Batch form of the tumbling-window aggregation (BASELINE.md measured
@@ -66,7 +79,7 @@ def main() -> None:
     # SYMMETRICALLY — no timed query gets flattered or penalized by being
     # the first to fault in a file.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
-    for qid in HEADLINE.values():
+    for qid in list(HEADLINE.values()) + list(LLM_TRANCHE):
         queries[qid](spark, warm_dir).collect()
     from csv_to_parquet_aws_datalake_spark.loader import TABLES, load_table
     for t in TABLES:
@@ -77,14 +90,16 @@ def main() -> None:
     # (BENCH_r01 6.71s vs BENCH_r02 11.25s).  The median discards one
     # co-tenant spike per query without inflating the suite runtime much.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    times: dict[str, float] = {}
-    for name, qid in HEADLINE.items():
+    def _median_time(qid: str) -> float:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             queries[qid](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
+        return round(sorted(samples)[len(samples) // 2], 3)
+
+    times = {name: _median_time(qid) for name, qid in HEADLINE.items()}
+    llm_times = {qid: _median_time(qid) for qid in LLM_TRANCHE}
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -97,6 +112,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "llm_suite_seconds": round(sum(llm_times.values()), 3),
+        "llm_queries": llm_times,
     }))
     spark.stop()
 

@@ -198,11 +198,9 @@ def i39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    placed = toks.select(
+    placed = toks.withColumn("run_sum", F.sum("n_toks").over(w)).select(
         "lang", "n_toks",
-        F.expr(f"(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id "
-               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks) "
-               f"div 512").alias("bin"),
+        F.expr("(run_sum - n_toks) div 512").alias("bin"),
     )
     return placed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("sum_toks"))

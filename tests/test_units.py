@@ -56,29 +56,32 @@ def test_events_nanos_normalization(spark, sf_dir):
     assert row.ts.year == 2024
 
 
-def test_loader_normalizes_ntz_when_host_locks_conf(spark, sf_dir):
+def test_loader_normalizes_ntz_when_host_locks_conf(spark, sf_dir, monkeypatch):
     # the round-4 landmine (SURVEY §1.3): untagged timestamp[us] parquet
     # reads as TIMESTAMP_NTZ when inferTimestampNTZ is on.  configure()
     # turns it off, but a host session may lock confs — the loader's NTZ
     # cast fallback must still deliver TimestampType, value-preserving
-    # under the UTC session zone.
+    # under the UTC session zone.  The lock is simulated for real: the
+    # conf stays 'true' and configure() is a no-op for the whole
+    # load_table call, so the column READS as NTZ and the fallback branch
+    # is the only thing standing between us and a schema mismatch.
     import pytest
+
+    from csv_to_parquet_aws_datalake_spark import loader
 
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     try:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(raw.dtypes).get("ts") != "timestamp_ntz":
             pytest.skip("testdata is not in the untagged-us layout this round")
-        baseline = spark.read.parquet(f"{sf_dir}/events.parquet") \
-            .selectExpr("cast(ts as timestamp) AS ts").orderBy("ts").first().ts
+        baseline = raw.selectExpr("cast(ts as timestamp) AS ts") \
+            .orderBy("ts").first().ts
+        monkeypatch.setattr(loader, "configure", lambda s: s)
+        ev = loader.load_table(spark, sf_dir, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert ev.orderBy("ts").first().ts == baseline
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # load_table re-applies configure(), but simulate the locked case by
-    # checking its fallback directly on an NTZ frame
-    from csv_to_parquet_aws_datalake_spark.loader import load_table as lt
-    ev = lt(spark, sf_dir, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
-    assert ev.orderBy("ts").first().ts == baseline
 
 
 def test_division_by_zero_semantics(spark):
@@ -280,3 +283,91 @@ def test_e16_versions_are_contiguous_and_single_current(spark, sf_dir):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from, user_id   # contiguous
             assert a.event_type != b.event_type, user_id  # real change
+
+
+# ---------------------------------------------------------------------------
+# Invariant pins for the rows-only queries (VERDICT r4 item 3): the driver
+# only row-counts these, so gross breakage in the approximate/seeded value
+# paths would otherwise go unseen.  Each pin is a mathematical bound the
+# correct implementation satisfies with huge margin.
+# ---------------------------------------------------------------------------
+
+
+def test_d15_approx_percentiles_within_exact_brackets(spark, sf_dir):
+    # accuracy=10000 bounds rank error at n/10000; at sf0.01 n≈60k per the
+    # largest group, so approx pXX must land inside the exact (XX±5) bracket.
+    from csv_to_parquet_aws_datalake_spark.operators.aggregation import (
+        d15_percentile_approx,
+    )
+
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag")
+        .agg(*[F.expr(f"percentile(l_extendedprice, {q})").alias(n)
+               for n, q in [("p45", 0.45), ("p55", 0.55), ("p85", 0.85),
+                            ("p95", 0.95), ("p98", 0.98), ("p100", 1.0)]])
+        .collect()
+    }
+    rows = d15_percentile_approx(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        e = exact[r.l_returnflag]
+        assert e.p45 <= r.p50 <= e.p55, r.l_returnflag
+        assert e.p85 <= r.p90 <= e.p95, r.l_returnflag
+        assert e.p98 <= r.p99 <= e.p100, r.l_returnflag
+
+
+def test_d22_hll_estimate_within_15pct_of_exact(spark, sf_dir):
+    from csv_to_parquet_aws_datalake_spark.operators.aggregation import (
+        d22_hll_sketch_rollup,
+    )
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    rows = d22_hll_sketch_rollup(spark, sf_dir).collect()
+    assert set(r.event_type for r in rows) == set(exact)
+    for r in rows:
+        assert abs(r.approx_users - exact[r.event_type]) <= 0.15 * exact[r.event_type], \
+            (r.event_type, r.approx_users, exact[r.event_type])
+
+
+def test_b06_sampled_fractions_within_binomial_bounds(spark, sf_dir):
+    from csv_to_parquet_aws_datalake_spark.operators.projection import (
+        b06_stratified_sample,
+    )
+
+    fracs = {"view": 0.1, "click": 0.1, "error": 0.5,
+             "signup": 1.0, "purchase": 1.0}
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r.event_type: r.n for r in b06_stratified_sample(spark, sf_dir).collect()}
+    for et, p in fracs.items():
+        n_total = totals[et]
+        n_got = got.get(et, 0)
+        if p == 1.0:
+            assert n_got == n_total, et     # keep-all strata are exact
+        else:
+            # 6-sigma binomial bound: P(violation) < 1e-8 per stratum
+            slack = 6 * (n_total * p * (1 - p)) ** 0.5 + 1
+            assert abs(n_got - n_total * p) <= slack, (et, n_got, n_total)
+
+
+def test_j05_late_rows_are_dropped_not_counted(spark, sf_dir):
+    # append mode + 30-min watermark must (a) drop the late-replayed rows
+    # and (b) withhold unfinalized windows, so the finalized total is
+    # strictly below the input total yet still the bulk of it.
+    from csv_to_parquet_aws_datalake_spark.streaming.queries import (
+        j05_stream_late_drop,
+    )
+
+    total = load_table(spark, sf_dir, "events").count()
+    rows = j05_stream_late_drop(spark, sf_dir).collect()
+    finalized = sum(r.n for r in rows)
+    assert 0 < finalized < total, (finalized, total)
+    assert finalized >= 0.5 * total, (finalized, total)
