@@ -12,6 +12,15 @@ Scale notes (§7.4):
 - SimHash (i16/i17) reduces near-dup detection to a 64-bit hamming join —
   at 100 TB you block on 4x16-bit sub-keys (pigeonhole) so each probe is an
   equi-join.
+
+localCheckpoint policy: every multi-reuse or iterative frame here is pinned
+with ``localCheckpoint()``, which is EAGER — it runs a job at call time and
+stores partitions on the executors.  That is deliberate: unlike ``persist()``
+(lazy, keeps the full lineage) it truncates the growing plans of the
+label-propagation / star loops so analysis cost stays constant per round, and
+unlike ``checkpoint()`` it needs no checkpoint dir on a driver-provided
+session.  Trade-off: the pinned data is lost with an executor, so a cluster
+deployment that wants fault tolerance swaps these for reliable checkpoints.
 """
 
 from __future__ import annotations

@@ -31,8 +31,11 @@ def k01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surface parity; restricted to one line per order so the demo does not
     # dominate suite runtime).  Rounding happens JVM-side: Python round()
     # is half-even and would diverge.
+    # no Python type hints on purpose: udf() tries to infer the eval type
+    # from them and warns when it can't; the explicit returnType is the
+    # whole contract for a pickled scalar UDF
     @F.udf(T.DoubleType())
-    def taxed_price(price: float, tax: float) -> float:
+    def taxed_price(price, tax):
         return price * (1.0 + tax)
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
