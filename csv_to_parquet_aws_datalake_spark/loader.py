@@ -48,3 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
+    """Repartition ``df`` to cluster width ONLY when the scan is under-
+    parallel (fewer splits than cores).
+
+    A single small parquet file is one row group and therefore ONE scan task
+    no matter what ``maxPartitionBytes`` says — locally that serializes any
+    CPU-heavy map work (e.g. 8 hashes per shingle in i34) onto one core.
+    The guard makes this a no-op at production scale: a 100 TB scan has
+    thousands of splits, so the corpus never pays a redistribution shuffle
+    just to widen (that WOULD be a scale anti-pattern); locally the payload
+    is one small file, so the shuffle is negligible.  Passing hash ``key``
+    columns lets a downstream groupBy on the same keys reuse the exchange.
+    """
+    # threshold 4, not defaultParallelism: only the degenerate one-file case
+    # should redistribute.  A real corpus scan (hundreds+ of splits) must
+    # never match, even on a cluster whose core count dwarfs its split count.
+    if df.rdd.getNumPartitions() >= 4:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *key) if key else df.repartition(par)

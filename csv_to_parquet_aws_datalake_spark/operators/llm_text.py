@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..loader import load_table
+from ..loader import load_table, widen_if_narrow
 from ..registry import query
 
 
@@ -1145,6 +1145,10 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined agg over shingles; band join cost is bounded by
     bucket collision counts, the knob being (bands, rows-per-band)."""
     d = load_table(spark, sf_dir, "documents")
+    # 8 hashes per shingle is CPU-bound; widen the degenerate one-file scan
+    # keyed on doc_id so the signature groupBy reuses the exchange
+    # (no-op on a real multi-split corpus scan)
+    d = widen_if_narrow(d, "doc_id")
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
     sh = docs.select(
         "doc_id",
@@ -1153,13 +1157,18 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
         for k in range(8)
-    ]).localCheckpoint()  # reused 6x (4 band arms + both pair sides)
-    bands = None
-    for j in range(4):
-        arm = sig.select(
-            "doc_id", F.lit(j).alias("b"),
-            F.md5(F.concat(F.col(f"s{2*j}"), F.col(f"s{2*j+1}"))).alias("bk"))
-        bands = arm if bands is None else bands.unionAll(arm)
+    ]).localCheckpoint()  # reused 3x (band explode + both pair sides)
+    # one explode pass emits all 4 (band, key) rows per doc — same rows as
+    # a 4-arm union but a single scan of the pinned signatures
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("b"),
+                F.md5(F.concat(F.col(f"s{2*j}"), F.col(f"s{2*j+1}"))).alias("bk"))
+            for j in range(4)
+        ])).alias("band"),
+    ).select("doc_id", "band.b", "band.bk")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"),
