@@ -398,3 +398,74 @@ def test_readme_coverage_table_matches_registry():
         assert nums == set(range(1, max(nums) + 1)), f"gap in family {f}"
         assert int(spans[f]) == max(nums), \
             f"README says {f}01–{f}{spans[f]}, registry has {f}01–{f}{max(nums):02d}"
+
+
+def test_widen_if_narrow_fires_only_on_degenerate_scans(spark):
+    from csv_to_parquet_aws_datalake_spark.loader import widen_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    widened = widen_if_narrow(narrow.withColumnRenamed("id", "doc_id"), "doc_id")
+    assert widened.rdd.getNumPartitions() == par
+    # a healthy multi-split input passes through untouched — no shuffle is
+    # added for a corpus that already has scan parallelism
+    wide = spark.range(0, 1000).repartition(8)
+    assert widen_if_narrow(wide) is wide
+
+
+def test_a05_dropmalformed_complements_corrupt_count(spark, sf_dir):
+    # the semantic tie between the two CSV modes: DROPMALFORMED keeps
+    # exactly the rows PERMISSIVE did NOT flag as corrupt
+    from csv_to_parquet_aws_datalake_spark.operators.scans import (
+        a05_csv_malformed,
+    )
+
+    r = a05_csv_malformed(spark, sf_dir).first()
+    assert r.n_corrupt > 0                       # the fixture is dirty
+    assert r.n_dropmalformed == r.n_total - r.n_corrupt
+    assert 0 < r.n_dropmalformed < r.n_total
+
+
+def test_i04_lsh_pairs_respect_threshold_and_order(spark, sf_dir):
+    # engine-seeded MinHashLSH is rows-only at the driver; pin the join
+    # contract locally: every candidate pair is within the 0.9 Jaccard-
+    # distance threshold, canonically ordered, and emitted exactly once
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        i04_minhash_lsh,
+    )
+
+    rows = i04_minhash_lsh(spark, sf_dir).collect()
+    assert rows
+    pairs = [(r.da, r.db) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    for r in rows:
+        assert r.da < r.db
+        assert 0.0 <= r.dist <= 0.9
+
+
+def test_i19_lsh_distances_are_exact_euclidean(spark, sf_dir):
+    # BucketedRandomProjectionLSH's distCol is the TRUE euclidean distance
+    # of each candidate pair (bucketing only prunes candidates), so every
+    # returned distance must equal a recomputation from the raw vectors
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        i19_euclidean_lsh,
+    )
+
+    out = i19_euclidean_lsh(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    recomputed = (
+        out.join(emb.select(F.col("vec_id").alias("va"), F.col("v").alias("xa")), "va")
+        .join(emb.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb")), "vb")
+        .select(
+            "va", "vb", "dist",
+            F.round(F.sqrt(F.aggregate(
+                F.zip_with("xa", "xb", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)), 4).alias("exact"),
+        )
+    ).collect()
+    assert recomputed
+    for r in recomputed:
+        assert r.va < r.vb
+        assert r.dist <= 1.2
+        assert abs(r.dist - r.exact) <= 1e-4, (r.va, r.vb, r.dist, r.exact)
