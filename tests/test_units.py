@@ -469,3 +469,26 @@ def test_i19_lsh_distances_are_exact_euclidean(spark, sf_dir):
         assert r.va < r.vb
         assert r.dist <= 1.2
         assert abs(r.dist - r.exact) <= 1e-4, (r.va, r.vb, r.dist, r.exact)
+
+
+def test_bench_compare_flags_regressions(tmp_path, capsys):
+    # the round-over-round LLM-tranche signal depends on this tool reading
+    # both raw bench.py lines and driver-wrapped BENCH_r*.json artifacts
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare
+
+    prev = {"value": 1.0, "queries": {"q_a": 0.5, "i34": 1.0}}
+    cur = {"parsed": {"value": 2.0, "queries": {"q_a": 0.6},
+                      "llm_queries": {"i34": 2.0}}}  # 2.0x slower -> flagged
+    p1, p2 = tmp_path / "prev.json", tmp_path / "cur.json"
+    p1.write_text(json.dumps(prev))
+    p2.write_text(json.dumps(cur))
+    sys.argv = ["bench_compare", str(p1), str(p2)]
+    rc = bench_compare.main()
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "SLOWER" in out and "i34" in out
+    assert "regressions: 1" in out
