@@ -1148,7 +1148,17 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 hashes per shingle is CPU-bound; widen the degenerate one-file scan
     # keyed on doc_id so the signature groupBy reuses the exchange
     # (no-op on a real multi-split corpus scan)
-    d = widen_if_narrow(d, "doc_id")
+    return minhash_band_pairs(widen_if_narrow(d, "doc_id"))
+
+
+def minhash_band_pairs(d: DataFrame) -> DataFrame:
+    """The i34 kernel over any (doc_id, text, ...) frame.
+
+    Guarantee the tests pin: documents with IDENTICAL text have identical
+    shingle sets, hence identical signatures and band keys, so every
+    exact-duplicate pair is emitted with n_sig_match = 8 — banding has no
+    false negatives on exact duplicates (only near-dups are probabilistic).
+    """
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
     sh = docs.select(
         "doc_id",

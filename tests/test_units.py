@@ -492,3 +492,40 @@ def test_bench_compare_flags_regressions(tmp_path, capsys):
     assert rc == 1
     assert "SLOWER" in out and "i34" in out
     assert "regressions: 1" in out
+
+
+def test_i34_banding_never_misses_exact_duplicates(spark):
+    # LSH banding is probabilistic for NEAR-dups but exact for exact dups:
+    # identical text -> identical signatures -> identical band keys.  The
+    # testdata corpus has no exact text dups, so pin the guarantee on a
+    # constructed frame: every injected duplicate pair must surface with a
+    # full 8/8 signature match, regardless of the surrounding corpus.
+    import itertools
+    import random
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        minhash_band_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    dup_groups = []
+    doc_id = 0
+    for g in range(5):  # 5 duplicate groups of sizes 2..4
+        text = " ".join(rng.choices(vocab, k=rng.randint(5, 30)))
+        ids = []
+        for _ in range(2 + g % 3):
+            rows.append((doc_id, text))
+            ids.append(doc_id)
+            doc_id += 1
+        dup_groups.append(ids)
+    for _ in range(40):  # unique fillers
+        rows.append((doc_id, " ".join(rng.choices(vocab, k=rng.randint(5, 30)))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.da, r.db): r.n_sig_match
+           for r in minhash_band_pairs(df).collect()}
+    for ids in dup_groups:
+        for a, b in itertools.combinations(sorted(ids), 2):
+            assert out.get((a, b)) == 8, (a, b, out.get((a, b)))
