@@ -326,8 +326,15 @@ def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("nd")))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # pin tf: both the score join and the df aggregate consume it, and
+    # Catalyst plans unpinned subtrees twice (column pruning makes the two
+    # copies non-canonical, so ReusedExchange never fires) — without the
+    # pin the corpus would be scanned and exploded twice
+    tf = (tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint())
+    # df derives from tf — one row per (doc, term) means count(*) per term
+    # IS the distinct-doc count, so the countDistinct becomes a plain count
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "tok").crossJoin(n_docs).withColumn(
         "tfidf_raw",
         F.col("c") * F.log(F.col("nd").cast("double") / F.col("df")))
