@@ -13,6 +13,11 @@ For each registry entry, prints counts of the plan nodes that matter at
 
 This is an audit aid, not a gate — the enforced per-query assertions live in
 tests/test_plans.py.  Usage: python tools/plan_audit.py [sf_dir] [prefix...]
+
+Do NOT run concurrently with the test suite or t2_emulation at the same
+sf_dir: building a write-query's plan executes its fixture setup (curated
+writes, bucketed tables), and two sessions mutating the same `.scratch/`
+layout corrupt each other's reads.
 """
 
 from __future__ import annotations
