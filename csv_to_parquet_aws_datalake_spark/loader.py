@@ -63,10 +63,12 @@ def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     is one small file, so the shuffle is negligible.  Passing hash ``key``
     columns lets a downstream groupBy on the same keys reuse the exchange.
     """
-    # threshold 4, not defaultParallelism: only the degenerate one-file case
-    # should redistribute.  A real corpus scan (hundreds+ of splits) must
-    # never match, even on a cluster whose core count dwarfs its split count.
-    if df.rdd.getNumPartitions() >= 4:
-        return df
+    # threshold min(4, defaultParallelism): only a degenerate few-split scan
+    # on a wider host should redistribute.  A real corpus scan (hundreds+ of
+    # splits) never matches, even on a cluster whose core count dwarfs its
+    # split count — and on a host narrower than the scan (parallelism < splits)
+    # a repartition could only REDUCE parallelism while paying a shuffle.
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(4, par):
+        return df
     return df.repartition(par, *key) if key else df.repartition(par)

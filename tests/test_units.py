@@ -471,13 +471,13 @@ def test_i19_lsh_distances_are_exact_euclidean(spark, sf_dir):
         assert abs(r.dist - r.exact) <= 1e-4, (r.va, r.vb, r.dist, r.exact)
 
 
-def test_bench_compare_flags_regressions(tmp_path, capsys):
+def test_bench_compare_flags_regressions(tmp_path, capsys, monkeypatch):
     # the round-over-round LLM-tranche signal depends on this tool reading
     # both raw bench.py lines and driver-wrapped BENCH_r*.json artifacts
     import json
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    monkeypatch.syspath_prepend("/root/repo/tools")
     import bench_compare
 
     prev = {"value": 1.0, "queries": {"q_a": 0.5, "i34": 1.0}}
@@ -486,12 +486,41 @@ def test_bench_compare_flags_regressions(tmp_path, capsys):
     p1, p2 = tmp_path / "prev.json", tmp_path / "cur.json"
     p1.write_text(json.dumps(prev))
     p2.write_text(json.dumps(cur))
-    sys.argv = ["bench_compare", str(p1), str(p2)]
+    monkeypatch.setattr(sys, "argv", ["bench_compare", str(p1), str(p2)])
     rc = bench_compare.main()
     out = capsys.readouterr().out
     assert rc == 1
     assert "SLOWER" in out and "i34" in out
     assert "regressions: 1" in out
+
+
+def test_bench_compare_baseline_parsed_from_md(tmp_path, capsys, monkeypatch):
+    # the 2x-baseline flag must actually fire: numbers come from BASELINE.md's
+    # measured table (BASELINE.json is metadata-only)
+    import json
+    import sys
+
+    monkeypatch.syspath_prepend("/root/repo/tools")
+    import bench_compare
+
+    baseline = bench_compare._baseline_from_md("/root/repo/BASELINE.md")
+    assert baseline.get("q_join_topk") == 3.216, baseline
+    assert len(baseline) == 10
+
+    # a query over 2x its baseline (but not slower than prev) flags exactly once
+    prev = {"queries": {"q_join_topk": 7.0, "q_zero": 0.0}}
+    cur = {"queries": {"q_join_topk": 7.0}}  # > 2 * 3.216, ratio 1.0
+    p1, p2 = tmp_path / "prev.json", tmp_path / "cur.json"
+    p1.write_text(json.dumps(prev))
+    p2.write_text(json.dumps(cur))
+    monkeypatch.setattr(sys, "argv", ["bench_compare", str(p1), str(p2)])
+    rc = bench_compare.main()
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "OVER 2x baseline" in out
+    assert "regressions: 1" in out
+    # a legitimate 0.0 prev timing renders as 0.000, not '-'
+    assert "0.000" in out
 
 
 def test_i34_banding_never_misses_exact_duplicates(spark):

@@ -9,13 +9,15 @@ round-over-round — this tool makes that diff one command:
 
 Flags any query slower than the previous round by more than WARN_RATIO
 (default 1.5x — beyond shared-box noise for a median-of-3) and any headline
-query over 2x its BASELINE.json number.
+query over 2x its reference number parsed from BASELINE.md's measured table
+(BASELINE.json carries only metadata, not timings).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 WARN_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_WARN_RATIO", "1.5"))
@@ -35,6 +37,24 @@ def _suite(rec: dict) -> dict[str, float]:
     return out
 
 
+# BASELINE.md measured table rows look like:
+#   | q_join_topk (c01+f01) | sec/query | 3.216 | 1.015 | 10 | ... |
+# third cell = reference seconds at sf0.1.
+_BASELINE_ROW = re.compile(r"^\|\s*(q_\w+)\s*\([^)|]*\)\s*\|\s*sec/query\s*\|\s*([0-9.]+)\s*\|")
+
+
+def _baseline_from_md(path: str) -> dict[str, float]:
+    if not os.path.exists(path):
+        return {}
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            m = _BASELINE_ROW.match(line)
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    return out
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
@@ -42,27 +62,25 @@ def main() -> int:
     prev, cur = _load(sys.argv[1]), _load(sys.argv[2])
     p, c = _suite(prev), _suite(cur)
 
-    baseline = {}
-    bl_path = os.path.join(REPO, "BASELINE.json")
-    if os.path.exists(bl_path):
-        baseline = _load(bl_path).get("queries", {})
+    baseline = _baseline_from_md(os.path.join(REPO, "BASELINE.md"))
 
     regressions = 0
     print(f"{'query':32s} {'prev':>8s} {'cur':>8s} {'ratio':>7s}  flags")
     for name in sorted(set(p) | set(c)):
         a, b = p.get(name), c.get(name)
         if a is None or b is None:
-            print(f"{name:32s} {a or '-':>8} {b or '-':>8} {'new' if a is None else 'gone':>7s}")
+            fa = "-" if a is None else f"{a:.3f}"
+            fb = "-" if b is None else f"{b:.3f}"
+            print(f"{name:32s} {fa:>8} {fb:>8} {'new' if a is None else 'gone':>7s}")
             continue
         ratio = b / a if a else float("inf")
         flags = []
         if ratio > WARN_RATIO:
             flags.append(f"SLOWER than r-1 ({ratio:.2f}x)")
-            regressions += 1
         bl = baseline.get(name)
         if bl and b > 2 * bl:
             flags.append(f"OVER 2x baseline ({b / bl:.2f}x)")
-            regressions += 1
+        regressions += bool(flags)
         print(f"{name:32s} {a:8.3f} {b:8.3f} {ratio:7.2f}  {'; '.join(flags)}")
 
     for key in ("value", "llm_suite_seconds"):

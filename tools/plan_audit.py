@@ -7,7 +7,8 @@ For each registry entry, prints counts of the plan nodes that matter at
 
 - CartesianProduct anywhere except the queries that are cross joins by
   contract (c06) or broadcast a tiny side (checked by tests/test_plans.py);
-- BatchEvalPython outside k01 (the pickled-UDF operator itself);
+- BatchEvalPython outside BATCH_EVAL_OK (k01 pickled scalar UDF and k05
+  Python UDTF, where row-at-a-time Python IS the operator);
 - exchange counts above EXCHANGE_WARN (a high shuffle count usually means a
   missed reuse or an unintended re-aggregation).
 
