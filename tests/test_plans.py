@@ -278,3 +278,35 @@ def test_token_rarity_broadcasts_vocab(spark, sf_dir):
     plan = physical_plan(registry.QUERIES["i40_token_rarity_score"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_registry_exchange_budget(spark, monkeypatch):
+    # The whole-registry shuffle gate (VERDICT r5 gap 3): every query's
+    # physical plan must not exceed its committed exchange budget
+    # (tools/plan_budget.json, regenerated with `plan_audit.py
+    # --write-budget`).  A query that quietly grows shuffles between rounds
+    # fails here instead of only printing a warning in the advisory sweep.
+    # Budgets were generated at sf0.001, so sweep the same scale.
+    monkeypatch.syspath_prepend("/root/repo/tools")
+    import plan_audit
+
+    budget = plan_audit.load_budget()
+    assert budget, "tools/plan_budget.json missing — run plan_audit.py --write-budget"
+    results = plan_audit.sweep(spark, "/root/testdata/sf0.001")
+
+    over, unbudgeted = [], []
+    for name, counts in results.items():
+        if "skipped" in counts:
+            continue
+        if name not in budget:
+            unbudgeted.append(name)
+            continue
+        if counts["exchanges"] > budget[name]:
+            over.append(f"{name}: {counts['exchanges']} > {budget[name]}")
+        flags = [f for f in plan_audit.flags_for(name, counts, budget)
+                 if not f.startswith("EXCHANGES")]
+        assert not flags, f"{name}: {flags}"
+    assert not over, "exchange budget exceeded:\n" + "\n".join(over)
+    assert not unbudgeted, (
+        "new queries need budgets (plan_audit.py --write-budget): "
+        + ", ".join(unbudgeted))

@@ -9,11 +9,13 @@ For each registry entry, prints counts of the plan nodes that matter at
   contract (c06) or broadcast a tiny side (checked by tests/test_plans.py);
 - BatchEvalPython outside BATCH_EVAL_OK (k01 pickled scalar UDF and k05
   Python UDTF, where row-at-a-time Python IS the operator);
-- exchange counts above EXCHANGE_WARN (a high shuffle count usually means a
-  missed reuse or an unintended re-aggregation).
+- exchange counts above the query's committed budget (tools/plan_budget.json,
+  regenerate with --write-budget) or, for unbudgeted queries, EXCHANGE_WARN.
 
-This is an audit aid, not a gate — the enforced per-query assertions live in
-tests/test_plans.py.  Usage: python tools/plan_audit.py [sf_dir] [prefix...]
+The exchange budget IS a gate: tests/test_plans.py sweeps the whole registry
+against plan_budget.json, so a query that quietly grows shuffles between
+rounds fails CI.  Usage: python tools/plan_audit.py [--write-budget]
+[sf_dir] [prefix...]
 
 Do NOT run concurrently with the test suite or t2_emulation at the same
 sf_dir: building a write-query's plan executes its fixture setup (curated
@@ -23,6 +25,7 @@ layout corrupt each other's reads.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -32,51 +35,103 @@ EXCHANGE_WARN = 6
 CARTESIAN_OK = {"c06_cross"}       # cross join IS the operator
 BATCH_EVAL_OK = {"k01_python_udf",   # pickled scalar UDF IS the operator
                  "k05_python_udtf"}  # Python table function IS the operator
+BUDGET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "plan_budget.json")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    prefixes = tuple(sys.argv[2:]) or ("",)
+def count_smells(plan: str) -> dict:
+    """Count the plan nodes that matter at scale in one executedPlan string.
 
+    Real shuffles only — BroadcastExchange is the cheap shape we WANT, and
+    ReusedExchange is a reuse, not a new shuffle.
+    """
+    return {
+        "exchanges": (plan.count("Exchange hashpartitioning")
+                      + plan.count("Exchange rangepartitioning")
+                      + plan.count("Exchange SinglePartition")),
+        "cartesian": plan.count("CartesianProduct"),
+        "py_udf": plan.count("BatchEvalPython"),
+        "scans": plan.count("FileScan") + plan.count("Scan parquet"),
+        "wscg": plan.count("WholeStageCodegen"),
+    }
+
+
+def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",)) -> dict:
+    """Build every matching registry query's physical plan and count smells.
+
+    Returns {name: counts-dict}; queries whose plan cannot be pre-executed
+    here (streaming) are omitted.
+    """
     from csv_to_parquet_aws_datalake_spark import registry
-    from csv_to_parquet_aws_datalake_spark.session import build_session
 
     registry.load_all()
-    spark = build_session("plan-audit", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    flagged = []
-    print(f"{'query':34s} {'exch':>4s} {'cart':>4s} {'pyUDF':>5s} "
-          f"{'scan':>4s} {'wscg':>4s}  flags")
+    out = {}
     for name, fn in sorted(registry.QUERIES.items()):
         if not name.startswith(prefixes):
             continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # streaming plans can't be pre-executed here
-            print(f"{name:34s} {'-':>4s} {'-':>4s} {'-':>5s} {'-':>4s} {'-':>4s}  "
-                  f"skipped: {type(exc).__name__}")
+        except Exception as exc:
+            out[name] = {"skipped": type(exc).__name__}
             continue
-        # count real shuffles only — BroadcastExchange is the cheap shape we
-        # WANT, and ReusedExchange is a reuse, not a new shuffle
-        n_ex = (plan.count("Exchange hashpartitioning")
-                + plan.count("Exchange rangepartitioning")
-                + plan.count("Exchange SinglePartition"))
-        n_cart = plan.count("CartesianProduct")
-        n_py = plan.count("BatchEvalPython")
-        n_scan = plan.count("FileScan") + plan.count("Scan parquet")
-        n_wscg = plan.count("WholeStageCodegen")
-        flags = []
-        if n_cart and name not in CARTESIAN_OK:
-            flags.append("CARTESIAN")
-        if n_py and name not in BATCH_EVAL_OK:
-            flags.append("ROW_PYTHON")
-        if n_ex > EXCHANGE_WARN:
-            flags.append(f"MANY_EXCHANGES({n_ex})")
+        out[name] = count_smells(plan)
+    return out
+
+
+def load_budget() -> dict[str, int]:
+    if not os.path.exists(BUDGET_PATH):
+        return {}
+    with open(BUDGET_PATH) as fh:
+        return json.load(fh)
+
+
+def flags_for(name: str, counts: dict, budget: dict[str, int]) -> list[str]:
+    flags = []
+    if counts.get("cartesian") and name not in CARTESIAN_OK:
+        flags.append("CARTESIAN")
+    if counts.get("py_udf") and name not in BATCH_EVAL_OK:
+        flags.append("ROW_PYTHON")
+    n_ex = counts.get("exchanges", 0)
+    cap = budget.get(name, EXCHANGE_WARN)
+    if n_ex > cap:
+        flags.append(f"EXCHANGES({n_ex}>{cap})")
+    return flags
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--write-budget"]
+    write_budget = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    prefixes = tuple(argv[1:]) or ("",)
+
+    from csv_to_parquet_aws_datalake_spark.session import build_session
+
+    spark = build_session("plan-audit", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = sweep(spark, sf_dir, prefixes)
+    budget = load_budget()
+    flagged = []
+    print(f"{'query':34s} {'exch':>4s} {'cart':>4s} {'pyUDF':>5s} "
+          f"{'scan':>4s} {'wscg':>4s}  flags")
+    for name, counts in results.items():
+        if "skipped" in counts:
+            print(f"{name:34s} {'-':>4s} {'-':>4s} {'-':>5s} {'-':>4s} {'-':>4s}  "
+                  f"skipped: {counts['skipped']}")
+            continue
+        flags = flags_for(name, counts, budget)
         if flags:
             flagged.append((name, flags))
-        print(f"{name:34s} {n_ex:4d} {n_cart:4d} {n_py:5d} "
-              f"{n_scan:4d} {n_wscg:4d}  {','.join(flags)}")
+        print(f"{name:34s} {counts['exchanges']:4d} {counts['cartesian']:4d} "
+              f"{counts['py_udf']:5d} {counts['scans']:4d} {counts['wscg']:4d}  "
+              f"{','.join(flags)}")
+
+    if write_budget:
+        new = {n: c["exchanges"] for n, c in results.items() if "skipped" not in c}
+        with open(BUDGET_PATH, "w") as fh:
+            json.dump(new, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {len(new)} budgets to {BUDGET_PATH}")
 
     print(f"\nflagged: {len(flagged)}")
     for name, flags in flagged:
