@@ -562,3 +562,34 @@ def d23_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chk("customer_negative_acctbal", neg_bal))
         .unionAll(chk("lineitem_discount_range", bad_disc))
     )
+
+
+@query(
+    "d24_heavy_hitters",
+    oracle="""
+        WITH c AS (
+            SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        ), t AS (SELECT count(*) AS n FROM lineitem)
+        SELECT l_partkey, cnt, round(cnt * 1000.0 / n, 4) AS permille
+        FROM c CROSS JOIN t
+        WHERE cnt * 2000 > n
+        ORDER BY cnt DESC, l_partkey
+    """,
+)
+def d24_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: join keys above 0.05% support, the skew
+    diagnosis that decides when a join needs salting (c14) or AQE skew
+    handling.  One map-side-combined count per key plus a broadcast 1-row
+    total — at 100 TB the per-key count table is the only shuffle, and the
+    support filter prunes it to the handful of keys that matter before any
+    driver ever sees a row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = F.broadcast(li.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(total)
+        .filter(F.col("cnt") * 2000 > F.col("n"))
+        .select("l_partkey", "cnt",
+                F.round(F.col("cnt") * 1000.0 / F.col("n"), 4).alias("permille"))
+        .orderBy(F.desc("cnt"), "l_partkey")
+    )

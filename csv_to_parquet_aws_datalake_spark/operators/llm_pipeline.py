@@ -204,3 +204,126 @@ def i39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return placed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("sum_toks"))
+
+
+@query(
+    "i43_weighted_sample",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   md5(concat('wsamp-seed-1:', CAST(doc_id AS VARCHAR))) AS hx
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST({_bucket256('hx', False)} AS BIGINT) AS bucket,
+               round(least(1.0, n_chars / 400.0) * 256, 4) AS threshold
+        FROM h
+        WHERE {_bucket256('hx', False)} < least(1.0, n_chars / 400.0) * 256
+    """,
+)
+def i43_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a document with
+    probability proportional to a quality proxy (here length capped at 400
+    chars), implemented as hash-uniform < weight.  Unlike ``sample()``,
+    membership is a pure function of (seed, doc_id, weight) — rerunning at
+    any scale or partitioning keeps the identical subset, which is what
+    makes sampled corpora reproducible.  Shuffle-free: the hash, the
+    weight, and the filter all fuse into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("wsamp-seed-1:"), F.col("doc_id").cast("string")))
+    bucket = F.expr(_bucket256("hx", True))
+    thresh = F.least(F.lit(1.0), F.col("n_chars") / 400.0) * 256
+    return (
+        d.select("doc_id", "n_chars", hx.alias("hx"))
+        .filter(bucket < thresh)
+        .select(
+            "doc_id", "n_chars",
+            bucket.cast("long").alias("bucket"),
+            F.round(thresh, 4).alias("threshold"),
+        )
+    )
+
+
+@query(
+    "i45_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN md5(reverse(text))
+                        ELSE md5(text) END AS fp
+            FROM documents WHERE doc_id % 11 <> 3
+        ), new AS (
+            SELECT doc_id, md5(text) AS fp
+            FROM documents WHERE doc_id % 13 <> 5
+        )
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.doc_id IS NULL THEN 'added'
+                    WHEN new.doc_id IS NULL THEN 'removed'
+                    WHEN old.fp <> new.fp THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def i45_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation: classify every document as
+    added/removed/changed/same between two crawl snapshots by comparing
+    content fingerprints under a full outer join on doc_id.  The snapshots
+    are derived deterministically from the one test corpus (mod-11 drops
+    simulate additions, mod-13 drops simulate removals, mod-7 text
+    reversal simulates edits).  At 100 TB both sides shuffle once on
+    doc_id and the join carries only (id, 32-byte fingerprint) — the
+    incremental-ingest primitive that i35 builds its dedup on."""
+    d = load_table(spark, sf_dir, "documents")
+    old = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.md5(F.reverse("text")))
+             .otherwise(F.md5("text")).alias("fp"))
+    )
+    new = (
+        d.filter(F.col("doc_id") % 13 != 5)
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.coalesce("o.doc_id", "n.doc_id").alias("doc_id"),
+            F.when(F.col("o.doc_id").isNull(), "added")
+             .when(F.col("n.doc_id").isNull(), "removed")
+             .when(F.col("o.fp") != F.col("n.fp"), "changed")
+             .otherwise("same").alias("status"),
+        )
+    )
+
+
+@query(
+    "i46_length_quantile_filter",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents
+        )
+        SELECT doc_id, n_chars FROM documents CROSS JOIN q
+        WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def i46_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim the length-distribution tails: keep documents between the 5th
+    and 95th percentile of n_chars — the outlier filter that removes both
+    truncated fragments and concatenation blobs before training.  The
+    percentiles are a 1-row aggregate broadcast back over the corpus, so
+    the filter itself is map-side.  At 100 TB the exact percentile would
+    be swapped for approx_percentile (same plan shape, sketch-mergeable);
+    exact interpolation here keeps the oracle byte-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.broadcast(d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi")))
+    return (
+        d.crossJoin(q)
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )

@@ -1278,3 +1278,111 @@ def i40_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr("CAST(sum(rar) * 100 div count(1) AS BIGINT)")
               .alias("mean_rarity_e2"))
     )
+
+
+@query(
+    "i41_source_reputation",
+    oracle="""
+        WITH s AS (
+            SELECT source, lang, count(*) AS docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+            FROM documents GROUP BY 1, 2
+        ), t AS (SELECT count(*) AS n FROM documents)
+        SELECT source, lang, docs, avg_chars, toks,
+               round(docs * 1.0 / n, 6) AS corpus_share
+        FROM s CROSS JOIN t
+    """,
+)
+def i41_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) corpus profile: doc counts, mean length,
+    token volume, and share of the whole corpus.  This is the table a
+    curation pipeline consults before up/down-weighting a crawl source.
+    One map-side-combined aggregate over (source, lang) — a tiny group
+    space regardless of corpus size — plus a broadcast 1-row total, so at
+    100 TB the only shuffle carries one row per (source, lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    total = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("toks"),
+        )
+        .crossJoin(total)
+        .select(
+            "source", "lang", "docs", "avg_chars", "toks",
+            F.round(F.col("docs") / F.col("n"), 6).alias("corpus_share"),
+        )
+    )
+
+
+@query(
+    "i42_token_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_unique,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+        FROM c GROUP BY 1
+    """,
+)
+def i42_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) — the
+    classic gibberish/boilerplate detector: near-zero entropy means one
+    token repeated, high entropy means diverse vocabulary.  Uses the
+    algebraic form H = ln(T) - (sum c*ln c)/T so one pass over the
+    (doc, token) counts suffices.  Two shuffles — (doc_id, tok) then
+    doc_id — both map-side combined; nothing global, so the shape is
+    corpus-linear."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    t = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        t.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log(t.cast("double"))
+            - F.sum(F.col("c") * F.log("c")) / t.cast("double"), 6)
+         .alias("entropy_nats"),
+    )
+
+
+@query(
+    "i44_vocab_index",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), c AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+        )
+        SELECT tok, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT)
+                   AS token_id
+        FROM c
+    """,
+)
+def i44_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-id assignment by global frequency rank — the
+    vocabulary build step before tokenizer training or embedding-table
+    sizing.  The corpus-sized work is the map-side-combined token count;
+    the global row_number runs on the aggregated vocabulary, which is
+    orders of magnitude smaller than the corpus (type-token ratio), so the
+    single-partition window is a deliberate, bounded final step — same
+    rationale as i30's Zipf ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), "tok")
+    return c.select(
+        "tok", "cnt", (F.row_number().over(w) - 1).cast("long").alias("token_id"))

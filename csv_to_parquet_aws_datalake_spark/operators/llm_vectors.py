@@ -392,3 +392,40 @@ def i31_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x)
          .alias("q_sum"),
     )
+
+
+@query(
+    "i47_lang_centroids",
+    oracle="""
+        WITH j AS (
+            SELECT d.lang AS lang, e.embedding AS embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ), u AS (
+            SELECT lang,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM j
+        )
+        SELECT lang, CAST(pos AS BIGINT) AS pos,
+               round(avg(v), 6) AS centroid_v,
+               count(*) AS n_vecs
+        FROM u GROUP BY 1, 2
+    """,
+)
+def i47_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids — the seed step for language-aware
+    clustering / nearest-centroid routing (i23).  Joins the document
+    metadata to its vector by id, then averages component-wise via
+    posexplode + groupBy(lang, pos): every partial sum is map-side
+    combined, the group space is |langs| x dim (tiny and fixed), and no
+    vector ever has to fit anywhere special.  At 100 TB this is one
+    co-partitioned id join plus one bounded-key aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "lang", F.posexplode("embedding").alias("pos", "v"))
+    return j.groupBy("lang", "pos").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    ).select("lang", F.col("pos").cast("long").alias("pos"),
+             "centroid_v", "n_vecs")

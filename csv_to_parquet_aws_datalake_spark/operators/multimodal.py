@@ -206,3 +206,65 @@ def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return binary.mapInPandas(
         pool_batches, "doc_id long, py long, px long, pool long")
+
+
+@query(
+    "k15_audio_energy",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(range(0, length(text) // 64)) AS frame_id
+            FROM documents
+        ), e AS (
+            SELECT doc_id, frame_id,
+                   sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(ord(substr(text, frame_id * 64 + i, 1))
+                                  AS DOUBLE) ^ 2)) / 64.0) AS rms
+            FROM f
+        )
+        SELECT doc_id,
+               count(*) AS n_frames,
+               round(avg(rms), 6) AS mean_rms,
+               round(max(rms), 6) AS peak_rms,
+               CAST(arg_max(frame_id, rms + (-frame_id) * 1e-9) AS BIGINT)
+                   AS peak_frame
+        FROM e GROUP BY 1
+    """,
+)
+def k15_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary: frame the payload into
+    64-sample windows and compute per-frame RMS energy, then per-clip
+    mean/peak/argmax — the silence-trim / loudness-normalize primitive.
+    The "decoder" treats each byte as one PCM sample (the container has no
+    audio codecs; swapping in a real one changes only `_frame_rms`).  Same
+    contract as k07/k13: Arrow-batched mapInPandas straight over the scan,
+    zero exchanges before the per-clip aggregate, whose key space is one
+    row per clip.  peak_frame ties break to the EARLIEST frame (the 1e-9
+    frame-id penalty mirrors arg_max's tie behavior cross-engine)."""
+    import numpy as np
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, rmss = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = len(arr) // 64
+                if n == 0:
+                    continue
+                x = arr[: n * 64].astype(np.float64).reshape(n, 64)
+                rms = np.sqrt((x * x).mean(axis=1))
+                ids.extend([doc_id] * n)
+                frames.extend(range(n))
+                rmss.extend(rms.tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame_id": frames, "rms": rmss})
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = binary.mapInPandas(
+        frame_batches, "doc_id long, frame_id long, rms double")
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("rms"), 6).alias("mean_rms"),
+        F.round(F.max("rms"), 6).alias("peak_rms"),
+        F.expr("max_by(frame_id, rms + (-frame_id) * 1e-9)").alias("peak_frame"),
+    )

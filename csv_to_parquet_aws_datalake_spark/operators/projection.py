@@ -164,3 +164,46 @@ def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
     )
+
+
+@query(
+    "b08_median_impute",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS raw
+            FROM documents
+        ), m AS (
+            SELECT lang, quantile_cont(raw, 0.5) AS med FROM v GROUP BY 1
+        )
+        SELECT v.doc_id AS doc_id, v.lang AS lang,
+               CAST(coalesce(v.raw, CAST(round(m.med, 0) AS BIGINT)) AS BIGINT)
+                   AS filled,
+               (v.raw IS NULL) AS was_imputed
+        FROM v JOIN m ON v.lang = m.lang
+    """,
+)
+def b08_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median imputation: null out a deterministic 20% of
+    ``n_chars`` (doc_id % 5), then fill each hole with its language's
+    median.  The per-group medians are a tiny aggregate (one row per
+    lang) joined back by broadcast, so the corpus-side plan is one
+    shuffle for the median computation and a map-side fill — the standard
+    impute shape for a 100 TB feature table.  Median interpolation halves
+    are rounded to an integer so the filled column stays BIGINT on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 5 == 0, None)
+         .otherwise(F.col("n_chars")).alias("raw"))
+    med = F.broadcast(
+        v.groupBy("lang").agg(F.percentile("raw", F.lit(0.5)).alias("med")))
+    return (
+        v.join(med, "lang")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("raw", F.round("med", 0).cast("long")).alias("filled"),
+            F.col("raw").isNull().alias("was_imputed"),
+        )
+    )

@@ -579,3 +579,81 @@ def e16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current",
                     F.when(F.col("valid_to").isNull(), 1).otherwise(0))
     )
+
+
+@query(
+    "e17_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, value,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) - epoch_us(ts) AS dur
+            FROM events
+        )
+        SELECT user_id,
+               round(sum(value * dur) / CAST(sum(dur) AS DOUBLE), 4) AS twa,
+               count(*) AS n_intervals
+        FROM s WHERE dur IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def e17_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each reading is held
+    until the next one arrives, so its weight is the interval length in
+    microseconds (``unix_micros`` on both engines — DuckDB's ``epoch()``
+    truncates to whole seconds and would diverge).  The lead window and the
+    per-user aggregate share one hashpartitioning(user_id) exchange; the
+    last reading of each user has no successor and drops out, mirroring the
+    half-open [reading, next) interval semantics of metering pipelines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    s = (
+        e.select("user_id", "value", (F.lead(us).over(w) - us).alias("dur"))
+        .filter(F.col("dur").isNotNull())
+    )
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur").cast("double"), 4)
+         .alias("twa"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@query(
+    "e18_cumulative_distinct",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS distinct_types_so_far
+        FROM f
+    """,
+)
+def e18_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count-distinct over an event stream — "how many distinct
+    event types has this user touched so far?".  COUNT(DISTINCT) is not a
+    windowable aggregate on either engine, so the standard rewrite marks
+    the first occurrence of each (user, type) with one window and running-
+    sums the 0/1 flags with a second.  Two exchanges — (user_id, event_type)
+    then (user_id) — both on bounded keys; no per-row state beyond the sort,
+    so the shape scales to arbitrarily long histories."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    flagged = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id", "user_id",
+        F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+    )
