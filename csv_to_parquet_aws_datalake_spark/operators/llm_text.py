@@ -1082,7 +1082,10 @@ def i33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams (millions of rows, not billions) still fits; if not, the same
     plan runs as a shuffled semi-join with a bloom-filter pushdown.
     Gram construction is sequence+slice+concat_ws, all JVM higher-order
-    functions — no Python in the hot path."""
+    functions — no Python in the hot path.  Gram dedup happens AFTER the
+    selective broadcast join (countDistinct per doc), so the only
+    corpus-wide shuffle carries matching grams — normally a sliver of the
+    stream — instead of a distinct over every (doc, gram)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
     ng = (
@@ -1094,18 +1097,21 @@ def i33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(t, i + 1, 5)))")).alias("g"))
     )
     bench = ng.filter(F.col("source") == "src0").select("g").distinct()
-    corpus = (ng.filter(F.col("source") != "src0")
-              .select("doc_id", "g").distinct())
+    corpus = ng.filter(F.col("source") != "src0").select("doc_id", "g")
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("g").alias("n_hits"))
     )
 
 
 def _i34_sig_sql() -> str:
+    # slot k = min over shingles of hex digits [8*(k%4)+1, +8) of
+    # md5(seed(k//4) || shingle): two md5 calls per shingle yield all 8
+    # 32-bit slots (fixed-width hex, so lexicographic min == numeric min)
     mins = ",\n                   ".join(
-        f"min(md5('{k}|' || sh)) AS s{k}" for k in range(8))
+        f"min(substr(h{k // 4}, {(k % 4) * 8 + 1}, 8)) AS s{k}"
+        for k in range(8))
     bands = "\n            UNION ALL ".join(
         f"SELECT doc_id, {j} AS b, md5(s{2*j} || s{2*j+1}) AS bk FROM sig"
         for j in range(4))
@@ -1120,10 +1126,13 @@ def _i34_sig_sql() -> str:
                    unnest(list_transform(range(1, len(t) - 1),
                           i -> array_to_string(t[i:i+2], ' '))) AS sh
             FROM toks
+        ), hashed AS (
+            SELECT doc_id, md5('0|' || sh) AS h0, md5('1|' || sh) AS h1
+            FROM sh
         ), sig AS (
             SELECT doc_id,
                    {mins}
-            FROM sh GROUP BY 1
+            FROM hashed GROUP BY 1
         ), bands AS (
             {bands}
         ), cand AS (
@@ -1141,10 +1150,13 @@ def _i34_sig_sql() -> str:
 @query("i34_minhash_banding", oracle=_i34_sig_sql())
 def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding built from first principles with a
-    cross-engine-deterministic hash: each of the 8 signature slots is
-    min(md5(seed || shingle)) — lexicographic min over hex digests, which
-    both engines compute byte-identically — so unlike i04's
-    engine-seeded MinHashLSH this pipeline is fully oracle-checkable.
+    cross-engine-deterministic hash: signature slot k is the min over
+    shingles of a 32-bit (8-hex-digit) substring of md5(seed || shingle)
+    — two md5 calls per shingle yield all 8 slots (fixed-width hex, so
+    the lexicographic min both engines compute IS the numeric min), 4x
+    less hashing than one digest per slot for the CPU-bound step — and
+    unlike i04's engine-seeded MinHashLSH the pipeline is fully
+    oracle-checkable.
     4 bands x 2 rows: documents agreeing on any band key become candidate
     pairs via an equi-join on (band, key) — the near-linear LSH shape
     (never all-pairs); the emitted n_sig_match (0-8 agreeing slots) is
@@ -1171,8 +1183,13 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
     )
-    sig = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0|"), F.col("sh"))).alias("h0"),
+        F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(*[
+        F.min(F.substring(f"h{k // 4}", (k % 4) * 8 + 1, 8)).alias(f"s{k}")
         for k in range(8)
     ]).localCheckpoint()  # reused 3x (band explode + both pair sides)
     # one explode pass emits all 4 (band, key) rows per doc — same rows as
