@@ -31,13 +31,20 @@ from ..registry import query
 def f01_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3-shaped top-k; LIMIT is tie-broken by the unique o_orderkey
     # (SURVEY.md §2 convention 3).
+    # The lineitem side carries a merge hint: the fact table must never be
+    # broadcast, but its column-pruned scan estimate (3 of 16 columns)
+    # slips under the local broadcast threshold and Catalyst would build a
+    # 33 MiB single-threaded broadcast per run.  Sort-merge on l_orderkey
+    # is the 100 TB shape; AQE still converts it to per-partition hash /
+    # skew-split joins where profitable, and the aggregation reuses the
+    # join's orderkey partitioning, so the hint costs nothing at scale.
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
               .alias("rev"))
