@@ -720,12 +720,14 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer div — the only cross-engine-deterministic rounding), plus the
     combined keep gate (<20% on both axes).
 
-    Scale shape: the trigram stats are pure map-side array expressions
-    (transform/array_distinct, no explode); the top-token share is the
-    standard explode -> (doc, tok) count -> per-doc max, two shuffles both
-    keyed by doc_id-prefixed keys, then a doc_id equi-join — every stage is
-    partial-aggregated before its exchange, so the 100 TB cost is one scan
-    plus token-count shuffles, never a per-doc collect."""
+    Scale shape: pure map-side, ZERO exchanges.  The trigram stats are
+    array expressions (transform/array_distinct, no explode); the
+    top-token count is the longest run in the per-doc SORTED token array
+    (max frequency == max run length after sorting), an O(n log n)-per-doc
+    aggregate lambda — so the 100 TB cost is exactly one scan+project,
+    with no (doc, token) shuffle and no rejoin.  Per-doc sort beats the
+    explode/shuffle form at any scale because the doc_id key space is the
+    corpus itself: both shuffles it replaces moved every token."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     # build the trigram array ONCE per row (Catalyst does not CSE
@@ -738,17 +740,24 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN transform(sequence(1, size(toks) - 2),
                      i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
                 ELSE cast(array() AS array<string>) END AS tg""",
+        # most-frequent-token count = longest equal run in the sorted
+        # array; the accumulator carries (prev token, current run, best)
+        """aggregate(
+               array_sort(toks),
+               named_struct('prev', cast(null AS string),
+                            'run', 0L, 'best', 0L),
+               (acc, t) -> named_struct(
+                   'prev', t,
+                   'run', IF(t <=> acc.prev, acc.run + 1, 1L),
+                   'best', greatest(acc.best,
+                                    IF(t <=> acc.prev, acc.run + 1, 1L))),
+               acc -> acc.best) AS top_cnt""",
     ).selectExpr(
-        "doc_id", "n",
+        "doc_id", "n", "top_cnt",
         "size(tg) AS n_tri",
         "size(array_distinct(tg)) AS n_uniq_tri",
     )
-    topt = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id").agg(F.max("c").alias("top_cnt"))
-    )
-    return tstats.join(topt, "doc_id").selectExpr(
+    return tstats.selectExpr(
         "doc_id",
         "CASE WHEN n_tri > 0 THEN ((n_tri - n_uniq_tri) * 10000) div n_tri"
         " ELSE 0 END AS dup3_e4",

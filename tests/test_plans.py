@@ -105,11 +105,12 @@ def test_pii_redaction_is_shuffle_free(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
-def test_repetition_filter_partial_aggregates(spark, sf_dir):
-    # i25's token counts must combine map-side before each exchange and
-    # prune the documents scan to (doc_id, text)
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    # i25 computes the top-token count as the longest run of the per-doc
+    # SORTED token array, so the whole query is one scan + project: zero
+    # exchanges, no (doc, token) shuffle, scan pruned to (doc_id, text)
     plan = physical_plan(registry.QUERIES["i25_repetition_filter"](spark, sf_dir))
-    assert "partial_count" in plan or "partial_max" in plan
+    assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 

@@ -31,6 +31,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Fallback exchange cap for queries with no committed budget.  Rationale by
+# family (measured sf0.01 plans, see plan_budget.json for per-query truth):
+# pure map-side ops (b, h, most i-filters) need 0; a single groupBy or
+# equi-join costs 1-2; windows legitimately reach 2-3 (partitionBy shuffle +
+# final agg); the heaviest multi-stage shapes we ship (multiway join c11,
+# banding i34, setop-over-join) top out at 5.  Six exchanges therefore means
+# either a genuinely new plan shape (commit a budget for it) or an
+# accidental extra shuffle (a bug) — nothing registered today needs it.
 EXCHANGE_WARN = 6
 CARTESIAN_OK = {"c06_cross"}       # cross join IS the operator
 BATCH_EVAL_OK = {"k01_python_udf",   # pickled scalar UDF IS the operator
