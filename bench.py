@@ -85,11 +85,12 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # Median of 3 timed runs per query: the box is shared, and single-shot
+    # Median of 5 timed runs per query: the box is shared, and single-shot
     # wall clock moved ~1.7x between rounds on byte-identical code
-    # (BENCH_r01 6.71s vs BENCH_r02 11.25s).  The median discards one
-    # co-tenant spike per query without inflating the suite runtime much.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # (BENCH_r01 6.71s vs BENCH_r02 11.25s); with 3 runs a single co-tenant
+    # spike still shifted medians ~1.4x round-over-round (i28 in r6).  Five
+    # runs discard two spikes per query for ~15s extra suite wall clock.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     def _median_time(qid: str) -> float:
         samples = []
         for _ in range(runs):

@@ -679,6 +679,26 @@ def i17_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_run_count(arr_sql: str) -> str:
+    """SQL expression: the count of the most frequent element of the string
+    array ``arr_sql``, computed map-side as the longest equal run of the
+    SORTED array (max frequency == max run length after sorting).  The
+    accumulator carries (prev element, current run, best run); ``<=>``
+    handles the null-prev seed.  O(n log n) per row, zero shuffles — the
+    kernel that lets i25 avoid an explode + (doc, token) count shuffle.
+    Pinned against Python's Counter in tests/test_property.py."""
+    return f"""aggregate(
+               array_sort({arr_sql}),
+               named_struct('prev', cast(null AS string),
+                            'run', 0L, 'best', 0L),
+               (acc, t) -> named_struct(
+                   'prev', t,
+                   'run', IF(t <=> acc.prev, acc.run + 1, 1L),
+                   'best', greatest(acc.best,
+                                    IF(t <=> acc.prev, acc.run + 1, 1L))),
+               acc -> acc.best)"""
+
+
 @query(
     "i25_repetition_filter",
     oracle="""
@@ -740,18 +760,7 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN transform(sequence(1, size(toks) - 2),
                      i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
                 ELSE cast(array() AS array<string>) END AS tg""",
-        # most-frequent-token count = longest equal run in the sorted
-        # array; the accumulator carries (prev token, current run, best)
-        """aggregate(
-               array_sort(toks),
-               named_struct('prev', cast(null AS string),
-                            'run', 0L, 'best', 0L),
-               (acc, t) -> named_struct(
-                   'prev', t,
-                   'run', IF(t <=> acc.prev, acc.run + 1, 1L),
-                   'best', greatest(acc.best,
-                                    IF(t <=> acc.prev, acc.run + 1, 1L))),
-               acc -> acc.best) AS top_cnt""",
+        f"{top_run_count('toks')} AS top_cnt",
     ).selectExpr(
         "doc_id", "n", "top_cnt",
         "size(tg) AS n_tri",

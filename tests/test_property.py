@@ -166,3 +166,29 @@ def test_hash_bucket_kernel_agreement(prop_env, key):
         [key]).fetchone()[0]
     assert sp == du, f"bucket divergence for {key!r}: spark={sp} duckdb={du}"
     assert 0 <= sp <= 255
+
+
+# the sorted-run kernel behind i25's shuffle-free top-token count: for ANY
+# token multiset, the longest equal run of the sorted array must equal the
+# max element frequency (what the explode+groupBy form — and the DuckDB
+# oracle — computes)
+_tokens = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=3), min_size=0, max_size=12)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(toks=_tokens)
+def test_top_run_count_matches_counter(prop_env, toks):
+    from collections import Counter
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import top_run_count
+
+    spark, _ = prop_env
+    sp = spark.sql(
+        f"SELECT {top_run_count('t')} AS best FROM "
+        "(SELECT split(:s, ',') AS t)",
+        args={"s": ",".join(toks)}).collect()[0].best
+    # split(':s', ',') of the joined string re-yields toks, except the
+    # empty list which arrives as [''] — mirror that on the Python side
+    py_toks = ",".join(toks).split(",")
+    assert sp == max(Counter(py_toks).values()), (toks, sp)
