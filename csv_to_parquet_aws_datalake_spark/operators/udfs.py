@@ -293,17 +293,39 @@ def k12_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     join expresses (interval alignment, per-key model scoring).  Here it
     re-derives an outer join + count so the DuckDB oracle can check the
     plumbing exactly: keys seen on either side must appear once, with
-    empty-side frames handled (the classic cogroup edge case)."""
+    empty-side frames handled (the classic cogroup edge case).
+
+    Scale shape: cogroup on a BUCKET of the key (pmod 64), not the key
+    itself, so each Python call receives a whole bucket and merges it with
+    vectorized pandas.  Cogrouping on the raw key is the applyInPandas
+    anti-pattern — one interpreter round-trip and one 1-row DataFrame per
+    key (measured 29 s for 15k keys at sf0.1, i.e. ~2 ms/key of pure
+    overhead; billions of keys at corpus scale).  Bucketing amortizes the
+    Python cost over keys while keeping output and oracle identical; the
+    bucket count is the parallelism knob."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n_buckets = 64
 
     def merge(key, cpdf, opdf):
-        bal = round(float(cpdf["c_acctbal"].iloc[0]), 2) if len(cpdf) else None
-        return pd.DataFrame(
-            {"custkey": [key[0]], "n_orders": [len(opdf)], "bal": [bal]})
+        oc = (opdf.groupby("o_custkey").size()
+              .rename("n").reset_index())
+        m = cpdf.merge(oc, left_on="c_custkey", right_on="o_custkey",
+                       how="outer")
+        bal = m["c_acctbal"].round(2)
+        return pd.DataFrame({
+            "custkey": m["c_custkey"]
+                .where(m["c_custkey"].notna(), m["o_custkey"])
+                .astype("int64"),
+            "n_orders": m["n"].fillna(0).astype("int64"),
+            # NaN -> None so customer-less keys arrive as SQL NULL, not NaN
+            "bal": bal.astype(object).where(bal.notna(), None),
+        })
 
+    cb = c.withColumn("bkt", F.pmod("c_custkey", F.lit(n_buckets)))
+    ob = o.withColumn("bkt", F.pmod("o_custkey", F.lit(n_buckets)))
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        cb.groupBy("bkt")
+        .cogroup(ob.groupBy("bkt"))
         .applyInPandas(merge, "custkey long, n_orders long, bal double")
     )
