@@ -266,7 +266,11 @@ def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="sh", outputCol="features",
                    numFeatures=1 << 18, binary=True)
-    feats = tf.transform(docs)
+    # pin the feature build: approxSimilarityJoin consumes it as BOTH join
+    # sides (plus the fit), and unpinned each consumer re-runs the full
+    # shingle + hashing pipeline (measured 6.4s -> 2.1s at sf0.1; output
+    # identical — params and seed are fixed)
+    feats = tf.transform(docs).localCheckpoint()
     lsh = MinHashLSH(inputCol="features", outputCol="bands",
                      numHashTables=8, seed=42)
     model = lsh.fit(feats)
