@@ -198,9 +198,12 @@ def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # pin the vector conversion: the fit and BOTH join sides consume it,
+    # and unpinned each re-scans and re-converts (same fix as i04; output
+    # identical under the fixed seed)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
-        .alias("features"))
+        .alias("features")).localCheckpoint()
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=1.0, numHashTables=4, seed=42)
