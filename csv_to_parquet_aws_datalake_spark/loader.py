@@ -30,13 +30,19 @@ TABLES = (
 )
 
 
-# (session, ntz-conf, sf_dir, name) -> DataFrame.  spark.read.parquet costs
-# ~75 ms per call (driver-side footer/schema job), and every fresh query
-# build loads 1-3 tables — memoizing the immutable source DataFrames takes
-# that off every rebuild (bench times a fresh build per run).  The NTZ conf
-# is part of the key because it changes what the read returns (and the
-# normalization branch taken); testdata paths are immutable within a round.
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# (session-id, ntz-conf, sf_dir, name) -> (session, DataFrame).  A
+# spark.read.parquet costs ~75 ms per call (driver-side footer/schema job),
+# and every fresh query build loads 1-3 tables — memoizing the immutable
+# source DataFrames takes that off every rebuild (bench times a fresh build
+# per run).  The NTZ conf is part of the key because it changes what the
+# read returns (and the normalization branch taken); testdata paths are
+# immutable within a round.  The value tuple holds the session object
+# DELIBERATELY: it pins the session alive so CPython can never reuse
+# id(spark) for a different session while its entries exist (id-keyed
+# caches are unsound without this).  Entries are never evicted — bounded in
+# practice by (sessions x 10 tables x sf_dirs), a few dozen tiny plan
+# objects per process; a process cycling many sessions pays that retention.
+_TABLE_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,7 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), ntz, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -56,7 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

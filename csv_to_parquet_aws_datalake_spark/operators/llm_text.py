@@ -753,7 +753,13 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode/shuffle form at any scale because the doc_id key space is the
     corpus itself: both shuffles it replaces moved every token."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # NULL-text docs must drop: the oracle's `JOIN topt` discards them
+    # (unnest of a NULL list yields no rows), and the pre-rewrite explode
+    # form did the same — without this filter the shuffle-free form would
+    # keep them with NULL metrics (fixture texts are never NULL, but the
+    # operator must not depend on that)
+    t = (d.filter(F.col("text").isNotNull())
+         .select("doc_id", F.split("text", " ").alias("toks")))
     # build the trigram array ONCE per row (Catalyst does not CSE
     # higher-order-function lambdas), then take both sizes from it —
     # mirroring the oracle's tri/tstats CTE split

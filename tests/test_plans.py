@@ -288,6 +288,9 @@ def test_registry_exchange_budget(spark, monkeypatch):
     # --write-budget`).  A query that quietly grows shuffles between rounds
     # fails here instead of only printing a warning in the advisory sweep.
     # Budgets were generated at sf0.001, so sweep the same scale.
+    # NOTE: the sweep executes write-query fixture setups under .scratch/,
+    # so this suite must run single-process (no pytest-xdist) — a parallel
+    # worker mid-read of the same curated layout would see it rebuilt.
     monkeypatch.syspath_prepend("/root/repo/tools")
     import plan_audit
 

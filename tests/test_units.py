@@ -507,7 +507,9 @@ def test_bench_compare_baseline_parsed_from_md(tmp_path, capsys, monkeypatch):
     assert baseline.get("q_join_topk") == 3.216, baseline
     assert len(baseline) == 10
 
-    # a query over 2x its baseline (but not slower than prev) flags exactly once
+    # a query over 2x its baseline (but not slower than prev) flags exactly
+    # once, and a query timed last round but MISSING now counts as a
+    # regression too (it stopped running — the worst outcome)
     prev = {"queries": {"q_join_topk": 7.0, "q_zero": 0.0}}
     cur = {"queries": {"q_join_topk": 7.0}}  # > 2 * 3.216, ratio 1.0
     p1, p2 = tmp_path / "prev.json", tmp_path / "cur.json"
@@ -518,7 +520,8 @@ def test_bench_compare_baseline_parsed_from_md(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 1
     assert "OVER 2x baseline" in out
-    assert "regressions: 1" in out
+    assert "GONE" in out  # q_zero vanished from the current round
+    assert "regressions: 2" in out  # one over-baseline + one gone
     # a legitimate 0.0 prev timing renders as 0.000, not '-'
     assert "0.000" in out
 

@@ -8,9 +8,12 @@ round-over-round — this tool makes that diff one command:
     python tools/bench_compare.py BENCH_r04.json BENCH_r05.json
 
 Flags any query slower than the previous round by more than WARN_RATIO
-(default 1.5x — beyond shared-box noise for a median-of-3) and any headline
-query over 2x its reference number parsed from BASELINE.md's measured table
-(BASELINE.json carries only metadata, not timings).
+(default 1.5x — beyond shared-box noise for bench.py's median-of-5; a
+median-of-3 round showed spurious 2.9x swings, see SURVEY §5 round-6 log),
+any headline query over 2x its reference number parsed from BASELINE.md's
+measured table (BASELINE.json carries only metadata, not timings), and any
+query present last round but MISSING from the current one — a vanished
+timing means the query stopped running, the worst regression of all.
 """
 
 from __future__ import annotations
@@ -71,7 +74,11 @@ def main() -> int:
         if a is None or b is None:
             fa = "-" if a is None else f"{a:.3f}"
             fb = "-" if b is None else f"{b:.3f}"
-            print(f"{name:32s} {fa:>8} {fb:>8} {'new' if a is None else 'gone':>7s}")
+            tag = "new" if a is None else "gone"
+            if tag == "gone":  # timed last round, missing now: a regression
+                regressions += 1
+                tag = "GONE"
+            print(f"{name:32s} {fa:>8} {fb:>8} {tag:>7s}")
             continue
         ratio = b / a if a else float("inf")
         flags = []

@@ -135,11 +135,16 @@ def main() -> int:
               f"{','.join(flags)}")
 
     if write_budget:
-        new = {n: c["exchanges"] for n, c in results.items() if "skipped" not in c}
+        # merge into the committed budgets: a prefix-filtered sweep must
+        # refresh only the queries it measured, never drop the rest
+        new = dict(budget)
+        new.update({n: c["exchanges"] for n, c in results.items()
+                    if "skipped" not in c})
         with open(BUDGET_PATH, "w") as fh:
             json.dump(new, fh, indent=1, sort_keys=True)
             fh.write("\n")
-        print(f"wrote {len(new)} budgets to {BUDGET_PATH}")
+        print(f"wrote {len(new)} budgets to {BUDGET_PATH} "
+              f"({len(results)} refreshed)")
 
     print(f"\nflagged: {len(flagged)}")
     for name, flags in flagged:
