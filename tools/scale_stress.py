@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scale-stress harness: does the curation hot path scale near-linearly?
+
+The correctness suite proves the kernels right at sf0.01-0.1; this tool
+probes the claim the docstrings make about 100 TB — that the expensive
+operators are corpus-LINEAR (banding equi-joins, broadcast gram joins,
+map-side aggregates), not quadratic.  It amplifies the documents table
+K-fold IN-FLIGHT (no writes): replica r prefixes every token with ``r<r>_``,
+so each replica is an independent shard — no cross-replica shingle, token,
+or fingerprint collisions — and the workload grows exactly K-fold.  A
+kernel whose wall clock grows much faster than K has a hidden superlinear
+stage that 1000x data would expose.
+
+Measured kernels (the shapes whose scale story the docstrings sell):
+- minhash_band_pairs (i34): signature agg + (band, key) equi-join
+- exact-dedup groupBy (i01/i35 shape): fingerprint shuffle only
+- tf-idf single-scan (i08 shape): one explode reused for tf/df/N
+- token top-k (i07 shape): map-side combine into a bounded group space
+
+Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
+extrapolation from K=1 (ratio ~<= 1 is healthy: fixed per-job overhead
+amortizes; >> 1 means superlinear work).  Single-shot timings on a shared
+box — read trends, not third digits.
+
+Usage: python tools/scale_stress.py [sf_dir] [K ...]   (default sf0.1, K=1 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def amplify(docs: DataFrame, k: int) -> DataFrame:
+    """K independent shards: replica r prefixes every token with r<r>_."""
+    if k == 1:
+        return docs
+    spark = docs.sparkSession
+    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
+    return (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+            F.regexp_replace(
+                "text", "(^| )",
+                F.concat(F.lit("$1r"), F.col("rep"), F.lit("_"))).alias("text"),
+        )
+    )
+
+
+def kernels():
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        minhash_band_pairs,
+    )
+
+    def banding(d):
+        return minhash_band_pairs(d)
+
+    def exact_dedup(d):
+        return (d.groupBy(F.md5("text").alias("fp"))
+                .agg(F.min("doc_id").alias("keep"),
+                     F.count(F.lit(1)).alias("n")))
+
+    def tfidf(d):
+        toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+        return tf.join(df_, "tok").select(
+            "doc_id", "tok", (F.col("tf") * F.log(F.lit(1000.0) / F.col("df"))))
+
+    def token_topk(d):
+        return (d.select(F.explode(F.split("text", " ")).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "tok").limit(50))
+
+    return {"i34_banding": banding, "i01_exact_dedup": exact_dedup,
+            "i08_tfidf": tfidf, "i07_token_topk": token_topk}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ks = [int(a) for a in args[1:]] or [1, 4, 16]
+
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+    from csv_to_parquet_aws_datalake_spark.session import build_session
+
+    spark = build_session("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    base: dict[str, float] = {}
+    unhealthy = 0
+    print(f"{'kernel':18s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
+    for k in ks:
+        # pin the amplified input so every kernel at this K reads the same
+        # materialized shard set (isolates kernel cost from amplification)
+        d = amplify(docs, k).localCheckpoint()
+        for name, fn in kernels().items():
+            t0 = time.perf_counter()
+            fn(d).write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            if k == ks[0]:
+                base[name] = sec / k
+            ratio = sec / (base[name] * k)
+            flag = ""
+            if ratio > 2.0 and k > ks[0]:
+                flag = "  SUPERLINEAR?"
+                unhealthy += 1
+            print(f"{name:18s} {k:4d} {n0 * k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
+    spark.stop()
+    return 1 if unhealthy else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
