@@ -17,13 +17,41 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _BASE = os.path.join(_REPO, ".scratch")
 
 
+def _source_fingerprint(norm_dir: str) -> str:
+    """Digest of (name, size, mtime_ns) for the dir's parquet files.
+
+    The driver REGENERATES testdata between rounds (same paths, new bytes);
+    reuse-aware fixtures (_SUCCESS short-circuits in scans.py / streaming)
+    keyed on the path alone would replay the previous round's data against
+    oracles reading the fresh files.  Folding the source files' stat
+    identity into the tag makes any regen land in a fresh directory — no
+    manual `rm -rf .scratch` step, no stale replays.  Stat of ~10 files,
+    cached per directory."""
+    h = hashlib.sha1(norm_dir.encode())
+    try:
+        for name in sorted(os.listdir(norm_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            st = os.stat(os.path.join(norm_dir, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # nonexistent dir: fall back to the pure-path tag
+    return h.hexdigest()[:8]
+
+
+_FP_CACHE: dict[str, str] = {}
+
+
 def scratch_dir(query_id: str, sf_dir: str, leaf: str = "") -> str:
-    # tag = basename + short hash of the FULL path: two data directories
-    # sharing a leaf name (e.g. /a/sf0.01 vs /b/sf0.01) must not collide,
-    # or reuse-aware queries (j05) would replay stale fixtures
+    # tag = basename + short hash of (full path + source file identity):
+    # two data directories sharing a leaf name must not collide, and a
+    # regenerated directory must not be mistaken for its previous contents
+    # — either way a reuse-aware query (j05) would replay stale fixtures
     norm = os.path.normpath(os.path.abspath(sf_dir))
-    sf_tag = (os.path.basename(norm) + "-"
-              + hashlib.sha1(norm.encode()).hexdigest()[:8])
+    fp = _FP_CACHE.get(norm)
+    if fp is None:
+        fp = _FP_CACHE[norm] = _source_fingerprint(norm)
+    sf_tag = os.path.basename(norm) + "-" + fp
     d = os.path.join(_BASE, query_id, sf_tag, leaf) if leaf else os.path.join(
         _BASE, query_id, sf_tag)
     os.makedirs(d if not leaf else os.path.dirname(d), exist_ok=True)
