@@ -253,7 +253,15 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Projection basis = embeddings 1..3 (data-derived, deterministic — no
     RNG, so the oracle can reproduce it).  Probes only the query's bucket:
     1/8 of the corpus in expectation; recall is traded for the candidate
-    set size, exactly like production IVF with nprobe=1."""
+    set size, exactly like production IVF with nprobe=1.
+
+    Scale note: a FIXED bit count saturates — mean bucket size is n/2^bits,
+    so candidate work per query grows linearly with corpus size once the
+    2^bits buckets fill.  The production knob is bits ≈ log2(n / target
+    bucket size): growing bits with log n keeps per-query candidates
+    constant.  3 bits here is sized for the fixture's ~10^3 vectors; at
+    10^9 vectors the same plan wants ~20 projection bits (and nprobe
+    multi-probe for recall, the i29 pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
     basis = (
         emb.filter(F.col("vec_id").isin(1, 2, 3))
