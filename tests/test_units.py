@@ -582,3 +582,68 @@ def test_scratch_dir_invalidates_on_source_regen(tmp_path):
     d2 = io_paths.scratch_dir("t99", str(src))
     assert d1 != d2
     io_paths._FP_CACHE.clear()
+
+
+def test_i42_entropy_matches_direct_definition(spark, monkeypatch):
+    # i42 and its oracle share the algebraic identity H = ln(T) - sum(c ln c)/T,
+    # so the differential cannot catch an algebra error present in BOTH; pin
+    # the Spark side against the direct definition -sum(p ln p) instead
+    import math
+    from collections import Counter
+
+    from csv_to_parquet_aws_datalake_spark.operators import llm_text as lt
+
+    corpus = [(1, "a a b c"), (2, "x x x x"), (3, "u v w z")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    monkeypatch.setattr(lt, "load_table", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in
+            lt.i42_token_entropy(spark, "ignored").collect()}
+
+    def direct(toks):
+        c, t = Counter(toks), len(toks)
+        return -sum(v / t * math.log(v / t) for v in c.values())
+
+    for doc_id, text in corpus:
+        toks = text.split()
+        assert rows[doc_id].n_tokens == len(toks)
+        assert rows[doc_id].n_unique == len(set(toks))
+        assert abs(rows[doc_id].entropy_nats - direct(toks)) <= 1e-6, doc_id
+    assert rows[2].entropy_nats == 0.0          # one repeated token
+    assert abs(rows[3].entropy_nats - math.log(4)) <= 1e-6  # uniform: ln(n)
+
+
+def test_e17_twa_matches_direct_recomputation(spark, monkeypatch):
+    # e17's oracle mirrors the same lead-interval formula, so pin the Spark
+    # side against a from-scratch Python recomputation: hold each value for
+    # [reading, next) microseconds, last reading per user drops out
+    import datetime
+
+    from csv_to_parquet_aws_datalake_spark.operators import windows as wmod
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    rows = [
+        # user 1: 10.0 held 60s, 20.0 held 30s -> twa (10*60+20*30)/90
+        (1, 10, ts("2024-01-01T00:00:00"), 10.0),
+        (1, 11, ts("2024-01-01T00:01:00"), 20.0),
+        (1, 12, ts("2024-01-01T00:01:30"), 99.0),   # last: dropped
+        # user 2: equal-ts tie broken by event_id -> 5.0 held 0us then 7.0 held 60s
+        (2, 20, ts("2024-01-01T00:00:00"), 5.0),
+        (2, 21, ts("2024-01-01T00:00:00"), 7.0),
+        (2, 22, ts("2024-01-01T00:01:00"), 1.0),    # last: dropped
+        # user 3: single reading -> no interval, user absent from output
+        (3, 30, ts("2024-01-01T00:00:00"), 42.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    monkeypatch.setattr(wmod, "load_table", lambda s, d, n: ev)
+    out = {r.user_id: r for r in
+           wmod.e17_time_weighted_avg(spark, "ignored").collect()}
+
+    assert set(out) == {1, 2}                      # user 3 has no interval
+    assert out[1].n_intervals == 2
+    assert abs(out[1].twa - round((10 * 60 + 20 * 30) / 90, 4)) <= 1e-9
+    # user 2: the zero-length interval contributes 0 weight to value 5.0
+    assert out[2].n_intervals == 2
+    assert abs(out[2].twa - 7.0) <= 1e-9
