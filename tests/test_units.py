@@ -647,3 +647,51 @@ def test_e17_twa_matches_direct_recomputation(spark, monkeypatch):
     # user 2: the zero-length interval contributes 0 weight to value 5.0
     assert out[2].n_intervals == 2
     assert abs(out[2].twa - 7.0) <= 1e-9
+
+
+def test_e18_running_distinct_matches_direct(spark, monkeypatch):
+    # e18's first-flag + running-sum rewrite is mirrored in its oracle; pin
+    # the Spark side against a literal "count distinct types seen so far"
+    import datetime
+
+    from csv_to_parquet_aws_datalake_spark.operators import windows as wmod
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    rows = [
+        (1, 10, ts("2024-01-01T00:00:00"), "a"),
+        (1, 11, ts("2024-01-01T00:01:00"), "b"),
+        (1, 12, ts("2024-01-01T00:02:00"), "a"),   # repeat: stays 2
+        (1, 13, ts("2024-01-01T00:03:00"), "c"),
+        (2, 20, ts("2024-01-01T00:00:00"), "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string")
+    monkeypatch.setattr(wmod, "load_table", lambda s, d, n: ev)
+    out = {r.event_id: r.distinct_types_so_far for r in
+           wmod.e18_cumulative_distinct(spark, "ignored").collect()}
+
+    seen: dict[int, set] = {}
+    for user_id, event_id, _, etype in rows:
+        seen.setdefault(user_id, set()).add(etype)
+        assert out[event_id] == len(seen[user_id]), event_id
+
+
+def test_k15_peak_frame_tie_breaks_earliest(spark, monkeypatch):
+    # two bit-identical frames produce an exact rms tie; the -1e-9 penalty
+    # must pick the EARLIEST frame on both engines — pin the Spark side
+    from csv_to_parquet_aws_datalake_spark.operators import multimodal as mm
+
+    frame = "z" * 64            # one 64-byte frame
+    quiet = " " * 64            # lower-energy frame (0x20 < 0x7a)
+    docs = spark.createDataFrame(
+        [(1, quiet + frame + frame),   # tie between frames 1 and 2 -> 1
+         (2, frame + quiet)],          # peak is frame 0
+        "doc_id long, text string")
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in
+           mm.k15_audio_energy(spark, "ignored").collect()}
+    assert out[1].n_frames == 3 and out[1].peak_frame == 1
+    assert out[2].n_frames == 2 and out[2].peak_frame == 0
+    assert out[2].peak_rms == 122.0  # ord('z') exactly, uniform frame
