@@ -695,3 +695,41 @@ def test_k15_peak_frame_tie_breaks_earliest(spark, monkeypatch):
     assert out[1].n_frames == 3 and out[1].peak_frame == 1
     assert out[2].n_frames == 2 and out[2].peak_frame == 0
     assert out[2].peak_rms == 122.0  # ord('z') exactly, uniform frame
+
+
+def test_b08_all_null_group_stays_null(spark, monkeypatch):
+    # a language whose every value is nulled (all doc_id % 5 == 0) has no
+    # median; the fill must leave NULL + was_imputed=true, not crash or
+    # invent a value — an edge the fixture corpus never produces
+    from csv_to_parquet_aws_datalake_spark.operators import projection as pj
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (5, "en", 99),
+         (10, "zz", 7), (15, "zz", 8)],       # zz: only %5==0 ids
+        "doc_id long, lang string, n_chars long")
+    monkeypatch.setattr(pj, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in
+           pj.b08_median_impute(spark, "ignored").collect()}
+    assert out[5].was_imputed and out[5].filled == 15   # median(10, 20)
+    assert not out[1].was_imputed and out[1].filled == 10
+    for i in (10, 15):                                  # no median exists
+        assert out[i].was_imputed and out[i].filled is None
+
+
+def test_i45_snapshot_diff_classifies_all_four_ways(spark, monkeypatch):
+    # pin each branch of the full-outer classification, including the
+    # palindrome case where the simulated edit is a fingerprint no-op
+    from csv_to_parquet_aws_datalake_spark.operators import llm_pipeline as lp
+
+    docs = spark.createDataFrame(
+        [(3, "a"),    # 3 % 11 == 3: absent from old     -> added
+         (5, "b"),    # 5 % 13 == 5: absent from new     -> removed
+         (7, "ab"),   # 7 % 7 == 0: old fp is reversed   -> changed
+         (21, "aa"),  # reversal of a palindrome         -> same
+         (1, "c")],   # untouched                        -> same
+        "doc_id long, text string")
+    monkeypatch.setattr(lp, "load_table", lambda s, d, n: docs)
+    out = {r.doc_id: r.status for r in
+           lp.i45_snapshot_diff(spark, "ignored").collect()}
+    assert out == {3: "added", 5: "removed", 7: "changed",
+                   21: "same", 1: "same"}
