@@ -863,10 +863,31 @@ def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming aggregate instead of an OOM array.  Same output contract as
     i22 (doc_id -> min doc_id of its cluster) and the same recursive-CTE
     oracle, so the two implementations police each other."""
-    edges = i03_shingle_jaccard(spark, sf_dir).select("da", "db")
+    edges = i03_shingle_jaccard(spark, sf_dir).select(
+        F.col("da").alias("a"), F.col("db").alias("b"))
+    nbmin = cc_components(edges)
+    # isolated docs label themselves
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id").join(nbmin, "doc_id", "left")
+        .select("doc_id",
+                F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
+                 .alias("cluster"))
+    )
+
+
+def cc_components(edges: DataFrame) -> DataFrame:
+    """The i27 kernel over any undirected (a, b) long-id edge frame:
+    alternating large-star / small-star rounds to a fixed point, returning
+    (doc_id, mn) where mn is the minimum node id reachable from doc_id
+    (i.e. its component label candidate; label = least(doc_id, mn)).  Only
+    nodes with at least one edge appear — callers handle isolated nodes.
+    Factored out so tools/scale_stress.py can drive it on amplified edge
+    sets; the loop bound and per-round plan are unchanged from the
+    registered query."""
     # symmetric directed edge set (u, v)
-    e = (edges.select(F.col("da").alias("u"), F.col("db").alias("v"))
-         .union(edges.select(F.col("db").alias("u"), F.col("da").alias("v")))
+    e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
          .distinct().localCheckpoint())
 
     def large_star(sym: DataFrame) -> DataFrame:
@@ -918,18 +939,10 @@ def i27_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         if a.exceptAll(b).union(b.exceptAll(a)).isEmpty():
             break
         cur = nxt
-    # converged: stars centered at component minima; label = least(self,
-    # min neighbor), isolated docs label themselves
-    d = load_table(spark, sf_dir, "documents")
+    # converged: stars centered at component minima
     sym = (cur.select(F.col("a").alias("doc_id"), F.col("b").alias("nb"))
            .union(cur.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))))
-    nbmin = sym.groupBy("doc_id").agg(F.min("nb").alias("mn"))
-    return (
-        d.select("doc_id").join(nbmin, "doc_id", "left")
-        .select("doc_id",
-                F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id")))
-                 .alias("cluster"))
-    )
+    return sym.groupBy("doc_id").agg(F.min("nb").alias("mn"))
 
 
 @query(

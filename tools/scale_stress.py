@@ -95,6 +95,26 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n0 = docs.count()
 
+    # connected components gets its own edge-based amplification: replica r
+    # offsets both endpoints by r * 2^40, giving K disjoint copies of the
+    # base component structure — rounds stay O(log component size) while
+    # per-round join/agg work grows K-fold.  The iterative kernel is the
+    # one whose scale behavior a single-shot plan can least predict.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        cc_components, minhash_band_pairs,
+    )
+
+    base_edges = (minhash_band_pairs(docs)
+                  .select(F.col("da").alias("a"), F.col("db").alias("b"))
+                  .localCheckpoint())
+
+    def cc_at(k: int):
+        reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
+        off = F.col("rep") * F.lit(1 << 40)
+        e = base_edges.crossJoin(reps).select(
+            (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
+        return cc_components(e)
+
     base: dict[str, float] = {}
     unhealthy = 0
     print(f"{'kernel':18s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
@@ -102,7 +122,9 @@ def main() -> int:
         # pin the amplified input so every kernel at this K reads the same
         # materialized shard set (isolates kernel cost from amplification)
         d = amplify(docs, k).localCheckpoint()
-        for name, fn in kernels().items():
+        timed = dict(kernels())
+        timed["i27_cc"] = lambda _d, _k=k: cc_at(_k)
+        for name, fn in timed.items():
             t0 = time.perf_counter()
             fn(d).write.format("noop").mode("overwrite").save()
             sec = time.perf_counter() - t0
