@@ -733,3 +733,24 @@ def test_i45_snapshot_diff_classifies_all_four_ways(spark, monkeypatch):
            lp.i45_snapshot_diff(spark, "ignored").collect()}
     assert out == {3: "added", 5: "removed", 7: "changed",
                    21: "same", 1: "same"}
+
+
+def test_cc_components_kernel_on_constructed_graph(spark):
+    # the extracted i27 kernel: a chain (diameter > round count would
+    # break plain propagation), a triangle, and a 2-clique must each
+    # label to their component minimum; isolated nodes are the caller's
+    # job and must NOT appear
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import cc_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),    # chain 1-5
+         (10, 11), (11, 12), (10, 12),      # triangle
+         (20, 21)],                         # pair
+        "a long, b long")
+    out = {r.doc_id: r.mn for r in cc_components(edges).collect()}
+    for node in (2, 3, 4, 5):
+        assert min(node, out[node]) == 1, (node, out[node])
+    for node in (11, 12):
+        assert min(node, out[node]) == 10
+    assert min(21, out[21]) == 20
+    assert 99 not in out and set(out) <= {1, 2, 3, 4, 5, 10, 11, 12, 20, 21}
