@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, norm
-from ..loader import load_table
+from ..loader import load_table, widen_if_narrow
 from ..registry import query
 
 
@@ -88,8 +88,14 @@ def i06_pairwise_sim_threshold(
     # once per VECTOR (n left-folds) instead of twice per PAIR (n^2) — the
     # same doubles in the same fold order, so values are bit-identical to
     # the unhoisted form, but per-pair work drops to one dot product
-    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-                   norm("embedding").alias("na"))
+    # widen the STREAMED side: a one-file scan is one task, which would run
+    # every pair's higher-order-function dot product on a single core (33 s
+    # for 2k vectors at sf0.1; 1.6 s widened).  No-op on multi-split
+    # inputs, and row-wise work is order-independent, so output is
+    # bit-identical.
+    a = widen_if_narrow(
+        emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                   norm("embedding").alias("na")))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
                    norm("embedding").alias("nb"))
     c = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
