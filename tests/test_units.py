@@ -754,3 +754,31 @@ def test_cc_components_kernel_on_constructed_graph(spark):
         assert min(node, out[node]) == 10
     assert min(21, out[21]) == 20
     assert 99 not in out and set(out) <= {1, 2, 3, 4, 5, 10, 11, 12, 20, 21}
+
+
+def test_i43_weight_endpoints_are_hash_independent(spark, monkeypatch):
+    # the weight endpoints must not depend on the hash: weight >= 1.0
+    # (n_chars >= 400) keeps the doc for EVERY hash value, weight 0
+    # (n_chars = 0) never keeps it — only the middle is probabilistic
+    from csv_to_parquet_aws_datalake_spark.operators import llm_pipeline as lp
+
+    docs = spark.createDataFrame(
+        [(i, 400 + i) for i in range(50)]        # all weight 1.0
+        + [(100 + i, 0) for i in range(50)],     # all weight 0.0
+        "doc_id long, n_chars long")
+    monkeypatch.setattr(lp, "load_table", lambda s, d, n: docs)
+    kept = {r.doc_id for r in lp.i43_weighted_sample(spark, "ignored").collect()}
+    assert kept == set(range(50)), "full-weight docs must all be kept"
+
+
+def test_i46_quantile_filter_keeps_boundary_values(spark, monkeypatch):
+    # 21 lengths 0..20 put the exact 5th/95th percentiles at 1.0 and 19.0
+    # (position p*(n-1)); the filter is inclusive so 1 and 19 stay
+    from csv_to_parquet_aws_datalake_spark.operators import llm_pipeline as lp
+
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(21)], "doc_id long, n_chars long")
+    monkeypatch.setattr(lp, "load_table", lambda s, d, n: docs)
+    kept = sorted(r.n_chars for r in
+                  lp.i46_length_quantile_filter(spark, "ignored").collect())
+    assert kept == list(range(1, 20))
