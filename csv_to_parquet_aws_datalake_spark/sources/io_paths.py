@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _BASE = os.path.join(_REPO, ".scratch")
@@ -25,21 +26,28 @@ def _source_fingerprint(norm_dir: str) -> str:
     keyed on the path alone would replay the previous round's data against
     oracles reading the fresh files.  Folding the source files' stat
     identity into the tag makes any regen land in a fresh directory — no
-    manual `rm -rf .scratch` step, no stale replays.  Stat of ~10 files,
-    cached per directory."""
+    manual `rm -rf .scratch` step, no stale replays.  Computed on EVERY
+    call (~10 os.stat, microseconds) — caching it would pin a pre-regen
+    tag for the process lifetime, recreating the staleness it removes."""
     h = hashlib.sha1(norm_dir.encode())
     try:
-        for name in sorted(os.listdir(norm_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            st = os.stat(os.path.join(norm_dir, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        names = sorted(os.listdir(norm_dir))
     except OSError:
-        pass  # nonexistent dir: fall back to the pure-path tag
+        return h.hexdigest()[:8]  # nonexistent dir: pure-path tag
+    for name in names:
+        if not name.endswith(".parquet"):
+            continue
+        try:
+            st = os.stat(os.path.join(norm_dir, name))
+        except OSError as exc:
+            # a file vanishing mid-scan (regen racing this run) must be
+            # VISIBLE — a silent partial digest would mint a transient tag
+            # whose fixtures no later run ever finds
+            print(f"[engine] WARNING: fingerprint skipping {name}: {exc}",
+                  file=sys.stderr)
+            continue
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:8]
-
-
-_FP_CACHE: dict[str, str] = {}
 
 
 def scratch_dir(query_id: str, sf_dir: str, leaf: str = "") -> str:
@@ -48,10 +56,7 @@ def scratch_dir(query_id: str, sf_dir: str, leaf: str = "") -> str:
     # regenerated directory must not be mistaken for its previous contents
     # — either way a reuse-aware query (j05) would replay stale fixtures
     norm = os.path.normpath(os.path.abspath(sf_dir))
-    fp = _FP_CACHE.get(norm)
-    if fp is None:
-        fp = _FP_CACHE[norm] = _source_fingerprint(norm)
-    sf_tag = os.path.basename(norm) + "-" + fp
+    sf_tag = os.path.basename(norm) + "-" + _source_fingerprint(norm)
     d = os.path.join(_BASE, query_id, sf_tag, leaf) if leaf else os.path.join(
         _BASE, query_id, sf_tag)
     os.makedirs(d if not leaf else os.path.dirname(d), exist_ok=True)

@@ -563,25 +563,25 @@ def test_i34_banding_never_misses_exact_duplicates(spark):
             assert out.get((a, b)) == 8, (a, b, out.get((a, b)))
 
 
-def test_scratch_dir_invalidates_on_source_regen(tmp_path):
+def test_scratch_dir_invalidates_on_source_regen(tmp_path, monkeypatch):
     # the driver regenerates testdata in place between rounds; the scratch
     # tag must change with the source files' stat identity so reuse-aware
-    # fixtures (_SUCCESS short-circuits) never replay stale data
+    # fixtures (_SUCCESS short-circuits) never replay stale data — even
+    # within ONE process (the fingerprint is deliberately uncached)
     import os
 
     from csv_to_parquet_aws_datalake_spark.sources import io_paths
 
+    monkeypatch.setattr(io_paths, "_BASE", str(tmp_path / "scratch"))
     src = tmp_path / "sfX"
     src.mkdir()
     f = src / "documents.parquet"
     f.write_bytes(b"v1")
     d1 = io_paths.scratch_dir("t99", str(src))
-    io_paths._FP_CACHE.clear()  # new process after a regen
     f.write_bytes(b"v2-bigger")
     os.utime(f, ns=(1, 1))
     d2 = io_paths.scratch_dir("t99", str(src))
     assert d1 != d2
-    io_paths._FP_CACHE.clear()
 
 
 def test_i42_entropy_matches_direct_definition(spark, monkeypatch):
