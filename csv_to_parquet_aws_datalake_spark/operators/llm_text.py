@@ -294,13 +294,22 @@ def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def i07_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return (
+        token_tf_df(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(30)
+    )
+
+
+def token_tf_df(d: DataFrame) -> DataFrame:
+    """The i07 kernel over any (doc_id, text, ...) frame: corpus-wide term
+    and document frequencies (the vocabulary-build aggregate).  Factored
+    out so tools/scale_stress.py amplifies the registered implementation;
+    i07 adds the bounded top-30 TakeOrdered on the result."""
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
-        .orderBy(F.desc("tf"), "tok")
-        .limit(30)
     )
 
 
@@ -327,7 +336,13 @@ def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it stays a shuffle join on term.  The corpus size N enters as a
     broadcast 1-row aggregate (not a driver-side count), so the whole query
     is a single lazy job."""
-    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_top_terms(d: DataFrame, top_n: int = 3) -> DataFrame:
+    """The i08 kernel over any (doc_id, text, ...) frame — factored out so
+    tools/scale_stress.py amplifies the registered implementation, not a
+    lookalike."""
     n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("nd")))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     # pin tf: both the score join and the df aggregate consume it, and
@@ -345,7 +360,7 @@ def i08_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "tok")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= top_n)
         .select("doc_id", "tok", F.round("tfidf_raw", 6).alias("tfidf"))
     )
 

@@ -11,10 +11,11 @@ or fingerprint collisions — and the workload grows exactly K-fold.  A
 kernel whose wall clock grows much faster than K has a hidden superlinear
 stage that 1000x data would expose.
 
-Measured kernels: minhash_band_pairs and cc_components are the REGISTERED
-implementations (factored out of i34/i27 for exactly this tool); the
-dedup/tfidf/topk rows are representative shapes of the i01/i35, i08, and
-i07 stages, labeled "-shape" so the report never claims code it didn't run.
+Measured kernels: minhash_band_pairs, tfidf_top_terms, token_tf_df, and
+cc_components are the REGISTERED implementations (factored out of
+i34/i08/i07/i27 for exactly this tool); the dedup row is the
+representative fingerprint-groupBy shape of i01/i35, labeled "-shape" so
+the report never claims code it didn't run.
 
 Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
 extrapolation from the smallest K (ratio ~<= 1 is healthy: fixed per-job
@@ -57,35 +58,23 @@ def amplify(docs: DataFrame, k: int) -> DataFrame:
 
 def kernels():
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        minhash_band_pairs,
+        minhash_band_pairs, tfidf_top_terms, token_tf_df,
     )
-
-    def banding(d):
-        return minhash_band_pairs(d)
 
     def exact_dedup(d):
         return (d.groupBy(F.md5("text").alias("fp"))
                 .agg(F.min("doc_id").alias("keep"),
                      F.count(F.lit(1)).alias("n")))
 
-    def tfidf(d):
-        toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-        df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-        return tf.join(df_, "tok").select(
-            "doc_id", "tok", (F.col("tf") * F.log(F.lit(1000.0) / F.col("df"))))
-
-    def token_topk(d):
-        return (d.select(F.explode(F.split("text", " ")).alias("tok"))
-                .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-                .orderBy(F.desc("n"), "tok").limit(50))
-
-    # banding (and cc below) drive the REGISTERED kernels
-    # (minhash_band_pairs / cc_components); the other three are
-    # representative SHAPES of the i01/i08/i07 stages, labeled as such so
-    # the report never claims to have run code it didn't
-    return {"banding[i34-kernel]": banding, "dedup-shape": exact_dedup,
-            "tfidf-shape": tfidf, "topk-shape": token_topk}
+    # banding/tfidf/token-stats (and cc below) drive the REGISTERED
+    # kernels (minhash_band_pairs / tfidf_top_terms / token_tf_df /
+    # cc_components — factored out of i34/i08/i07/i27 for exactly this);
+    # dedup-shape is the representative fingerprint-groupBy stage of
+    # i01/i35, labeled so the report never claims code it didn't run
+    return {"banding[i34-kernel]": minhash_band_pairs,
+            "dedup-shape": exact_dedup,
+            "tfidf[i08-kernel]": tfidf_top_terms,
+            "token-stats[i07-kernel]": token_tf_df}
 
 
 def main() -> int:
