@@ -782,3 +782,43 @@ def test_i46_quantile_filter_keeps_boundary_values(spark, monkeypatch):
     kept = sorted(r.n_chars for r in
                   lp.i46_length_quantile_filter(spark, "ignored").collect())
     assert kept == list(range(1, 20))
+
+
+def test_i44_token_ids_are_gapless_and_frequency_ordered(spark, monkeypatch):
+    # the vocabulary index contract: ids are 0..V-1 with no gaps, ordered
+    # by (count DESC, token) — an id gap or swap silently corrupts any
+    # embedding table sized off this output
+    from csv_to_parquet_aws_datalake_spark.operators import llm_text as lt
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c c")], "doc_id long, text string")
+    monkeypatch.setattr(lt, "load_table", lambda s, d, n: docs)
+    rows = sorted(lt.i44_vocab_index(spark, "ignored").collect(),
+                  key=lambda r: r.token_id)
+    assert [r.token_id for r in rows] == [0, 1, 2]
+    assert [(r.tok, r.cnt) for r in rows] == [("a", 3), ("b", 3), ("c", 3)]
+
+
+def test_i47_centroids_match_hand_average(spark, monkeypatch):
+    # component-wise mean over a posexploded join: two known vectors per
+    # language must average exactly, and n_vecs counts vectors per (lang,
+    # pos) — docs without an embedding drop out of the id join
+    from csv_to_parquet_aws_datalake_spark.operators import llm_vectors as lv
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (9, "fr")],  # 9 has no vector
+        "doc_id long, lang string")
+    embs = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [3.0, 5.0]), (3, [10.0, 0.0])],
+        "vec_id long, embedding array<double>")
+
+    def fake_load(s, d, n):
+        return docs if n == "documents" else embs
+
+    monkeypatch.setattr(lv, "load_table", fake_load)
+    out = {(r.lang, r.pos): r for r in
+           lv.i47_lang_centroids(spark, "ignored").collect()}
+    assert out[("en", 0)].centroid_v == 2.0 and out[("en", 0)].n_vecs == 2
+    assert out[("en", 1)].centroid_v == 4.0
+    assert out[("fr", 0)].centroid_v == 10.0 and out[("fr", 0)].n_vecs == 1
+    assert len(out) == 4
