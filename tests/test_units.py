@@ -822,3 +822,36 @@ def test_i47_centroids_match_hand_average(spark, monkeypatch):
     assert out[("en", 1)].centroid_v == 4.0
     assert out[("fr", 0)].centroid_v == 10.0 and out[("fr", 0)].n_vecs == 1
     assert len(out) == 4
+
+
+def test_d24_support_threshold_is_strict(spark, monkeypatch):
+    # the 0.05% support cut is STRICT (cnt * 2000 > n): a key at exactly
+    # the threshold must be excluded — off-by-one here silently changes
+    # which keys get salted at scale
+    from csv_to_parquet_aws_datalake_spark.operators import aggregation as ag
+
+    # n = 2000 rows: key 1 appears twice (0.1%, keep), key 2 exactly once
+    # (cnt*2000 == n, strict cut -> drop), the rest are unique fillers
+    rows = ([(1,)] * 2 + [(2,)] + [(100 + i,) for i in range(1997)])
+    li = spark.createDataFrame(rows, "l_partkey long")
+    monkeypatch.setattr(ag, "load_table", lambda s, d, n: li)
+    out = {r.l_partkey: r for r in ag.d24_heavy_hitters(spark, "ignored").collect()}
+    assert 1 in out and out[1].cnt == 2 and out[1].permille == 1.0
+    assert 2 not in out
+
+
+def test_i41_corpus_shares_sum_to_one(spark, monkeypatch):
+    # every document lands in exactly one (source, lang) cell, so the
+    # share column must partition the corpus
+    from csv_to_parquet_aws_datalake_spark.operators import llm_text as lt
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "en", 10, "a b"), (2, "s1", "en", 20, "c"),
+         (3, "s2", "fr", 30, "d e f"), (4, "s2", "en", 40, "g")],
+        "doc_id long, source string, lang string, n_chars long, text string")
+    monkeypatch.setattr(lt, "load_table", lambda s, d, n: docs)
+    rows = lt.i41_source_reputation(spark, "ignored").collect()
+    assert sum(r.docs for r in rows) == 4
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) <= 1e-9
+    cell = {(r.source, r.lang): r for r in rows}
+    assert cell[("s1", "en")].docs == 2 and cell[("s1", "en")].toks == 3
