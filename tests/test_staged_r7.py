@@ -1,0 +1,118 @@
+"""Round-7 staged queries (operators/staged_r7.py): oracle-differential
+at the driver's scale factor BEFORE they ever take a driver slot, plus
+the invariant pin for the one rows-only candidate.
+
+These run through the exact comparator the driver uses, so when round 7
+registers a staged query the first driver record should be green on
+arrival.  The suite also pins the freeze: staged names must NOT be in the
+registry this round.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from csv_to_parquet_aws_datalake_spark import registry
+from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import STAGED
+from csv_to_parquet_aws_datalake_spark.plans.checks import assert_no_antipatterns
+from tests.differential import compare
+
+registry.load_all()
+
+
+def test_staged_not_registered():
+    # the round-6 freeze: staging must not add driver-visible entries
+    overlap = set(STAGED) & set(registry.QUERIES)
+    assert not overlap, f"staged queries leaked into the registry: {overlap}"
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_matches_oracle(name, spark, oracle, sf_dir):
+    fn, sql = STAGED[name]
+    df = fn(spark, sf_dir)
+    assert_no_antipatterns(name, df)
+    if sql is None:
+        assert df.count() >= 0
+        return
+    compare(df, oracle, sql)
+
+
+def test_i49_is_exactly_k_and_weight_biased(spark, sf_dir):
+    # A-ES returns exactly k rows, and longer docs must be over-represented:
+    # the sample's mean n_chars should exceed the corpus mean (weights are
+    # proportional to n_chars).
+    from pyspark.sql import functions as F
+
+    fn, _ = STAGED["i49_weighted_topk_sample"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_i50_mixture_invariants(spark, sf_dir):
+    # temperature alpha=0.5 flattens: small sources gain share, the largest
+    # source loses; keep_p is a probability with max exactly 1.
+    fn, _ = STAGED["i50_domain_mixture"]
+    rows = {r["source"]: r for r in fn(spark, sf_dir).collect()}
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-3
+    assert abs(sum(r["temp_share"] for r in rows.values()) - 1.0) < 1e-3
+    assert max(r["keep_p"] for r in rows.values()) == pytest.approx(1.0)
+    assert all(0.0 < r["keep_p"] <= 1.0 for r in rows.values())
+    biggest = max(rows.values(), key=lambda r: r["n_toks"])
+    smallest = min(rows.values(), key=lambda r: r["n_toks"])
+    assert biggest["temp_share"] <= biggest["share"]
+    assert smallest["temp_share"] >= smallest["share"]
+
+
+def test_i52_sketch_inside_exact_bracket(spark, sf_dir):
+    # the d15-style pin: each approx_percentile answer must lie between the
+    # exact (q ± slack) quantiles.  slack = 1/acc + 2/n: the sketch's
+    # nominal rank error (acc=100 in the query) PLUS two ranks of
+    # discretization — the sketch returns a data value while quantile_cont
+    # interpolates between two, and on a 70-row language group a single
+    # rank is already 1.4%.
+    import duckdb
+
+    fn, _ = STAGED["i52_quantile_drift"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    for r in rows:
+        n = con.execute(
+            "SELECT count(*) FROM documents WHERE lang = ?", [r["lang"]]
+        ).fetchone()[0]
+        slack = 0.01 + 2.0 / n
+        for q, col in ((0.5, "approx_p50"), (0.9, "approx_p90")):
+            lo, hi = con.execute(
+                "SELECT quantile_cont(n_chars, ?), quantile_cont(n_chars, ?)"
+                " FROM documents WHERE lang = ?",
+                [max(q - slack, 0.0), min(q + slack, 1.0), r["lang"]],
+            ).fetchone()
+            assert lo <= r[col] <= hi, (r["lang"], col, r[col], lo, hi)
+    con.close()
+
+
+def test_i48_spans_are_maximal_and_duplicated(spark, sf_dir):
+    # every reported span really is wall-to-wall duplicated 5-grams, and
+    # spans in the same doc never touch (maximality: a gap of >=1 pos).
+    fn, _ = STAGED["i48_span_dedup"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "test corpus (31-token vocab) must produce duplicate grams"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["span_end"] - r["span_start"] >= 4  # at least one 5-gram
+        assert r["span_grams"] == r["span_end"] - 4 - r["span_start"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["span_start"])
+        for a, b in zip(spans, spans[1:]):
+            # consecutive dup positions would have merged into one island
+            assert b["span_start"] > (a["span_end"] - 4) + 1
