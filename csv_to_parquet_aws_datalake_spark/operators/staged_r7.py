@@ -108,23 +108,22 @@ def i48_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once in the corpus — the spans substring-dedup would cut,
     where document-level dedup (i01) sees nothing.
 
-    Plan: positional 5-grams (map-side posexplode), corpus-wide gram
-    counts (one shuffle on the gram, map-side combined), inner join of
-    positions against duplicated grams (same gram partitioning), then the
-    gaps-and-islands merge per document (pos − row_number is constant on
-    consecutive positions).  At 100 TB every stage keys on gram or doc_id
-    — nothing is quadratic and no suffix array is materialized; the gram
-    count table is the only global state, and it shrinks to the duplicated
-    sliver before the join fans back out.  Width 5 matches i33's
-    contamination gram.
+    Plan: positional 5-grams (map-side posexplode), then a window COUNT
+    partitioned by the gram — one shuffle on the gram, after which every
+    occurrence already knows its corpus-wide multiplicity, so "duplicated"
+    is a filter, not an agg-plus-join (which would either re-explode the
+    corpus or pin the full exploded frame).  The surviving sliver then
+    takes the gaps-and-islands merge per document (pos − row_number is
+    constant on consecutive positions).  At 100 TB both stages key on
+    gram resp. doc_id — nothing is quadratic and no suffix array is
+    materialized.  Width 5 matches i33's contamination gram.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = _spark_grams(d)
-    dup = (
-        grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1).select("g")
+    hits = (
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") > 1).select("doc_id", "pos")
     )
-    hits = grams.join(dup, "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "grp", F.col("pos") - F.row_number().over(w).cast("long"))
@@ -215,16 +214,18 @@ def i50_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanishing without replicating any data.
 
     Plan shape at 100 TB: ONE map-side-combined aggregate over the corpus
-    produces the per-source census (#sources rows, i.e. tiny); every
-    subsequent step — share, tempering, normalization — is arithmetic on
-    that tiny frame (broadcast 1-row totals, never a second corpus scan).
-    The keep_p column then drives a hash-uniform gate exactly like i43's.
+    produces the per-source census (#sources rows, i.e. tiny), pinned with
+    ``localCheckpoint`` (llm_text.py policy) so the share / tempering /
+    normalization arithmetic — three levels of totals, each a broadcast
+    1-row aggregate — reuses the census instead of re-scanning the corpus
+    once per total.  Every post-pin exchange moves #sources rows.  The
+    keep_p column then drives a hash-uniform gate exactly like i43's.
     """
     d = load_table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_toks"),
-    )
+    ).localCheckpoint()  # reused 4x (totals + output): pin the corpus scan
     tot = src.agg(F.sum("n_toks").cast("double").alias("tot"))
     shared = src.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_toks",
@@ -280,9 +281,13 @@ def i51_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora a stop-gram cut (drop grams present in nearly all sources,
     which contribute no discrimination) caps the hot-gram fanout — at
     vocab-31 test scale every gram is hot, which is exactly the stress.
+    The deduped (source, gram) frame is localCheckpoint-pinned: it feeds
+    three consumers (both self-join sides + the per-source counts), and
+    without the pin each would re-explode the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    sg = _spark_grams(d).select("source", "g").distinct()
+    sg = _spark_grams(d).select("source", "g").distinct() \
+        .localCheckpoint()  # reused 3x: pin the corpus gram explode
     cnt = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = sg.alias("a"), sg.alias("b")
     pairs = (

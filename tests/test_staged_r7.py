@@ -116,3 +116,51 @@ def test_i48_spans_are_maximal_and_duplicated(spark, sf_dir):
         for a, b in zip(spans, spans[1:]):
             # consecutive dup positions would have merged into one island
             assert b["span_start"] > (a["span_end"] - 4) + 1
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape pins: the staged docstrings make scale claims; enforce them the
+# way tests/test_plans.py does for registered queries, so they arrive in
+# round 7 already plan-audited.
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return sum(1 for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln
+               or "Exchange SinglePartition" in ln)
+
+
+def test_i48_single_scan_two_shuffles(spark, sf_dir):
+    plan = _plan(STAGED["i48_span_dedup"][0](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1     # window count, no re-explode
+    assert _shuffles(plan) <= 2                    # gram window + doc window
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_i49_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(STAGED["i49_weighted_topk_sample"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0
+
+
+def test_i50_i51_pin_the_corpus_scan(spark, sf_dir):
+    # localCheckpoint policy: the post-pin plan must contain NO parquet scan
+    # (the corpus was read exactly once, at pin time) — every remaining
+    # exchange moves the tiny census / gram sliver.
+    for name in ("i50_domain_mixture", "i51_contamination_matrix"):
+        plan = _plan(STAGED[name][0](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 0, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_i52_i53_one_shuffle_each(spark, sf_dir):
+    for name in ("i52_quantile_drift", "i53_packing_census"):
+        plan = _plan(STAGED[name][0](spark, sf_dir))
+        # i53's two post-window aggregations must REUSE the lang
+        # partitioning (HashPartitioning(lang) satisfies their clustering)
+        assert _shuffles(plan) <= 1, name
