@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..loader import load_table
+from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
@@ -71,18 +71,38 @@ _GRAMS_CTE = """
 """
 
 
-def _spark_grams(d: DataFrame) -> DataFrame:
-    """(doc_id, source, pos, g) positional 5-grams, map-side only."""
-    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+def _spark_grams(d: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, pos, g) positional 5-grams, map-side only."""
+    toks = d.select("doc_id", *extra, F.split("text", " ").alias("t"))
     return (
         toks.filter(F.size("t") >= 5)
         .select(
-            "doc_id", "source",
+            "doc_id", *extra,
             F.posexplode(F.expr(
                 "transform(sequence(0, size(t) - 5),"
                 " i -> concat_ws(' ', slice(t, i + 1, 5)))")).alias("pos", "g"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
+
+
+def span_dedup_spans(docs: DataFrame) -> DataFrame:
+    """Kernel behind i48 (staged): (doc_id, text) -> maximal spans of
+    corpus-duplicated 5-grams.  Factored out so tools/scale_stress.py can
+    amplify it — one gram-keyed window shuffle + one doc-keyed island
+    merge, both corpus-linear."""
+    grams = _spark_grams(docs)
+    hits = (
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") > 1).select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w).cast("long"))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(4)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("span_grams"),
+    ).drop("grp")
 
 
 @_stage(
@@ -119,19 +139,9 @@ def i48_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized.  Width 5 matches i33's contamination gram.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = _spark_grams(d)
-    hits = (
-        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("n") > 1).select("doc_id", "pos")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w).cast("long"))
-    return isl.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + F.lit(4)).cast("long").alias("span_end"),
-        F.count(F.lit(1)).alias("span_grams"),
-    ).drop("grp")
+    # i34 precedent: parallelize the CPU-heavy gram explode on degenerate
+    # one-file local scans; a real multi-split corpus scan is untouched
+    return span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
 
 
 @_stage(
@@ -286,7 +296,7 @@ def i51_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the pin each would re-explode the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    sg = _spark_grams(d).select("source", "g").distinct() \
+    sg = _spark_grams(d, "source").select("source", "g").distinct() \
         .localCheckpoint()  # reused 3x: pin the corpus gram explode
     cnt = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = sg.alias("a"), sg.alias("b")

@@ -13,17 +13,19 @@ stage that 1000x data would expose.
 
 Measured kernels: minhash_band_pairs, tfidf_top_terms, token_tf_df, and
 cc_components are the REGISTERED implementations (factored out of
-i34/i08/i07/i27 for exactly this tool); the dedup row is the
-representative fingerprint-groupBy shape of i01/i35, labeled "-shape" so
-the report never claims code it didn't run.
+i34/i08/i07/i27 for exactly this tool); span_dedup_spans is the STAGED
+i48 kernel (operators/staged_r7.py, round-7 candidate); the dedup row is
+the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
+so the report never claims code it didn't run.
 
 Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
 extrapolation from the smallest K (ratio ~<= 1 is healthy: fixed per-job
-overhead amortizes; >> 1 means superlinear work).  Every kernel runs once
-untimed at the smallest K first — an unwarmed baseline was measured 2-4x
-its steady state, which would deflate all later ratios and blind the
-SUPERLINEAR flag.  Single-shot timings on a shared box — read trends, not
-third digits.
+overhead amortizes; >> 1 means superlinear work).  Each K runs in a FRESH
+SparkContext with a per-context untimed warm-up pass and min-of-2 timed
+runs — see the harness-fairness block in main() for the measured
+single-JVM artifacts (serial 1-split map stages, cross-K checkpoint
+pollution, first-run GC/JIT spikes) that each measure neutralizes.
+Timings on a shared box — read trends, not third digits.
 
 Usage: python tools/scale_stress.py [sf_dir] [K ...]   (default sf0.1, K=1 4 16)
 """
@@ -60,6 +62,9 @@ def kernels():
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         minhash_band_pairs, tfidf_top_terms, token_tf_df,
     )
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+        span_dedup_spans,
+    )
 
     def exact_dedup(d):
         return (d.groupBy(F.md5("text").alias("fp"))
@@ -71,10 +76,14 @@ def kernels():
     # cc_components — factored out of i34/i08/i07/i27 for exactly this);
     # dedup-shape is the representative fingerprint-groupBy stage of
     # i01/i35, labeled so the report never claims code it didn't run
+    # span-dedup drives the STAGED i48 kernel (operators/staged_r7.py) —
+    # replica-prefixed tokens keep gram duplication per-shard, so output
+    # and the gram-window shuffle both grow exactly K-fold
     return {"banding[i34-kernel]": minhash_band_pairs,
             "dedup-shape": exact_dedup,
             "tfidf[i08-kernel]": tfidf_top_terms,
-            "token-stats[i07-kernel]": token_tf_df}
+            "token-stats[i07-kernel]": token_tf_df,
+            "span[i48-staged]": span_dedup_spans}
 
 
 def main() -> int:
@@ -83,56 +92,75 @@ def main() -> int:
     # ascending order is load-bearing: the first K is the per-unit baseline
     ks = sorted({int(a) for a in args[1:]}) or [1, 4, 16]
 
-    from csv_to_parquet_aws_datalake_spark.loader import load_table
-    from csv_to_parquet_aws_datalake_spark.session import build_session
-
-    spark = build_session("scale-stress")
-    spark.sparkContext.setLogLevel("ERROR")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n0 = docs.count()
-
-    # connected components gets its own edge-based amplification: replica r
-    # offsets both endpoints by r * 2^40, giving K disjoint copies of the
-    # base component structure — rounds stay O(log component size) while
-    # per-round join/agg work grows K-fold.  The iterative kernel is the
-    # one whose scale behavior a single-shot plan can least predict.
+    from csv_to_parquet_aws_datalake_spark.loader import (
+        load_table, widen_if_narrow,
+    )
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         cc_components, minhash_band_pairs,
     )
+    from csv_to_parquet_aws_datalake_spark.session import build_session
 
-    base_edges = (minhash_band_pairs(docs)
-                  .select(F.col("da").alias("a"), F.col("db").alias("b"))
-                  .localCheckpoint())
-
-    def cc_at(k: int):
-        reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
-        off = F.col("rep") * F.lit(1 << 40)
-        e = base_edges.crossJoin(reps).select(
-            (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
-        return cc_components(e)
-
-    # warm-up: run every kernel once at the smallest K UNTIMED, so the
-    # baseline excludes JVM/JIT/first-job startup.  An inflated baseline
-    # deflates every later ratio and blinds the SUPERLINEAR detector
-    # (measured: an unwarmed K=1 base ran ~2-4x its steady state).
-    d0 = amplify(docs, ks[0]).localCheckpoint()
-    for fn in kernels().values():
-        fn(d0).write.format("noop").mode("overwrite").save()
-    cc_at(ks[0]).write.format("noop").mode("overwrite").save()
-
+    # Harness-fairness measures, each motivated by a MEASURED artifact that
+    # had nothing to do with the kernels' algorithmic scaling:
+    #
+    # 1. widen_if_narrow before the pin: amplify() inherits the 1-split
+    #    local parquet scan, so without it every kernel's pre-shuffle map
+    #    stage (gram/shingle explode, hashing) runs on ONE core at EVERY K
+    #    — that measures serial-core throughput, not the distributed plan
+    #    the 100 TB claim is about (inflated span[i48] to a false
+    #    3.5x-superlinear: 89 s single-core vs ~4 s widened).
+    # 2. A FRESH SparkContext per K (same Python process, so the JVM and
+    #    its JIT state survive): within one long-lived context, pinned
+    #    checkpoint blocks and shuffle state accumulate across Ks and
+    #    late-running kernels at the largest K absorb the pressure —
+    #    span[i48] measured 40 s inside a polluted suite session vs
+    #    2.7-4.7 s in a fresh one, same input, same plan.
+    # 3. min of two executions per kernel: the first run of a plan in a
+    #    context can pay one-time GC/JIT costs (banding at K=16: 79 s
+    #    first, 17 s second).  Same motivation as bench.py's median-of-5.
+    #
+    # Per-K warm-up: the first kernel execution in each new context is
+    # absorbed by taking the min of the runs AFTER one untimed pass.
     base: dict[str, float] = {}
+    n0 = 0
     unhealthy = 0
     print(f"{'kernel':20s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
     for k in ks:
+        spark = build_session("scale-stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n0 = n0 or docs.count()
+
+        # connected components gets its own edge-based amplification:
+        # replica r offsets both endpoints by r * 2^40, giving K disjoint
+        # copies of the base component structure — rounds stay O(log
+        # component size) while per-round join/agg work grows K-fold.  The
+        # iterative kernel is the one whose scale behavior a single-shot
+        # plan can least predict.
+        base_edges = (minhash_band_pairs(docs)
+                      .select(F.col("da").alias("a"), F.col("db").alias("b"))
+                      .localCheckpoint())
+
+        def cc_at(kk: int):
+            reps = F.broadcast(
+                spark.range(kk).withColumnRenamed("id", "rep"))
+            off = F.col("rep") * F.lit(1 << 40)
+            e = base_edges.crossJoin(reps).select(
+                (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
+            return cc_components(e)
+
         # pin the amplified input so every kernel at this K reads the same
         # materialized shard set (isolates kernel cost from amplification)
-        d = d0 if k == ks[0] else amplify(docs, k).localCheckpoint()
+        d = widen_if_narrow(amplify(docs, k)).localCheckpoint()
         timed = dict(kernels())
         timed["cc[i27-kernel]"] = lambda _d, _k=k: cc_at(_k)
         for name, fn in timed.items():
-            t0 = time.perf_counter()
-            fn(d).write.format("noop").mode("overwrite").save()
-            sec = time.perf_counter() - t0
+            sec = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                fn(d).write.format("noop").mode("overwrite").save()
+                if i:  # run 0 is the per-context warm-up, never timed
+                    sec = min(sec, time.perf_counter() - t0)
             if k == ks[0]:
                 base[name] = sec / k
             ratio = sec / (base[name] * k)
@@ -141,7 +169,7 @@ def main() -> int:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
             print(f"{name:20s} {k:4d} {n0 * k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
-    spark.stop()
+        spark.stop()
     return 1 if unhealthy else 0
 
 
