@@ -164,3 +164,69 @@ def test_i52_i53_one_shuffle_each(spark, sf_dir):
         # i53's two post-window aggregations must REUSE the lang
         # partitioning (HashPartitioning(lang) satisfies their clustering)
         assert _shuffles(plan) <= 1, name
+
+
+# ---------------------------------------------------------------------------
+# From-scratch recomputations on constructed frames: i48's Spark side and
+# its oracle SHARE the gaps-and-islands formula, so the differential alone
+# cannot catch a both-engines-wrong formulation — pin the kernel against an
+# independent pure-Python reference (the test-strategy layer SURVEY §5.8
+# applies to formula-sharing queries).
+# ---------------------------------------------------------------------------
+
+
+def _py_span_reference(texts: dict[int, str], w: int = 5):
+    """Naive O(n^2) span finder: gram counts by dict, islands by scanning."""
+    grams: dict[str, int] = {}
+    pos_by_doc: dict[int, list[int]] = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - w + 1):
+            g = " ".join(toks[i:i + w])
+            grams[g] = grams.get(g, 0) + 1
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        pos_by_doc[doc_id] = [
+            i for i in range(len(toks) - w + 1)
+            if grams[" ".join(toks[i:i + w])] > 1
+        ]
+    out = []
+    for doc_id, positions in pos_by_doc.items():
+        run: list[int] = []
+        for p in positions + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.append((doc_id, run[0], run[-1] + w - 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return sorted(out)
+
+
+def test_i48_kernel_matches_pure_python_reference(spark):
+    import random
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+        span_dedup_spans,
+    )
+
+    rng = random.Random(481)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = {i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+             for i in range(40)}
+    # include a doc too short to gram (edge: must contribute nothing)
+    texts[99] = "alpha beta"
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_grams"])
+        for r in span_dedup_spans(df).collect())
+    assert got == _py_span_reference(texts)
+
+
+def test_i52_double_run_is_stable(spark, sf_dir):
+    # staged counterpart of t2_emulation's rows-only double-run: the sketch
+    # answer must be deterministic for identical input and partitioning
+    fn, _ = STAGED["i52_quantile_drift"]
+    one = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    two = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert one == two
