@@ -4,13 +4,13 @@ registered.
 SURVEY.md §7.5 budgets at most 7 new registry entries for round 7 (every
 new entry steals one driver re-proof slot, and round 7's stalest-first
 queue needs 43 slots for the r3-era backlog).  Round 6 froze the registry
-at 193, so these six land here: full implementations with DuckDB oracles,
+at 193, so these land here: full implementations with DuckDB oracles,
 exercised by ``tests/test_staged_r7.py`` through the SAME differential
 comparator the driver uses.  Registering one in round 7 is a mechanical
 move: wrap with ``@query`` in the right operators module and delete it
 here (the test file follows the registry automatically).
 
-The six (all public techniques, all training-pipeline curation):
+The seven (all public techniques, all training-pipeline curation):
 
 - i48 span-level exact substring dedup — the Lee et al. ("Deduplicating
   Training Data Makes Language Models Better", 2022) observation that
@@ -32,6 +32,9 @@ The six (all public techniques, all training-pipeline curation):
 - i53 packing-efficiency census — per-language fill-rate stats over
   i39's 512-token bins (the "how much context window are we wasting"
   dashboard number).
+- i54 span-coverage census — per source, the token share inside i48's
+  duplicated spans (the number substring-dedup cut decisions are made
+  on; composes the i48 kernel).
 """
 
 from __future__ import annotations
@@ -424,4 +427,65 @@ def i53_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("fill_rate"),
         F.sum(F.when(F.col("bin_toks") > 512, 1).otherwise(0))
          .alias("overflow_bins"),
+    )
+
+
+@_stage(
+    "i54_span_coverage",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hits AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM grams WHERE g IN (SELECT g FROM dup)
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+            FROM hits GROUP BY doc_id, grp
+        ),
+        cover AS (
+            SELECT doc_id,
+                   CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_toks
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS total_toks,
+               CAST(sum(coalesce(cover.dup_toks, 0)) AS BIGINT) AS dup_toks,
+               round(sum(coalesce(cover.dup_toks, 0))
+                     / CAST(sum(len(string_split(d.text, ' '))) AS DOUBLE), 6)
+                   AS dup_share
+        FROM documents d LEFT JOIN cover ON d.doc_id = cover.doc_id
+        GROUP BY d.source
+    """,
+)
+def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number substring-dedup decisions are made on: per source, the
+    fraction of tokens sitting inside corpus-duplicated 5-gram spans
+    (i48's maximal islands are disjoint within a doc, so their token
+    lengths sum exactly).  A source with high dup_share is boilerplate-
+    heavy and gets cut or span-stripped before training.
+
+    Plan: the i48 kernel (one scan, gram window + island merge), a per-doc
+    span-length aggregate that REUSES the island window's doc_id
+    partitioning, then a doc_id-keyed left join against the per-doc token
+    counts and a per-source rollup — everything keys on doc_id or source,
+    and the spans side carries three integers per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
+    cover = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_toks"))
+    toks = d.select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("n_toks"))
+    per_doc = toks.join(cover, "doc_id", "left").select(
+        "source", "n_toks", F.coalesce("dup_toks", F.lit(0)).alias("dup_toks"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        F.sum("dup_toks").alias("dup_toks"),
+        F.round(F.sum("dup_toks") / F.sum("n_toks").cast("double"), 6)
+         .alias("dup_share"),
     )
