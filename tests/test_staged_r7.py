@@ -230,3 +230,67 @@ def test_i52_double_run_is_stable(spark, sf_dir):
     one = sorted(map(tuple, fn(spark, sf_dir).collect()))
     two = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert one == two
+
+
+def test_i49_sample_is_partitioning_invariant(spark):
+    # the A-ES claim: membership is a pure function of (seed, doc_id, w) —
+    # the same frame at 1 and at 13 partitions must yield the same sample
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+        i49_weighted_topk_sample,
+    )
+
+    def sample_with(parts):
+        import csv_to_parquet_aws_datalake_spark.loader as loader
+
+        base = loader.load_table(spark, "/root/testdata/sf0.01", "documents")
+        d = base.repartition(parts)
+        # run the same expression chain as the query on the repartitioned
+        # frame (the query loads its own table, so recompute inline)
+        hx = F.md5(F.concat(F.lit("aes-seed-1:"),
+                            F.col("doc_id").cast("string")))
+        u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
+            / F.lit(4294967296.0)
+        k = F.pow(u, 1.0 / F.col("n_chars"))
+        rows = (d.select("doc_id", k.alias("k"))
+                .orderBy(F.desc("k"), "doc_id").limit(50).collect())
+        return [r["doc_id"] for r in rows]
+
+    assert sample_with(1) == sample_with(13)
+    # and the registered-path sample equals the inline recomputation
+    got = [r["doc_id"] for r in
+           i49_weighted_topk_sample(spark, "/root/testdata/sf0.01").collect()]
+    assert got == sample_with(7)
+
+
+def test_i51_matrix_on_constructed_sources(spark):
+    # hand-computed contamination matrix: srcA and srcB share exactly the
+    # grams of one common sentence; srcC shares nothing.
+    from csv_to_parquet_aws_datalake_spark.operators import staged_r7
+
+    common = "one two three four five six"          # 2 distinct 5-grams
+    rows = [
+        (1, common + " alpha", "srcA"),             # grams: 3
+        (2, common + " beta", "srcB"),              # grams: 3
+        (3, "p q r s t u v w", "srcC"),             # grams: 4, disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sg = staged_r7._spark_grams(df, "source").select("source", "g").distinct()
+    # reproduce the pair computation through the staged function by
+    # monkey-free direct call: build the same result via the public fn is
+    # not possible on a constructed frame (it loads documents), so pin the
+    # building blocks: shared-gram counts between the constructed sources
+    from pyspark.sql import functions as F
+
+    a, b = sg.alias("a"), sg.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .collect()
+    )
+    assert {(r["sa"], r["sb"]): r["shared"] for r in pairs} == {
+        ("srcA", "srcB"): 2,   # 'one..five' and 'two..six' only
+    }
