@@ -32,9 +32,9 @@ The seven (all public techniques, all training-pipeline curation):
 - i53 packing-efficiency census — per-language fill-rate stats over
   i39's 512-token bins (the "how much context window are we wasting"
   dashboard number).
-- i54 span-coverage census — per source, the token share inside i48's
-  duplicated spans (the number substring-dedup cut decisions are made
-  on; composes the i48 kernel).
+- i54 span-coverage census — per source, the share of tokens covered by
+  at least one corpus-duplicated 5-gram (exact token-interval union via
+  a lag window; the number substring-dedup cut decisions are made on).
 """
 
 from __future__ import annotations
@@ -88,16 +88,24 @@ def _spark_grams(d: DataFrame, *extra: str) -> DataFrame:
     )
 
 
+def dup_gram_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every 5-gram occurring more than once corpus-wide:
+    one gram-keyed window shuffle after the map-side explode.  Shared by
+    the span kernel (island merge) and the coverage census (token union —
+    the two aggregate DIFFERENTLY, see i54)."""
+    grams = _spark_grams(docs)
+    return (
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") > 1).select("doc_id", "pos")
+    )
+
+
 def span_dedup_spans(docs: DataFrame) -> DataFrame:
     """Kernel behind i48 (staged): (doc_id, text) -> maximal spans of
     corpus-duplicated 5-grams.  Factored out so tools/scale_stress.py can
     amplify it — one gram-keyed window shuffle + one doc-keyed island
     merge, both corpus-linear."""
-    grams = _spark_grams(docs)
-    hits = (
-        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("n") > 1).select("doc_id", "pos")
-    )
+    hits = dup_gram_positions(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "grp", F.col("pos") - F.row_number().over(w).cast("long"))
@@ -437,18 +445,15 @@ def i53_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
         hits AS (
             SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
             FROM grams WHERE g IN (SELECT g FROM dup)
-        ),
-        spans AS (
-            SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
-            FROM hits GROUP BY doc_id, grp
         ),
         cover AS (
             SELECT doc_id,
-                   CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_toks
-            FROM spans GROUP BY doc_id
+                   CAST(sum(CASE WHEN prev IS NULL THEN 5
+                                 ELSE least(pos - prev, 5) END) AS BIGINT)
+                       AS dup_toks
+            FROM hits GROUP BY doc_id
         )
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
@@ -463,21 +468,35 @@ def i53_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The number substring-dedup decisions are made on: per source, the
-    fraction of tokens sitting inside corpus-duplicated 5-gram spans
-    (i48's maximal islands are disjoint within a doc, so their token
-    lengths sum exactly).  A source with high dup_share is boilerplate-
-    heavy and gets cut or span-stripped before training.
+    fraction of tokens covered by at least one corpus-duplicated 5-gram.
 
-    Plan: the i48 kernel (one scan, gram window + island merge), a per-doc
-    span-length aggregate that REUSES the island window's doc_id
-    partitioning, then a doc_id-keyed left join against the per-doc token
-    counts and a per-source rollup — everything keys on doc_id or source,
-    and the spans side carries three integers per doc.
+    Coverage is an exact TOKEN-interval union, not a sum of i48 span
+    lengths: i48's islands are maximal in GRAM-position space, but two
+    islands separated by a 1-4 position gap still overlap in token space
+    (each gram covers 5 tokens), so summing span lengths double-counts
+    and can push dup_share past 1.0 (three-doc counterexample pinned in
+    tests/test_staged_r7.py).  Instead each duplicated gram position
+    contributes ``min(pos - prev_pos, 5)`` fresh tokens (5 for the first
+    in its doc) — the exact union length, one lag window in doc order.
+
+    Plan: the shared dup_gram_positions kernel (one scan, one gram-window
+    shuffle), a doc_id-partitioned lag + aggregate that REUSE one doc_id
+    exchange, then a doc_id-keyed left join against per-doc token counts
+    and a per-source rollup — everything keys on doc_id or source, and
+    the hits side carries two integers per duplicated gram.
     """
     d = load_table(spark, sf_dir, "documents")
-    spans = span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
-    cover = spans.groupBy("doc_id").agg(
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_toks"))
+    hits = dup_gram_positions(widen_if_narrow(d.select("doc_id", "text")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cover = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.lit(5))
+             .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
+             .alias("fresh"))
+        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
+    )
     toks = d.select("doc_id", "source",
                     F.size(F.split("text", " ")).alias("n_toks"))
     per_doc = toks.join(cover, "doc_id", "left").select(

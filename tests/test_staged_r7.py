@@ -232,7 +232,7 @@ def test_i52_double_run_is_stable(spark, sf_dir):
     assert one == two
 
 
-def test_i49_sample_is_partitioning_invariant(spark):
+def test_i49_sample_is_partitioning_invariant(spark, sf_dir):
     # the A-ES claim: membership is a pure function of (seed, doc_id, w) —
     # the same frame at 1 and at 13 partitions must yield the same sample
     from pyspark.sql import functions as F
@@ -244,7 +244,7 @@ def test_i49_sample_is_partitioning_invariant(spark):
     def sample_with(parts):
         import csv_to_parquet_aws_datalake_spark.loader as loader
 
-        base = loader.load_table(spark, "/root/testdata/sf0.01", "documents")
+        base = loader.load_table(spark, sf_dir, "documents")
         d = base.repartition(parts)
         # run the same expression chain as the query on the repartitioned
         # frame (the query loads its own table, so recompute inline)
@@ -260,7 +260,7 @@ def test_i49_sample_is_partitioning_invariant(spark):
     assert sample_with(1) == sample_with(13)
     # and the registered-path sample equals the inline recomputation
     got = [r["doc_id"] for r in
-           i49_weighted_topk_sample(spark, "/root/testdata/sf0.01").collect()]
+           i49_weighted_topk_sample(spark, sf_dir).collect()]
     assert got == sample_with(7)
 
 
@@ -294,3 +294,52 @@ def test_i51_matrix_on_constructed_sources(spark):
     assert {(r["sa"], r["sb"]): r["shared"] for r in pairs} == {
         ("srcA", "srcB"): 2,   # 'one..five' and 'two..six' only
     }
+
+
+def test_i54_coverage_is_token_union_not_span_sum(spark):
+    # the counterexample that killed the naive sum-of-span-lengths
+    # formula: i48 islands are maximal in GRAM space, but islands with a
+    # 1-4 position gap OVERLAP in token space.  doc X = t0..t12 with gram
+    # g4 unique (Y duplicates X's g0..g3, Z duplicates g5..g8) produces X
+    # islands (0,7) and (5,12): span lengths sum to 16 > 13 tokens, while
+    # the true covered-token union is all 13.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+        dup_gram_positions, span_dedup_spans,
+    )
+
+    t = [f"t{i}" for i in range(13)]
+    rows = [(1, " ".join(t)),             # doc X
+            (2, " ".join(t[0:8])),        # doc Y: duplicates X grams 0..3
+            (3, " ".join(t[5:13]))]       # doc Z: duplicates X grams 5..8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans_x = sorted(
+        (r["span_start"], r["span_end"])
+        for r in span_dedup_spans(df).collect() if r["doc_id"] == 1)
+    assert spans_x == [(0, 7), (5, 12)]           # overlapping in tokens
+    assert sum(e - s + 1 for s, e in spans_x) == 16  # the naive overcount
+
+    hits = dup_gram_positions(df)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cover = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .select("doc_id",
+                F.when(F.col("prev").isNull(), F.lit(5))
+                 .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
+                 .alias("fresh"))
+        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
+        .collect()
+    )
+    by_doc = {r["doc_id"]: r["dup_toks"] for r in cover}
+    assert by_doc[1] == 13                        # union, not 16
+    assert by_doc[2] == 8 and by_doc[3] == 8      # fully covered docs
+
+
+def test_i54_share_never_exceeds_one(spark, sf_dir):
+    fn, _ = STAGED["i54_span_coverage"]
+    for r in fn(spark, sf_dir).collect():
+        assert 0.0 <= r["dup_share"] <= 1.0, r
+        assert r["dup_toks"] <= r["total_toks"], r
