@@ -343,3 +343,13 @@ def test_i54_share_never_exceeds_one(spark, sf_dir):
     for r in fn(spark, sf_dir).collect():
         assert 0.0 <= r["dup_share"] <= 1.0, r
         assert r["dup_toks"] <= r["total_toks"], r
+
+
+def test_i54_plan_shape(spark, sf_dir):
+    # two column-pruned scans (grams path: doc_id+text; census path:
+    # doc_id+source+text), three keyed shuffles (gram window, doc_id
+    # window+join side, source rollup), never a cartesian
+    plan = _plan(STAGED["i54_span_coverage"][0](spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 2
+    assert _shuffles(plan) <= 4
+    assert "CartesianProduct" not in plan
