@@ -351,10 +351,18 @@ def e10_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization: new session when the gap to the
     previous event exceeds 30 minutes.  One shuffle on user_id; the
     streaming twin is j03 (session_window)."""
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The e10 kernel over any (user_id, ts, event_id, ...) frame —
+    factored out so tools/scale_stress.py can amplify it.  One user_id
+    window shuffle; the session agg reuses the window's partitioning."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         ev.withColumn("is_new", is_new)

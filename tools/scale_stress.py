@@ -16,7 +16,11 @@ cc_components are the REGISTERED implementations (factored out of
 i34/i08/i07/i27 for exactly this tool); span_dedup_spans is the STAGED
 i48 kernel (operators/staged_r7.py, round-7 candidate); the dedup row is
 the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
-so the report never claims code it didn't run.
+so the report never claims code it didn't run.  A second tranche
+amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
+drives the window-family kernels: sessionize (the registered e10 core)
+and asof_join_last_prior (the registered c09 core, on an events-derived
+right side).
 
 Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
 extrapolation from the smallest K (ratio ~<= 1 is healthy: fixed per-job
@@ -56,6 +60,43 @@ def amplify(docs: DataFrame, k: int) -> DataFrame:
                 F.concat(F.lit("$1r"), F.col("rep"), F.lit("_"))).alias("text"),
         )
     )
+
+
+def amplify_events(ev: DataFrame, k: int) -> DataFrame:
+    """K disjoint user shards: replica r offsets user_id/event_id by
+    r * 2^40, keeping every timestamp — per-user session and as-of
+    structure is identical in each replica, so the workload grows exactly
+    K-fold while window partition sizes stay constant."""
+    if k == 1:
+        return ev
+    spark = ev.sparkSession
+    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
+    off = F.col("rep") * F.lit(1 << 40)
+    return ev.crossJoin(reps).select(
+        (F.col("user_id") + off).alias("user_id"),
+        (F.col("event_id") + off).alias("event_id"),
+        "ts",
+    )
+
+
+def event_kernels():
+    from csv_to_parquet_aws_datalake_spark.operators.joins import (
+        asof_join_last_prior,
+    )
+    from csv_to_parquet_aws_datalake_spark.operators.windows import sessionize
+
+    def asof_shape(ev):
+        # left = every event; right = the sparse on-the-5-minute subset
+        # (the quotes side of a trades-vs-quotes as-of)
+        right = ev.filter(F.minute("ts") % 5 == 0).select("user_id", "ts")
+        return asof_join_last_prior(
+            ev, right, "user_id", "ts", "ts", "event_id", "prior_ts")
+
+    # sessionize drives the REGISTERED e10 kernel; asof drives the
+    # REGISTERED c09 core (asof_join_last_prior) on an events-derived
+    # right side, labeled "-shape" for the derived input
+    return {"sessionize[e10-kernel]": sessionize,
+            "asof-shape[c09-kernel]": asof_shape}
 
 
 def kernels():
@@ -122,9 +163,9 @@ def main() -> int:
     # Per-K warm-up: the first kernel execution in each new context is
     # absorbed by taking the min of the runs AFTER one untimed pass.
     base: dict[str, float] = {}
-    n0 = 0
+    n0 = n_ev = 0
     unhealthy = 0
-    print(f"{'kernel':20s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
+    print(f"{'kernel':24s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
     for k in ks:
         spark = build_session("scale-stress")
         spark.sparkContext.setLogLevel("ERROR")
@@ -149,11 +190,17 @@ def main() -> int:
                 (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
             return cc_components(e)
 
-        # pin the amplified input so every kernel at this K reads the same
+        # pin the amplified inputs so every kernel at this K reads the same
         # materialized shard set (isolates kernel cost from amplification)
         d = widen_if_narrow(amplify(docs, k)).localCheckpoint()
+        ev = load_table(spark, sf_dir, "events") \
+            .select("user_id", "event_id", "ts")
+        n_ev = n_ev or ev.count()
+        ep = widen_if_narrow(amplify_events(ev, k)).localCheckpoint()
         timed = dict(kernels())
         timed["cc[i27-kernel]"] = lambda _d, _k=k: cc_at(_k)
+        for name, fn in event_kernels().items():
+            timed[name] = lambda _d, _fn=fn, _ep=ep: _fn(_ep)
         for name, fn in timed.items():
             sec = float("inf")
             for i in range(3):
@@ -168,7 +215,8 @@ def main() -> int:
             if ratio > 2.0 and k > ks[0]:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
-            print(f"{name:20s} {k:4d} {n0 * k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
+            rows_k = (n_ev if name in event_kernels() else n0) * k
+            print(f"{name:24s} {k:4d} {rows_k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
         spark.stop()
     return 1 if unhealthy else 0
 
