@@ -20,7 +20,10 @@ so the report never claims code it didn't run.  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
 drives the window-family kernels: sessionize (the registered e10 core)
 and asof_join_last_prior (the registered c09 core, on an events-derived
-right side).
+right side).  Two more "-shape" rows cover the remaining families: the
+c01/q_join_topk fact equi-join + rollup (lineitem/orders, disjoint
+orderkey shards) and the i18-style SRP bucketed candidate self-join over
+embeddings (replica id folded into the bucket key).
 
 Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
 extrapolation from the smallest K (ratio ~<= 1 is healthy: fixed per-job
@@ -99,6 +102,82 @@ def event_kernels():
             "asof-shape[c09-kernel]": asof_shape}
 
 
+def amplify_fact(li: DataFrame, od: DataFrame, k: int):
+    """K disjoint order shards: replica r offsets every orderkey (and the
+    custkey aggregation key) by r * 2^40, so the equi-join and the
+    downstream agg both grow exactly K-fold with constant key-group
+    sizes."""
+    if k == 1:
+        return li, od
+    spark = li.sparkSession
+    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
+    off = F.col("rep") * F.lit(1 << 40)
+    return (
+        li.crossJoin(reps).select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            "l_extendedprice"),
+        od.crossJoin(reps).select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            (F.col("o_custkey") + off).alias("o_custkey")),
+    )
+
+
+def fact_join_shape(li: DataFrame, od: DataFrame) -> DataFrame:
+    """The c01/q_join_topk fact-side shape: lineitem equi-joins orders on
+    the orderkey and rolls up revenue per customer — the canonical
+    shuffle-hash-join whose 100 TB behavior is 'both sides shuffle once
+    on the join key, agg is map-side combined'.  Labeled "-shape": it is
+    the representative stage, not a registered query verbatim."""
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("l_extendedprice").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
+    """K disjoint vector shards: vectors are copied verbatim (cosine
+    structure identical per replica) and the replica id becomes part of
+    the bucket key downstream, so candidate generation never pairs across
+    replicas."""
+    spark = emb.sparkSession
+    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
+    off = F.col("rep") * F.lit(1 << 40)
+    return emb.crossJoin(reps).select(
+        "rep", (F.col("vec_id") + off).alias("vec_id"), "embedding")
+
+
+def srp_pairs_shape(emb: DataFrame) -> DataFrame:
+    """Embedding near-dup candidate generation, the i18/i29 scale path as
+    a self-join: 3-bit sign-random-projection code (data-derived basis,
+    first three vectors) buckets each vector; candidates are pairs inside
+    one (rep, bucket) — a bucket-keyed equi-join, never all-pairs.
+    Output: candidate-pair count per bucket."""
+    from csv_to_parquet_aws_datalake_spark.functions.vector import dot
+
+    basis = F.broadcast(
+        emb.filter(F.col("vec_id").isin(1, 2, 3)).agg(
+            F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
+            F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
+            F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
+        ))
+    coded = emb.crossJoin(basis).select(
+        "rep", "vec_id",
+        (F.when(dot("embedding", "b1") > 0, 4).otherwise(0)
+         + F.when(dot("embedding", "b2") > 0, 2).otherwise(0)
+         + F.when(dot("embedding", "b3") > 0, 1).otherwise(0)).alias("bucket"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(b, (F.col("a.rep") == F.col("b.rep"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.rep").alias("rep"), F.col("a.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def kernels():
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         minhash_band_pairs, tfidf_top_terms, token_tf_df,
@@ -163,7 +242,7 @@ def main() -> int:
     # Per-K warm-up: the first kernel execution in each new context is
     # absorbed by taking the min of the runs AFTER one untimed pass.
     base: dict[str, float] = {}
-    n0 = n_ev = 0
+    n0 = n_ev = n_li = n_emb = 0
     unhealthy = 0
     print(f"{'kernel':24s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
     for k in ks:
@@ -197,10 +276,26 @@ def main() -> int:
             .select("user_id", "event_id", "ts")
         n_ev = n_ev or ev.count()
         ep = widen_if_narrow(amplify_events(ev, k)).localCheckpoint()
+        li = load_table(spark, sf_dir, "lineitem") \
+            .select("l_orderkey", "l_extendedprice")
+        od = load_table(spark, sf_dir, "orders") \
+            .select("o_orderkey", "o_custkey")
+        n_li = n_li or li.count()
+        lik, odk = amplify_fact(li, od, k)
+        lik = widen_if_narrow(lik).localCheckpoint()
+        odk = widen_if_narrow(odk).localCheckpoint()
+        emb = load_table(spark, sf_dir, "embeddings") \
+            .select("vec_id", "embedding")
+        n_emb = n_emb or emb.count()
+        embk = widen_if_narrow(amplify_vectors(emb, k)).localCheckpoint()
         timed = dict(kernels())
         timed["cc[i27-kernel]"] = lambda _d, _k=k: cc_at(_k)
         for name, fn in event_kernels().items():
             timed[name] = lambda _d, _fn=fn, _ep=ep: _fn(_ep)
+        timed["join-shape[c01]"] = \
+            lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
+        timed["srp-pairs-shape[i18]"] = \
+            lambda _d, _e=embk: srp_pairs_shape(_e)
         for name, fn in timed.items():
             sec = float("inf")
             for i in range(3):
@@ -215,7 +310,14 @@ def main() -> int:
             if ratio > 2.0 and k > ks[0]:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
-            rows_k = (n_ev if name in event_kernels() else n0) * k
+            if name in event_kernels():
+                rows_k = n_ev * k
+            elif name.startswith("join-shape"):
+                rows_k = n_li * k
+            elif name.startswith("srp-pairs"):
+                rows_k = n_emb * k
+            else:
+                rows_k = n0 * k
             print(f"{name:24s} {k:4d} {rows_k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
         spark.stop()
     return 1 if unhealthy else 0
