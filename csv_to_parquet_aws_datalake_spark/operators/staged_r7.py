@@ -100,6 +100,25 @@ def dup_gram_positions(docs: DataFrame) -> DataFrame:
     )
 
 
+def dup_token_cover(hits: DataFrame) -> DataFrame:
+    """(doc_id, dup_toks): exact count of tokens covered by at least one
+    duplicated 5-gram, from dup_gram_positions output.  Each position
+    contributes ``min(pos - prev_pos, 5)`` fresh tokens (5 for the first
+    in its doc) — the exact interval union, NOT a sum of i48 span lengths
+    (which double-counts islands 1-4 positions apart).  One shared
+    implementation, called by both i54 and its independent test pin."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.lit(5))
+             .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
+             .alias("fresh"))
+        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
+    )
+
+
 def span_dedup_spans(docs: DataFrame) -> DataFrame:
     """Kernel behind i48 (staged): (doc_id, text) -> maximal spans of
     corpus-duplicated 5-grams.  Factored out so tools/scale_stress.py can
@@ -487,16 +506,7 @@ def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     hits = dup_gram_positions(widen_if_narrow(d.select("doc_id", "text")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cover = (
-        hits.withColumn("prev", F.lag("pos").over(w))
-        .select(
-            "doc_id",
-            F.when(F.col("prev").isNull(), F.lit(5))
-             .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
-             .alias("fresh"))
-        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
-    )
+    cover = dup_token_cover(hits)
     toks = d.select("doc_id", "source",
                     F.size(F.split("text", " ")).alias("n_toks"))
     per_doc = toks.join(cover, "doc_id", "left").select(

@@ -303,11 +303,8 @@ def test_i54_coverage_is_token_union_not_span_sum(spark):
     # g4 unique (Y duplicates X's g0..g3, Z duplicates g5..g8) produces X
     # islands (0,7) and (5,12): span lengths sum to 16 > 13 tokens, while
     # the true covered-token union is all 13.
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
-        dup_gram_positions, span_dedup_spans,
+        dup_gram_positions, dup_token_cover, span_dedup_spans,
     )
 
     t = [f"t{i}" for i in range(13)]
@@ -322,17 +319,9 @@ def test_i54_coverage_is_token_union_not_span_sum(spark):
     assert spans_x == [(0, 7), (5, 12)]           # overlapping in tokens
     assert sum(e - s + 1 for s, e in spans_x) == 16  # the naive overcount
 
-    hits = dup_gram_positions(df)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cover = (
-        hits.withColumn("prev", F.lag("pos").over(w))
-        .select("doc_id",
-                F.when(F.col("prev").isNull(), F.lit(5))
-                 .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
-                 .alias("fresh"))
-        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
-        .collect()
-    )
+    # drive the SAME production helper i54 uses (no inline re-derivation:
+    # a drifting copy would mask the exact bug this test exists to pin)
+    cover = dup_token_cover(dup_gram_positions(df)).collect()
     by_doc = {r["doc_id"]: r["dup_toks"] for r in cover}
     assert by_doc[1] == 13                        # union, not 16
     assert by_doc[2] == 8 and by_doc[3] == 8      # fully covered docs

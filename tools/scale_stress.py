@@ -65,21 +65,31 @@ def amplify(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def amplify_events(ev: DataFrame, k: int) -> DataFrame:
-    """K disjoint user shards: replica r offsets user_id/event_id by
-    r * 2^40, keeping every timestamp — per-user session and as-of
-    structure is identical in each replica, so the workload grows exactly
-    K-fold while window partition sizes stay constant."""
-    if k == 1:
-        return ev
-    spark = ev.sparkSession
+def shard_offset(df: DataFrame, k: int, id_cols: list[str],
+                 keep_cols: list[str], keep_rep: bool = False) -> DataFrame:
+    """The one replica-sharding scheme every tranche uses: cross-join a
+    broadcast ``rep`` range and offset each id column by rep * 2^40 —
+    K disjoint shards with identical internal structure, so the workload
+    grows exactly K-fold.  ``keep_rep`` retains the replica id for
+    kernels that fold it into a key (srp buckets); those callers need the
+    column even at k=1, so there is deliberately no k==1 short-circuit
+    when it is set."""
+    if k == 1 and not keep_rep:
+        return df.select(*id_cols, *keep_cols)
+    spark = df.sparkSession
     reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
     off = F.col("rep") * F.lit(1 << 40)
-    return ev.crossJoin(reps).select(
-        (F.col("user_id") + off).alias("user_id"),
-        (F.col("event_id") + off).alias("event_id"),
-        "ts",
-    )
+    cols = ([F.col("rep")] if keep_rep else []) + \
+        [(F.col(c) + off).alias(c) for c in id_cols] + \
+        [F.col(c) for c in keep_cols]
+    return df.crossJoin(reps).select(*cols)
+
+
+def amplify_events(ev: DataFrame, k: int) -> DataFrame:
+    """K disjoint user shards: offset user_id/event_id, keep every
+    timestamp — per-user session and as-of structure is identical in each
+    replica, so window partition sizes stay constant."""
+    return shard_offset(ev, k, ["user_id", "event_id"], ["ts"])
 
 
 def event_kernels():
@@ -103,23 +113,11 @@ def event_kernels():
 
 
 def amplify_fact(li: DataFrame, od: DataFrame, k: int):
-    """K disjoint order shards: replica r offsets every orderkey (and the
-    custkey aggregation key) by r * 2^40, so the equi-join and the
-    downstream agg both grow exactly K-fold with constant key-group
-    sizes."""
-    if k == 1:
-        return li, od
-    spark = li.sparkSession
-    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
-    off = F.col("rep") * F.lit(1 << 40)
-    return (
-        li.crossJoin(reps).select(
-            (F.col("l_orderkey") + off).alias("l_orderkey"),
-            "l_extendedprice"),
-        od.crossJoin(reps).select(
-            (F.col("o_orderkey") + off).alias("o_orderkey"),
-            (F.col("o_custkey") + off).alias("o_custkey")),
-    )
+    """K disjoint order shards: offset every orderkey (and the custkey
+    aggregation key), so the equi-join and the downstream agg both grow
+    exactly K-fold with constant key-group sizes."""
+    return (shard_offset(li, k, ["l_orderkey"], ["l_extendedprice"]),
+            shard_offset(od, k, ["o_orderkey", "o_custkey"], []))
 
 
 def fact_join_shape(li: DataFrame, od: DataFrame) -> DataFrame:
@@ -141,11 +139,7 @@ def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
     structure identical per replica) and the replica id becomes part of
     the bucket key downstream, so candidate generation never pairs across
     replicas."""
-    spark = emb.sparkSession
-    reps = F.broadcast(spark.range(k).withColumnRenamed("id", "rep"))
-    off = F.col("rep") * F.lit(1 << 40)
-    return emb.crossJoin(reps).select(
-        "rep", (F.col("vec_id") + off).alias("vec_id"), "embedding")
+    return shard_offset(emb, k, ["vec_id"], ["embedding"], keep_rep=True)
 
 
 def srp_pairs_shape(emb: DataFrame) -> DataFrame:
@@ -156,12 +150,19 @@ def srp_pairs_shape(emb: DataFrame) -> DataFrame:
     Output: candidate-pair count per bucket."""
     from csv_to_parquet_aws_datalake_spark.functions.vector import dot
 
-    basis = F.broadcast(
-        emb.filter(F.col("vec_id").isin(1, 2, 3)).agg(
-            F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
-            F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
-            F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
-        ))
+    basis_row = emb.filter(F.col("vec_id").isin(1, 2, 3)).agg(
+        F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
+        F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
+        F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
+    )
+    # a null basis vector would silently zero every sign bit and collapse
+    # the join to all-pairs-per-replica — a different (quadratic) workload
+    # than this row claims to measure; fail loudly instead
+    first = basis_row.collect()[0]
+    if any(first[c] is None for c in ("b1", "b2", "b3")):
+        raise ValueError("srp_pairs_shape needs vec_ids 1..3 in the input "
+                         "to derive its projection basis")
+    basis = F.broadcast(basis_row)
     coded = emb.crossJoin(basis).select(
         "rep", "vec_id",
         (F.when(dot("embedding", "b1") > 0, 4).otherwise(0)
@@ -243,6 +244,7 @@ def main() -> int:
     # absorbed by taking the min of the runs AFTER one untimed pass.
     base: dict[str, float] = {}
     n0 = n_ev = n_li = n_emb = 0
+    ev_names = set(event_kernels())
     unhealthy = 0
     print(f"{'kernel':24s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
     for k in ks:
@@ -262,12 +264,7 @@ def main() -> int:
                       .localCheckpoint())
 
         def cc_at(kk: int):
-            reps = F.broadcast(
-                spark.range(kk).withColumnRenamed("id", "rep"))
-            off = F.col("rep") * F.lit(1 << 40)
-            e = base_edges.crossJoin(reps).select(
-                (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
-            return cc_components(e)
+            return cc_components(shard_offset(base_edges, kk, ["a", "b"], []))
 
         # pin the amplified inputs so every kernel at this K reads the same
         # materialized shard set (isolates kernel cost from amplification)
@@ -310,7 +307,7 @@ def main() -> int:
             if ratio > 2.0 and k > ks[0]:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
-            if name in event_kernels():
+            if name in ev_names:
                 rows_k = n_ev * k
             elif name.startswith("join-shape"):
                 rows_k = n_li * k
