@@ -327,3 +327,224 @@ def i46_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "i49_weighted_topk_sample",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   -ln((CAST(concat('0x', substr(md5(concat('aes-seed-1:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                        + 0.5) / 4294967296.0)
+                   / greatest(n_chars, 1) AS k
+            FROM documents
+        )
+        SELECT doc_id, n_chars, round(k, 6) AS aes_key
+        FROM keyed ORDER BY k ASC, doc_id LIMIT 50
+    """,
+)
+def i49_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via order statistics
+    (Efraimidis–Spirakis A-ES): doc i draws u uniform in (0,1) and keeps
+    key E_i = -ln(u)/w_i with weight w = n_chars — an Exponential(w_i)
+    variate, so the k SMALLEST keys are exactly the A-ES weighted sample
+    (the classical u^(1/w)-largest formulation under the monotone map
+    k = -ln(·)/w; the exponential form spreads keys across (0, inf)
+    instead of compressing them toward 1.0, so a cross-engine 1-ULP libm
+    difference cannot flip a near-boundary membership — ADVICE r6).  u is
+    the md5-uniform kernel (first 8 hex digits of a seeded doc_id hash,
+    +0.5, /2^32), the same deterministic idiom as i36/i43, so membership
+    is a pure function of (seed, doc_id, w) and both engines compute the
+    identical sample.  greatest(n_chars, 1) guards the zero-length-doc
+    division identically on both sides (ADVICE r6: bare 1/0 is NULL in
+    DuckDB but IEEE on Spark 4.1 — a latent cross-engine divergence).
+
+    Unlike i43's Bernoulli gate (independent per-doc coin, random output
+    SIZE), A-ES yields EXACTLY k rows — what a budgeted curation pass
+    needs.  Map-side key + TakeOrderedAndProject top-k: no global sort,
+    no shuffle beyond the k-row reduction, scale-indifferent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("aes-seed-1:"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
+        / F.lit(4294967296.0)
+    k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.asc("k"), "doc_id").limit(50)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("aes_key"))
+    )
+
+
+@query(
+    "i50_domain_mixture",
+    oracle="""
+        WITH src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+            FROM documents GROUP BY source
+        ),
+        shared AS (
+            SELECT source, n_docs, n_toks,
+                   n_toks / (SELECT CAST(sum(n_toks) AS DOUBLE) FROM src)
+                       AS share
+            FROM src
+        ),
+        tempered AS (
+            SELECT *, pow(share, 0.5)
+                       / (SELECT sum(pow(share, 0.5)) FROM shared)
+                       AS temp_share
+            FROM shared
+        )
+        SELECT source, n_docs, n_toks, round(share, 6) AS share,
+               round(temp_share, 6) AS temp_share,
+               round((temp_share / share)
+                     / (SELECT max(temp_share / share) FROM tempered), 6)
+                   AS keep_p,
+               round((temp_share / share)
+                     / (SELECT max(temp_share / share) FROM tempered)
+                     * n_toks, 4) AS kept_toks
+        FROM tempered
+    """,
+)
+def i50_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (α = 0.5): flatten per-source token
+    shares to share^α (renormalized), then convert the reweighting to
+    downsample-only keep probabilities by dividing out the largest
+    upsampling ratio — the standard mixture step that keeps small domains
+    from vanishing without replicating any data.
+
+    Plan shape at 100 TB: ONE map-side-combined aggregate over the corpus
+    produces the per-source census (#sources rows, i.e. tiny), pinned with
+    ``localCheckpoint`` (llm_text.py policy) so the share / tempering /
+    normalization arithmetic — three levels of totals, each a broadcast
+    1-row aggregate — reuses the census instead of re-scanning the corpus
+    once per total.  Every post-pin exchange moves #sources rows.  The
+    keep_p column then drives a hash-uniform gate exactly like i43's.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_toks"),
+    ).localCheckpoint()  # reused 4x (totals + output): pin the corpus scan
+    tot = src.agg(F.sum("n_toks").cast("double").alias("tot"))
+    shared = src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_toks",
+        (F.col("n_toks") / F.col("tot")).alias("share"))
+    tw = shared.agg(F.sum(F.pow("share", 0.5)).alias("tw_sum"))
+    tempered = shared.crossJoin(F.broadcast(tw)).select(
+        "*", (F.pow("share", 0.5) / F.col("tw_sum")).alias("temp_share"))
+    mx = tempered.agg(
+        F.max(F.col("temp_share") / F.col("share")).alias("max_ratio"))
+    keep = (F.col("temp_share") / F.col("share")) / F.col("max_ratio")
+    return tempered.crossJoin(F.broadcast(mx)).select(
+        "source", "n_docs", "n_toks",
+        F.round("share", 6).alias("share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round(keep, 6).alias("keep_p"),
+        F.round(keep * F.col("n_toks"), 4).alias("kept_toks"),
+    )
+
+
+@query("i52_quantile_drift")  # sketch values are engine-specific -> rows-only
+def i52_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-drift dashboard: per language, exact p50/p90 of n_chars next
+    to approx_percentile's sketch answer (accuracy 100) and the relative
+    drift.  The monitoring query a pipeline runs to decide whether its
+    cheap sketches are still trustworthy as the corpus shifts.
+
+    Rows-only by design (like d10): the KLL/GK sketch answer is an
+    engine-specific value, so no cross-engine hash can match.  The local
+    invariant pin (tests/test_r7_queries.py) brackets each sketch answer
+    between the exact (q ± 1/accuracy ± 2 ranks) quantiles — the error
+    bound approx_percentile documents.  At 100 TB only the sketch side is
+    runnable (mergeable, bounded memory); the exact side exists to
+    measure it, here at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("exact_p90"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(100))
+         .cast("double").alias("approx_p50"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(100))
+         .cast("double").alias("approx_p90"),
+    )
+    drift = (lambda a, e:
+             F.round(F.abs(F.col(a) - F.col(e)) / F.col(e), 6))
+    return g.select(
+        "lang",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        "approx_p50",
+        F.round("exact_p90", 4).alias("exact_p90"),
+        "approx_p90",
+        drift("approx_p50", "exact_p50").alias("drift_p50"),
+        drift("approx_p90", "exact_p90").alias("drift_p90"),
+    )
+
+
+@query(
+    "i53_packing_census",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ), placed AS (
+            SELECT lang, n_toks,
+                   CAST((sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_toks) // 512 AS BIGINT) AS bin
+            FROM toks
+        ), bins AS (
+            SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS bin_toks
+            FROM placed GROUP BY lang, bin
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(bin_toks) AS BIGINT) AS total_toks,
+               round(avg(bin_toks), 4) AS avg_bin_toks,
+               CAST(max(bin_toks) AS BIGINT) AS max_bin_toks,
+               round(sum(bin_toks) / (count(*) * 512.0), 6) AS fill_rate,
+               CAST(sum(CASE WHEN bin_toks > 512 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS overflow_bins
+        FROM bins GROUP BY lang
+    """,
+)
+def i53_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency census over i39's 512-token bins: per language,
+    how many bins the greedy fixed-boundary packing produced, the average
+    and worst bin load, the overall fill rate, and how many bins overflow
+    (a doc straddling the boundary lands in its starting bin, so bins CAN
+    exceed 512 — the overflow count is the truncation the tokenizer will
+    actually perform).
+
+    Plan: i39's per-shard running-sum window (one hash shuffle on lang),
+    then two aggregations that both reuse the lang partitioning —
+    HashPartitioning(lang) satisfies the clustering requirement of the
+    (lang, bin) aggregate AND the final lang aggregate, so the census
+    adds ZERO exchanges beyond i39's own window shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("run_sum", F.sum("n_toks").over(w)).select(
+        "lang", "n_toks", F.expr("(run_sum - n_toks) div 512").alias("bin"))
+    bins = placed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("bin_toks"))
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_toks").alias("total_toks"),
+        F.round(F.avg("bin_toks"), 4).alias("avg_bin_toks"),
+        F.max("bin_toks").alias("max_bin_toks"),
+        F.round(F.sum("bin_toks") / (F.count(F.lit(1)) * F.lit(512.0)), 6)
+         .alias("fill_rate"),
+        F.sum(F.when(F.col("bin_toks") > 512, 1).otherwise(0))
+         .alias("overflow_bins"),
+    )

@@ -1459,3 +1459,253 @@ def i44_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("cnt"), "tok")
     return c.select(
         "tok", "cnt", (F.row_number().over(w) - 1).cast("long").alias("token_id"))
+
+
+# ---- span-level substring dedup (Lee et al. 2022), registered round 7 -----
+# Shared 5-gram CTE (i33's idiom: tokens -> positional grams).  DuckDB
+# list slicing t[a:b] is 1-based inclusive; Spark slice(t, a, n) is
+# 1-based with length — both produce the gram starting at 0-based pos i.
+_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+               array_to_string(t[i+1:i+5], ' ') AS g
+        FROM toks, unnest(range(0, len(t) - 5 + 1)) AS u(i)
+        WHERE len(t) >= 5
+    )
+"""
+
+
+def _spark_grams(d: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, pos, g) positional 5-grams, map-side only."""
+    toks = d.select("doc_id", *extra, F.split("text", " ").alias("t"))
+    return (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id", *extra,
+            F.posexplode(F.expr(
+                "transform(sequence(0, size(t) - 5),"
+                " i -> concat_ws(' ', slice(t, i + 1, 5)))")).alias("pos", "g"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def dup_gram_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every 5-gram occurring more than once corpus-wide:
+    one gram-keyed window shuffle after the map-side explode.  Shared by
+    the span kernel (island merge) and the coverage census (token union —
+    the two aggregate DIFFERENTLY, see i54)."""
+    grams = _spark_grams(docs)
+    return (
+        grams.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .filter(F.col("n") > 1).select("doc_id", "pos")
+    )
+
+
+def dup_token_cover(hits: DataFrame) -> DataFrame:
+    """(doc_id, dup_toks): exact count of tokens covered by at least one
+    duplicated 5-gram, from dup_gram_positions output.  Each position
+    contributes ``min(pos - prev_pos, 5)`` fresh tokens (5 for the first
+    in its doc) — the exact interval union, NOT a sum of i48 span lengths
+    (which double-counts islands 1-4 positions apart).  One shared
+    implementation, called by both i54 and its independent test pin."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.lit(5))
+             .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(5)))
+             .alias("fresh"))
+        .groupBy("doc_id").agg(F.sum("fresh").alias("dup_toks"))
+    )
+
+
+def span_dedup_spans(docs: DataFrame) -> DataFrame:
+    """Kernel behind i48: (doc_id, text) -> maximal spans of corpus-
+    duplicated 5-grams.  Factored out so tools/scale_stress.py can
+    amplify it — one gram-keyed window shuffle + one doc-keyed island
+    merge, both corpus-linear."""
+    hits = dup_gram_positions(docs)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w).cast("long"))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(4)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("span_grams"),
+    ).drop("grp")
+
+
+@query(
+    "i48_span_dedup",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hits AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM grams WHERE g IN (SELECT g FROM dup)
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 4 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS span_grams
+        FROM hits GROUP BY doc_id, grp
+    """,
+)
+def i48_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring duplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022): find, per
+    document, the maximal token spans made entirely of 5-grams that occur
+    more than once in the corpus — the spans substring-dedup would cut,
+    where document-level dedup (i01) sees nothing.
+
+    Plan: positional 5-grams (map-side posexplode), then a window COUNT
+    partitioned by the gram — one shuffle on the gram, after which every
+    occurrence already knows its corpus-wide multiplicity, so "duplicated"
+    is a filter, not an agg-plus-join (which would either re-explode the
+    corpus or pin the full exploded frame).  The surviving sliver then
+    takes the gaps-and-islands merge per document (pos − row_number is
+    constant on consecutive positions).  At 100 TB both stages key on
+    gram resp. doc_id — nothing is quadratic and no suffix array is
+    materialized.  Width 5 matches i33's contamination gram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # i34 precedent: parallelize the CPU-heavy gram explode on degenerate
+    # one-file local scans; a real multi-split corpus scan is untouched
+    return span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
+
+
+@query(
+    "i51_contamination_matrix",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        sg AS (SELECT DISTINCT source, g FROM grams),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                FROM sg GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared_grams,
+               round(shared_grams
+                     / CAST(ca.n_grams + cb.n_grams - shared_grams AS DOUBLE),
+                     6) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.source = source_a
+        JOIN cnt cb ON cb.source = source_b
+    """,
+)
+def i51_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every source pair, the number
+    of distinct 5-grams they share and the gram-set Jaccard — i33's
+    eval-vs-corpus check widened to an all-pairs matrix (which crawl is
+    leaking into which).
+
+    Scale: the (source, gram) frame is deduped FIRST, so the gram self-
+    join fans out at most C(#sources, 2) rows per gram — bounded by the
+    square of the source count (tens), never by corpus size.  One shuffle
+    for the dedup, one gram-keyed join, one tiny pair aggregate; the
+    per-source gram counts are a #sources-row broadcast.  On web-scale
+    corpora a stop-gram cut (drop grams present in nearly all sources,
+    which contribute no discrimination) caps the hot-gram fanout — at
+    vocab-31 test scale every gram is hot, which is exactly the stress.
+    The deduped (source, gram) frame is localCheckpoint-pinned: it feeds
+    three consumers (both self-join sides + the per-source counts), and
+    without the pin each would re-explode the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sg = _spark_grams(d, "source").select("source", "g").distinct() \
+        .localCheckpoint()  # reused 3x: pin the corpus gram explode
+    cnt = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"),
+                    F.col("n_grams").alias("na"))
+    cb = cnt.select(F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_grams",
+            F.round(
+                F.col("shared_grams")
+                / (F.col("na") + F.col("nb") - F.col("shared_grams"))
+                .cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "i54_span_coverage",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hits AS (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM grams WHERE g IN (SELECT g FROM dup)
+        ),
+        cover AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN prev IS NULL THEN 5
+                                 ELSE least(pos - prev, 5) END) AS BIGINT)
+                       AS dup_toks
+            FROM hits GROUP BY doc_id
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS total_toks,
+               CAST(sum(coalesce(cover.dup_toks, 0)) AS BIGINT) AS dup_toks,
+               round(sum(coalesce(cover.dup_toks, 0))
+                     / CAST(sum(len(string_split(d.text, ' '))) AS DOUBLE), 6)
+                   AS dup_share
+        FROM documents d LEFT JOIN cover ON d.doc_id = cover.doc_id
+        GROUP BY d.source
+    """,
+)
+def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number substring-dedup decisions are made on: per source, the
+    fraction of tokens covered by at least one corpus-duplicated 5-gram.
+
+    Coverage is an exact TOKEN-interval union, not a sum of i48 span
+    lengths: i48's islands are maximal in GRAM-position space, but two
+    islands separated by a 1-4 position gap still overlap in token space
+    (each gram covers 5 tokens), so summing span lengths double-counts
+    and can push dup_share past 1.0 (three-doc counterexample pinned in
+    tests/test_r7_queries.py).  Instead each duplicated gram position
+    contributes ``min(pos - prev_pos, 5)`` fresh tokens (5 for the first
+    in its doc) — the exact union length, one lag window in doc order.
+
+    Plan: the shared dup_gram_positions kernel (one scan, one gram-window
+    shuffle), a doc_id-partitioned lag + aggregate that REUSE one doc_id
+    exchange, then a doc_id-keyed left join against per-doc token counts
+    and a per-source rollup — everything keys on doc_id or source, and
+    the hits side carries two integers per duplicated gram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hits = dup_gram_positions(widen_if_narrow(d.select("doc_id", "text")))
+    cover = dup_token_cover(hits)
+    toks = d.select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("n_toks"))
+    per_doc = toks.join(cover, "doc_id", "left").select(
+        "source", "n_toks", F.coalesce("dup_toks", F.lit(0)).alias("dup_toks"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        F.sum("dup_toks").alias("dup_toks"),
+        F.round(F.sum("dup_toks") / F.sum("n_toks").cast("double"), 6)
+         .alias("dup_share"),
+    )

@@ -1,11 +1,19 @@
-"""Round-7 staged queries (operators/staged_r7.py): oracle-differential
-at the driver's scale factor BEFORE they ever take a driver slot, plus
-the invariant pin for the one rows-only candidate.
+"""Invariant pins for the round-7 registrations (i48-i54).
 
-These run through the exact comparator the driver uses, so when round 7
-registers a staged query the first driver record should be green on
-arrival.  The suite also pins the freeze: staged names must NOT be in the
-registry this round.
+The oracle differential itself is covered by tests/test_differential.py
+(these names are registered, so they run through the exact comparator the
+driver uses).  What lives HERE is everything the differential cannot see:
+
+- formula-sharing hazards: i48's Spark side and its oracle share the
+  gaps-and-islands formulation, so a both-engines-wrong formula would
+  pass the differential — pinned against an independent pure-Python
+  reference (SURVEY §5.8);
+- the i54 token-union-vs-span-sum counterexample (the bug class the
+  shared dup_token_cover helper exists to prevent);
+- semantic invariants (exactly-k, weight bias, partitioning invariance,
+  probability bounds, sketch-error brackets);
+- plan-shape pins mirroring tests/test_plans.py for the scale claims the
+  docstrings make.
 """
 
 from __future__ import annotations
@@ -13,28 +21,25 @@ from __future__ import annotations
 import pytest
 
 from csv_to_parquet_aws_datalake_spark import registry
-from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import STAGED
-from csv_to_parquet_aws_datalake_spark.plans.checks import assert_no_antipatterns
-from tests.differential import compare
 
 registry.load_all()
 
+R7_NAMES = (
+    "i48_span_dedup", "i49_weighted_topk_sample", "i50_domain_mixture",
+    "i51_contamination_matrix", "i52_quantile_drift", "i53_packing_census",
+    "i54_span_coverage",
+)
 
-def test_staged_not_registered():
-    # the round-6 freeze: staging must not add driver-visible entries
-    overlap = set(STAGED) & set(registry.QUERIES)
-    assert not overlap, f"staged queries leaked into the registry: {overlap}"
 
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_matches_oracle(name, spark, oracle, sf_dir):
-    fn, sql = STAGED[name]
-    df = fn(spark, sf_dir)
-    assert_no_antipatterns(name, df)
-    if sql is None:
-        assert df.count() >= 0
-        return
-    compare(df, oracle, sql)
+def test_r7_queries_are_registered():
+    missing = [n for n in R7_NAMES if n not in registry.QUERIES]
+    assert not missing, f"round-7 queries not registered: {missing}"
+    # i52 is the one rows-only-by-design entry (sketch values are
+    # engine-specific); every other r7 query must carry a DuckDB oracle
+    assert "i52_quantile_drift" not in registry.ORACLES
+    no_oracle = [n for n in R7_NAMES
+                 if n != "i52_quantile_drift" and n not in registry.ORACLES]
+    assert not no_oracle, f"round-7 queries missing oracles: {no_oracle}"
 
 
 def test_i49_is_exactly_k_and_weight_biased(spark, sf_dir):
@@ -43,8 +48,7 @@ def test_i49_is_exactly_k_and_weight_biased(spark, sf_dir):
     # proportional to n_chars).
     from pyspark.sql import functions as F
 
-    fn, _ = STAGED["i49_weighted_topk_sample"]
-    rows = fn(spark, sf_dir).collect()
+    rows = registry.QUERIES["i49_weighted_topk_sample"](spark, sf_dir).collect()
     assert len(rows) == 50
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     corpus_mean = (
@@ -57,7 +61,7 @@ def test_i49_is_exactly_k_and_weight_biased(spark, sf_dir):
 def test_i50_mixture_invariants(spark, sf_dir):
     # temperature alpha=0.5 flattens: small sources gain share, the largest
     # source loses; keep_p is a probability with max exactly 1.
-    fn, _ = STAGED["i50_domain_mixture"]
+    fn = registry.QUERIES["i50_domain_mixture"]
     rows = {r["source"]: r for r in fn(spark, sf_dir).collect()}
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-3
     assert abs(sum(r["temp_share"] for r in rows.values()) - 1.0) < 1e-3
@@ -70,7 +74,7 @@ def test_i50_mixture_invariants(spark, sf_dir):
 
 
 def test_i52_sketch_inside_exact_bracket(spark, sf_dir):
-    # the d15-style pin: each approx_percentile answer must lie between the
+    # the d10-style pin: each approx_percentile answer must lie between the
     # exact (q ± slack) quantiles.  slack = 1/acc + 2/n: the sketch's
     # nominal rank error (acc=100 in the query) PLUS two ranks of
     # discretization — the sketch returns a data value while quantile_cont
@@ -78,7 +82,7 @@ def test_i52_sketch_inside_exact_bracket(spark, sf_dir):
     # rank is already 1.4%.
     import duckdb
 
-    fn, _ = STAGED["i52_quantile_drift"]
+    fn = registry.QUERIES["i52_quantile_drift"]
     rows = fn(spark, sf_dir).collect()
     assert rows
     con = duckdb.connect()
@@ -103,7 +107,7 @@ def test_i52_sketch_inside_exact_bracket(spark, sf_dir):
 def test_i48_spans_are_maximal_and_duplicated(spark, sf_dir):
     # every reported span really is wall-to-wall duplicated 5-grams, and
     # spans in the same doc never touch (maximality: a gap of >=1 pos).
-    fn, _ = STAGED["i48_span_dedup"]
+    fn = registry.QUERIES["i48_span_dedup"]
     rows = fn(spark, sf_dir).collect()
     assert rows, "test corpus (31-token vocab) must produce duplicate grams"
     by_doc: dict[int, list] = {}
@@ -119,9 +123,8 @@ def test_i48_spans_are_maximal_and_duplicated(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Plan-shape pins: the staged docstrings make scale claims; enforce them the
-# way tests/test_plans.py does for registered queries, so they arrive in
-# round 7 already plan-audited.
+# Plan-shape pins: the docstrings make scale claims; enforce them the way
+# tests/test_plans.py does.
 # ---------------------------------------------------------------------------
 
 
@@ -136,14 +139,14 @@ def _shuffles(plan: str) -> int:
 
 
 def test_i48_single_scan_two_shuffles(spark, sf_dir):
-    plan = _plan(STAGED["i48_span_dedup"][0](spark, sf_dir))
+    plan = _plan(registry.QUERIES["i48_span_dedup"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1     # window count, no re-explode
     assert _shuffles(plan) <= 2                    # gram window + doc window
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 
 def test_i49_is_take_ordered_not_global_sort(spark, sf_dir):
-    plan = _plan(STAGED["i49_weighted_topk_sample"][0](spark, sf_dir))
+    plan = _plan(registry.QUERIES["i49_weighted_topk_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert _shuffles(plan) == 0
 
@@ -153,14 +156,14 @@ def test_i50_i51_pin_the_corpus_scan(spark, sf_dir):
     # (the corpus was read exactly once, at pin time) — every remaining
     # exchange moves the tiny census / gram sliver.
     for name in ("i50_domain_mixture", "i51_contamination_matrix"):
-        plan = _plan(STAGED[name][0](spark, sf_dir))
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
         assert plan.count("FileScan parquet") == 0, name
         assert "CartesianProduct" not in plan, name
 
 
 def test_i52_i53_one_shuffle_each(spark, sf_dir):
     for name in ("i52_quantile_drift", "i53_packing_census"):
-        plan = _plan(STAGED[name][0](spark, sf_dir))
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
         # i53's two post-window aggregations must REUSE the lang
         # partitioning (HashPartitioning(lang) satisfies their clustering)
         assert _shuffles(plan) <= 1, name
@@ -205,7 +208,7 @@ def _py_span_reference(texts: dict[int, str], w: int = 5):
 def test_i48_kernel_matches_pure_python_reference(spark):
     import random
 
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         span_dedup_spans,
     )
 
@@ -224,9 +227,9 @@ def test_i48_kernel_matches_pure_python_reference(spark):
 
 
 def test_i52_double_run_is_stable(spark, sf_dir):
-    # staged counterpart of t2_emulation's rows-only double-run: the sketch
+    # rows-only counterpart of t2_emulation's double-run: the sketch
     # answer must be deterministic for identical input and partitioning
-    fn, _ = STAGED["i52_quantile_drift"]
+    fn = registry.QUERIES["i52_quantile_drift"]
     one = sorted(map(tuple, fn(spark, sf_dir).collect()))
     two = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert one == two
@@ -236,10 +239,6 @@ def test_i49_sample_is_partitioning_invariant(spark, sf_dir):
     # the A-ES claim: membership is a pure function of (seed, doc_id, w) —
     # the same frame at 1 and at 13 partitions must yield the same sample
     from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
-        i49_weighted_topk_sample,
-    )
 
     def sample_with(parts):
         import csv_to_parquet_aws_datalake_spark.loader as loader
@@ -252,22 +251,25 @@ def test_i49_sample_is_partitioning_invariant(spark, sf_dir):
                             F.col("doc_id").cast("string")))
         u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
             / F.lit(4294967296.0)
-        k = F.pow(u, 1.0 / F.col("n_chars"))
+        k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
         rows = (d.select("doc_id", k.alias("k"))
-                .orderBy(F.desc("k"), "doc_id").limit(50).collect())
+                .orderBy(F.asc("k"), "doc_id").limit(50).collect())
         return [r["doc_id"] for r in rows]
 
     assert sample_with(1) == sample_with(13)
     # and the registered-path sample equals the inline recomputation
     got = [r["doc_id"] for r in
-           i49_weighted_topk_sample(spark, sf_dir).collect()]
+           registry.QUERIES["i49_weighted_topk_sample"](spark, sf_dir)
+           .collect()]
     assert got == sample_with(7)
 
 
 def test_i51_matrix_on_constructed_sources(spark):
     # hand-computed contamination matrix: srcA and srcB share exactly the
     # grams of one common sentence; srcC shares nothing.
-    from csv_to_parquet_aws_datalake_spark.operators import staged_r7
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators import llm_text
 
     common = "one two three four five six"          # 2 distinct 5-grams
     rows = [
@@ -276,13 +278,9 @@ def test_i51_matrix_on_constructed_sources(spark):
         (3, "p q r s t u v w", "srcC"),             # grams: 4, disjoint
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    sg = staged_r7._spark_grams(df, "source").select("source", "g").distinct()
-    # reproduce the pair computation through the staged function by
-    # monkey-free direct call: build the same result via the public fn is
-    # not possible on a constructed frame (it loads documents), so pin the
-    # building blocks: shared-gram counts between the constructed sources
-    from pyspark.sql import functions as F
-
+    sg = llm_text._spark_grams(df, "source").select("source", "g").distinct()
+    # pin the building blocks on a constructed frame (the public fn loads
+    # the documents table): shared-gram counts between constructed sources
     a, b = sg.alias("a"), sg.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -303,7 +301,7 @@ def test_i54_coverage_is_token_union_not_span_sum(spark):
     # g4 unique (Y duplicates X's g0..g3, Z duplicates g5..g8) produces X
     # islands (0,7) and (5,12): span lengths sum to 16 > 13 tokens, while
     # the true covered-token union is all 13.
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         dup_gram_positions, dup_token_cover, span_dedup_spans,
     )
 
@@ -328,7 +326,7 @@ def test_i54_coverage_is_token_union_not_span_sum(spark):
 
 
 def test_i54_share_never_exceeds_one(spark, sf_dir):
-    fn, _ = STAGED["i54_span_coverage"]
+    fn = registry.QUERIES["i54_span_coverage"]
     for r in fn(spark, sf_dir).collect():
         assert 0.0 <= r["dup_share"] <= 1.0, r
         assert r["dup_toks"] <= r["total_toks"], r
@@ -338,7 +336,7 @@ def test_i54_plan_shape(spark, sf_dir):
     # two column-pruned scans (grams path: doc_id+text; census path:
     # doc_id+source+text), three keyed shuffles (gram window, doc_id
     # window+join side, source rollup), never a cartesian
-    plan = _plan(STAGED["i54_span_coverage"][0](spark, sf_dir))
+    plan = _plan(registry.QUERIES["i54_span_coverage"](spark, sf_dir))
     assert plan.count("FileScan parquet") <= 2
     assert _shuffles(plan) <= 4
     assert "CartesianProduct" not in plan

@@ -11,10 +11,9 @@ or fingerprint collisions — and the workload grows exactly K-fold.  A
 kernel whose wall clock grows much faster than K has a hidden superlinear
 stage that 1000x data would expose.
 
-Measured kernels: minhash_band_pairs, tfidf_top_terms, token_tf_df, and
-cc_components are the REGISTERED implementations (factored out of
-i34/i08/i07/i27 for exactly this tool); span_dedup_spans is the STAGED
-i48 kernel (operators/staged_r7.py, round-7 candidate); the dedup row is
+Measured kernels: minhash_band_pairs, tfidf_top_terms, token_tf_df,
+cc_components, and span_dedup_spans are the REGISTERED implementations
+(factored out of i34/i08/i07/i27/i48 for exactly this tool); the dedup row is
 the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
 so the report never claims code it didn't run.  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
@@ -181,10 +180,7 @@ def srp_pairs_shape(emb: DataFrame) -> DataFrame:
 
 def kernels():
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        minhash_band_pairs, tfidf_top_terms, token_tf_df,
-    )
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r7 import (
-        span_dedup_spans,
+        minhash_band_pairs, span_dedup_spans, tfidf_top_terms, token_tf_df,
     )
 
     def exact_dedup(d):
@@ -192,19 +188,19 @@ def kernels():
                 .agg(F.min("doc_id").alias("keep"),
                      F.count(F.lit(1)).alias("n")))
 
-    # banding/tfidf/token-stats (and cc below) drive the REGISTERED
+    # banding/tfidf/token-stats/span (and cc below) drive the REGISTERED
     # kernels (minhash_band_pairs / tfidf_top_terms / token_tf_df /
-    # cc_components — factored out of i34/i08/i07/i27 for exactly this);
-    # dedup-shape is the representative fingerprint-groupBy stage of
-    # i01/i35, labeled so the report never claims code it didn't run
-    # span-dedup drives the STAGED i48 kernel (operators/staged_r7.py) —
-    # replica-prefixed tokens keep gram duplication per-shard, so output
-    # and the gram-window shuffle both grow exactly K-fold
+    # span_dedup_spans / cc_components — factored out of i34/i08/i07/
+    # i48/i27 for exactly this); dedup-shape is the representative
+    # fingerprint-groupBy stage of i01/i35, labeled so the report never
+    # claims code it didn't run.  For span, replica-prefixed tokens keep
+    # gram duplication per-shard, so output and the gram-window shuffle
+    # both grow exactly K-fold.
     return {"banding[i34-kernel]": minhash_band_pairs,
             "dedup-shape": exact_dedup,
             "tfidf[i08-kernel]": tfidf_top_terms,
             "token-stats[i07-kernel]": token_tf_df,
-            "span[i48-staged]": span_dedup_spans}
+            "span[i48-kernel]": span_dedup_spans}
 
 
 def main() -> int:
@@ -243,7 +239,7 @@ def main() -> int:
     # Per-K warm-up: the first kernel execution in each new context is
     # absorbed by taking the min of the runs AFTER one untimed pass.
     base: dict[str, float] = {}
-    n0 = n_ev = n_li = n_emb = 0
+    n0 = n_ev = n_li = n_emb = n_edges = 0
     ev_names = set(event_kernels())
     unhealthy = 0
     print(f"{'kernel':24s} {'K':>4s} {'rows':>9s} {'sec':>8s} {'vs-linear':>9s}")
@@ -262,6 +258,9 @@ def main() -> int:
         base_edges = (minhash_band_pairs(docs)
                       .select(F.col("da").alias("a"), F.col("db").alias("b"))
                       .localCheckpoint())
+        # cc consumes edge-amplified band-pair edges, so its rows column
+        # must report edges * k, not documents * k (ADVICE r6)
+        n_edges = n_edges or base_edges.count()
 
         def cc_at(kk: int):
             return cc_components(shard_offset(base_edges, kk, ["a", "b"], []))
@@ -313,6 +312,8 @@ def main() -> int:
                 rows_k = n_li * k
             elif name.startswith("srp-pairs"):
                 rows_k = n_emb * k
+            elif name.startswith("cc["):
+                rows_k = n_edges * k
             else:
                 rows_k = n0 * k
             print(f"{name:24s} {k:4d} {rows_k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
