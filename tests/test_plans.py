@@ -190,12 +190,16 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_zipf_partial_counts_before_vocabulary_window(spark, sf_dir):
-    # i30: the corpus-sized explode must combine map-side; only the
-    # vocabulary (bounded by Heaps' law) crosses the single-task window
-    plan = physical_plan(registry.QUERIES["i30_zipf_token_rank"](spark, sf_dir))
+def test_zipf_partial_counts_then_bounded_rank_join(spark, sf_dir):
+    # i30: the corpus-sized explode must combine map-side, and the rank/
+    # cumsum theta-join must run over the PINNED top-50 frame (ExistingRDD
+    # from the localCheckpoint), never the raw vocabulary — the top-k
+    # itself executed distributedly (TakeOrderedAndProject) at pin time
+    df = registry.QUERIES["i30_zipf_token_rank"](spark, sf_dir)
+    plan = physical_plan(df)
     assert "partial_count" in plan
-    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "ExistingRDD" in plan
+    assert 0 < df.count() <= 50  # vocab can be smaller than the top-k
 
 
 def test_cooccurrence_self_join_is_equi_on_doc_id(spark, sf_dir):
@@ -314,3 +318,28 @@ def test_registry_exchange_budget(spark, monkeypatch):
     assert not unbudgeted, (
         "new queries need budgets (plan_audit.py --write-budget): "
         + ", ".join(unbudgeted))
+
+
+def test_global_window_linter_detects_and_clears(spark, sf_dir):
+    # sanity of the new anti-pattern rule itself: a naive unpartitioned
+    # window must be flagged, a partitioned one must not, and the six
+    # formerly-global queries (VERDICT r6 items 3/4/7) must now be clean
+    from pyspark.sql.window import Window as W
+
+    from csv_to_parquet_aws_datalake_spark.plans.checks import (
+        unpartitioned_window_lines,
+    )
+
+    df = spark.range(10)
+    naive = df.select(F.row_number().over(W.orderBy("id")).alias("rn"))
+    assert unpartitioned_window_lines(physical_plan(naive))
+    part = df.select(
+        F.row_number().over(
+            W.partitionBy(F.col("id") % 2).orderBy("id")).alias("rn"))
+    assert not unpartitioned_window_lines(physical_plan(part))
+
+    for qid in ("e04_ntile", "e05_percent_cume", "e08_range_frame",
+                "i30_zipf_token_rank", "i40_token_rarity_score",
+                "i44_vocab_index"):
+        plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
+        assert not unpartitioned_window_lines(plan), qid

@@ -855,3 +855,94 @@ def test_i41_corpus_shares_sum_to_one(spark, monkeypatch):
     assert abs(sum(r.corpus_share for r in rows) - 1.0) <= 1e-9
     cell = {(r.source, r.lang): r for r in rows}
     assert cell[("s1", "en")].docs == 2 and cell[("s1", "en")].toks == 3
+
+
+def test_global_row_number_matches_naive_window(spark):
+    # the distributed three-stage formulation must reproduce the naive
+    # unpartitioned row_number exactly, at several input partitionings
+    # (invariance is the helper's contract), including desc order keys
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rng = random.Random(704)
+    rows = [(i, rng.randint(0, 9)) for i in range(257)]  # heavy value ties
+    base = spark.createDataFrame(rows, "k long, v long")
+    naive = {
+        r["k"]: r["rn"] for r in base.select(
+            "k", F.row_number().over(W.orderBy(F.desc("v"), "k")).alias("rn")
+        ).collect()
+    }
+    for parts in (1, 3, 8):
+        got = global_row_number(
+            base.repartition(parts), [F.desc("v"), F.asc("k")],
+            out="rn", total="n")
+        rows_got = got.collect()
+        assert {r["k"]: r["rn"] for r in rows_got} == naive, parts
+        assert all(r["n"] == 257 for r in rows_got)
+
+
+def test_e04_ntile_formula_matches_spark_ntile(spark):
+    # the closed-form (rn, N) tile arithmetic must equal Spark's own
+    # ntile across N % 4 in {0,1,2,3} — including N < 4 (q = 0)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    for n_rows in (3, 16, 17, 18, 19):
+        df = spark.range(n_rows).select(F.col("id").alias("k"))
+        expected = {
+            r["k"]: r["t"] for r in df.select(
+                "k", F.ntile(4).over(W.orderBy("k")).alias("t")).collect()
+        }
+        q, r = n_rows // 4, n_rows % 4
+        got = {}
+        for rn in range(1, n_rows + 1):
+            if rn <= r * (q + 1):
+                got[rn - 1] = (rn - 1) // (q + 1) + 1
+            else:
+                got[rn - 1] = r + (rn - r * (q + 1) - 1) // q + 1
+        assert got == expected, n_rows
+
+
+def test_vectorized_multimodal_kernels_handle_empty_payloads(spark, monkeypatch):
+    # the batch-vectorized decode kernels (k07/k13/k14/k15) must keep the
+    # per-row edge semantics of the old per-payload loops: zero-byte blobs
+    # degrade to 'empty' in k07, sub-frame payloads contribute no rows to
+    # k13/k15, and sub-64-byte docs are excluded from k14 upstream
+    from csv_to_parquet_aws_datalake_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "", 0),                       # zero bytes
+         (2, "ab", 2),                     # < one frame everywhere
+         (3, "x" * 70, 70),                # 2 k13-frames, 1 k15-frame, k14 ok
+         (4, "y" * 64, 64)],               # exactly one image/frame
+        "doc_id long, text string, n_chars long")
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+
+    k07 = {r["doc_id"]: r for r in
+           mm.k07_multimodal_decode(spark, "ignored").collect()}
+    assert k07[1]["decode_status"] == "empty" and k07[1]["mean_byte"] == 0
+    assert k07[3]["mean_byte"] == ord("x") and k07[3]["n_bytes"] == 70
+
+    k13 = mm.k13_frame_sample(spark, "ignored").collect()
+    by = {}
+    for r in k13:
+        by.setdefault(r["doc_id"], []).append((r["frame_id"], r["frame_mean"]))
+    assert 1 not in by and 2 not in by
+    assert by[3] == [(0, ord("x"))]        # frames 0..1, every 4th => frame 0
+    assert by[4] == [(0, ord("y"))]
+
+    k14 = mm.k14_image_resize(spark, "ignored").collect()
+    k14_docs = {r["doc_id"] for r in k14}
+    assert k14_docs == {3, 4}
+    assert len(k14) == 32 and all(r["pool"] in (ord("x"), ord("y"))
+                                  for r in k14)
+
+    k15 = {r["doc_id"]: r for r in mm.k15_audio_energy(spark, "ignored").collect()}
+    assert set(k15) == {3, 4}
+    assert k15[3]["n_frames"] == 1 and k15[3]["peak_rms"] == float(ord("x"))
