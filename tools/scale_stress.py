@@ -22,7 +22,11 @@ and asof_join_last_prior (the registered c09 core, on an events-derived
 right side).  Two more "-shape" rows cover the remaining families: the
 c01/q_join_topk fact equi-join + rollup (lineitem/orders, disjoint
 orderkey shards) and the i18-style SRP bucketed candidate self-join over
-embeddings (replica id folded into the bucket key).
+embeddings (replica id folded into the bucket key).  A streaming tranche
+(see stream_kernels) runs the j01/j03 aggregation shapes as real
+availableNow StreamingQuery executions over the amplified events written
+to a scratch directory — bounded-state tumbling vs K-growing session
+state, the two streaming scale regimes.
 
 Prints per-kernel seconds at each K plus the time ratio vs K-fold-linear
 extrapolation from the smallest K (ratio ~<= 1 is healthy: fixed per-job
@@ -131,6 +135,53 @@ def fact_join_shape(li: DataFrame, od: DataFrame) -> DataFrame:
         .agg(F.sum("l_extendedprice").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+def stream_kernels(spark, stream_path: str):
+    """The streaming tranche (VERDICT r6 item 8): the j-family was the only
+    operator family without a measured sublinearity datapoint.  Drives the
+    j01 (tumbling window + key) and j03 (session window per user) agg
+    SHAPES as REAL availableNow StreamingQuery runs over an amplified
+    parquet directory — labeled "-shape" because the inputs are the
+    amplified shards, not the registry's events source.  State scaling is
+    the point: tumbling keys on (window, user_id % 8), so state stays
+    bounded while input grows K-fold (the 100 TB dashboard shape); the
+    session shape keys on user_id, so state grows K-fold with the disjoint
+    user shards (the 100 TB per-entity shape).  Each run gets a fresh
+    checkpoint dir; the noop sink discards output so wall clock measures
+    source scan + state maintenance, not result materialization."""
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(stream_path).schema
+
+    def run(build, mode):
+        ck = tempfile.mkdtemp(prefix="scale_stress_ck_")
+        try:
+            raw = spark.readStream.schema(schema).parquet(stream_path)
+            q = (build(raw).writeStream.outputMode(mode).format("noop")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    def tumbling(raw):
+        return (raw.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"),
+                         (F.col("user_id") % 8).alias("g"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def session(raw):
+        return (raw.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                         "user_id")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    return {
+        "stream-tumbling[j01-shape]": lambda _d: run(tumbling, "update"),
+        "stream-session[j03-shape]": lambda _d: run(session, "append"),
+    }
 
 
 def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
@@ -272,6 +323,12 @@ def main() -> int:
             .select("user_id", "event_id", "ts")
         n_ev = n_ev or ev.count()
         ep = widen_if_narrow(amplify_events(ev, k)).localCheckpoint()
+        # the streaming tranche needs a DIRECTORY source: materialize the
+        # pinned amplified events once per K (untimed, like the pins)
+        stream_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch", f"stream_stress_k{k}")
+        ep.write.mode("overwrite").parquet(stream_path)
         li = load_table(spark, sf_dir, "lineitem") \
             .select("l_orderkey", "l_extendedprice")
         od = load_table(spark, sf_dir, "orders") \
@@ -292,11 +349,14 @@ def main() -> int:
             lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
         timed["srp-pairs-shape[i18]"] = \
             lambda _d, _e=embk: srp_pairs_shape(_e)
+        timed.update(stream_kernels(spark, stream_path))
         for name, fn in timed.items():
             sec = float("inf")
             for i in range(3):
                 t0 = time.perf_counter()
-                fn(d).write.format("noop").mode("overwrite").save()
+                out = fn(d)
+                if out is not None:  # stream kernels run to completion inside
+                    out.write.format("noop").mode("overwrite").save()
                 if i:  # run 0 is the per-context warm-up, never timed
                     sec = min(sec, time.perf_counter() - t0)
             if k == ks[0]:
@@ -306,7 +366,7 @@ def main() -> int:
             if ratio > 2.0 and k > ks[0]:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
-            if name in ev_names:
+            if name in ev_names or name.startswith("stream-"):
                 rows_k = n_ev * k
             elif name.startswith("join-shape"):
                 rows_k = n_li * k
@@ -318,6 +378,8 @@ def main() -> int:
                 rows_k = n0 * k
             print(f"{name:24s} {k:4d} {rows_k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
         spark.stop()
+        import shutil
+        shutil.rmtree(stream_path, ignore_errors=True)
     return 1 if unhealthy else 0
 
 
