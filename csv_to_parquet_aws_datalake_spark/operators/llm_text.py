@@ -1346,10 +1346,14 @@ def i40_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: corpus-sized explode partial-aggregates map-side; the
     vocabulary ranking is the DISTRIBUTED global_row_number (range
     partition + per-bucket rank + broadcast offsets — windows.py), so
-    even a 10^8-token multilingual vocabulary never serializes on one
-    task (formerly a vocabulary-sized single-task window, VERDICT r6
-    item 7); the ranked vocab then broadcasts back onto the token
-    stream."""
+    the RANKING no longer serializes on one task at any vocabulary size
+    (formerly a vocabulary-sized single-task window, VERDICT r6 item 7).
+    The join back onto the token stream is an explicit broadcast, which
+    is the right plan while vocab ≪ corpus (the realistic 10^5-10^6
+    regime); a pathological 10^8-entry vocabulary would outgrow a
+    broadcast, and the remedy THERE is dropping the hint (tok-keyed
+    shuffle join) or a frequency floor — the ranking stage stays valid
+    either way."""
     from .windows import global_row_number
 
     d = load_table(spark, sf_dir, "documents")
@@ -1638,7 +1642,10 @@ def i51_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the pin each would re-explode the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    sg = _spark_grams(d, "source").select("source", "g").distinct() \
+    # i48/i54 precedent: widen the CPU-heavy gram explode on degenerate
+    # one-file local scans, or the eager pin below serializes on one core
+    wide = widen_if_narrow(d.select("doc_id", "source", "text"))
+    sg = _spark_grams(wide, "source").select("source", "g").distinct() \
         .localCheckpoint()  # reused 3x: pin the corpus gram explode
     cnt = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = sg.alias("a"), sg.alias("b")

@@ -281,17 +281,18 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e08_range_frame",
+    # the oracle stays the ORIGINAL single-level RANGE-window formulation
+    # (not the per-size + theta-join algorithm the Spark side uses), so the
+    # differential remains an INDEPENDENT check on the reformulation — a
+    # shared formula would be blind to its own bugs (review r7 finding;
+    # same hazard class i48's pure-Python pin exists for)
     oracle="""
-        WITH s AS (
-            SELECT p_size, sum(CAST(p_retailprice AS DECIMAL(18,2))) AS ssum
-            FROM part GROUP BY p_size
-        ), w AS (
-            SELECT a.p_size, CAST(sum(b.ssum) AS DOUBLE) AS range_sum
-            FROM s a JOIN s b ON b.p_size BETWEEN a.p_size - 2 AND a.p_size
-            GROUP BY a.p_size
-        )
-        SELECT p.p_partkey, p.p_size, w.range_sum
-        FROM part p JOIN w USING (p_size)
+        SELECT p_partkey, p_size,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                    OVER (ORDER BY p_size
+                          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS range_sum
+        FROM part
     """,
 )
 def e08_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,19 +66,23 @@ def unpartitioned_window_lines(plan: str) -> list[str]:
     """Plan lines whose Window node has an EMPTY partition spec — the
     single-task global windows Spark warns about with "No Partition
     Defined".  A physical Window prints ``Window [exprs], [part], [order]``
-    when fully specified, ``Window [exprs], [part]`` with no ordering, and
-    ``Window [exprs], [order]`` when unpartitioned — the last two both have
-    one top-level "], [" separator, but only an ORDER spec carries sort
-    directions (SortOrder always prints ASC/DESC), so a single trailing
-    group WITH a direction marks the unpartitioned form.  (A
-    ``partitionBy(lit(0))`` does NOT escape this: Catalyst constant-folds
-    foldable partition expressions away, verified empirically on 4.1.)"""
+    when fully specified, ``Window [exprs], [part]`` with no ordering,
+    ``Window [exprs], [order]`` when unpartitioned, and bare
+    ``Window [exprs]`` when neither (e.g. a whole-table frame via
+    ``partitionBy()`` with no keys).  The one-separator forms are told
+    apart by the trailing group: only an ORDER spec carries sort
+    directions (SortOrder always prints ASC/DESC); the zero-separator
+    form is always unpartitioned.  (A ``partitionBy(lit(0))`` does NOT
+    escape this: Catalyst constant-folds foldable partition expressions
+    away, verified empirically on 4.1.)"""
     out = []
     for line in plan.splitlines():
         if "Window [" not in line:
             continue
         groups = line.split("Window [", 1)[1].split("], [")
-        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+        if len(groups) == 1 or (
+                len(groups) == 2
+                and (" ASC" in groups[1] or " DESC" in groups[1])):
             out.append(line.strip())
     return out
 

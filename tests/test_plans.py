@@ -333,10 +333,19 @@ def test_global_window_linter_detects_and_clears(spark, sf_dir):
     df = spark.range(10)
     naive = df.select(F.row_number().over(W.orderBy("id")).alias("rn"))
     assert unpartitioned_window_lines(physical_plan(naive))
+    # unpartitioned AND unordered (whole-table frame): the zero-separator
+    # form the first linter cut missed (review r7 finding)
+    bare = df.select(F.sum("id").over(W.partitionBy()).alias("s"))
+    assert unpartitioned_window_lines(physical_plan(bare))
     part = df.select(
         F.row_number().over(
             W.partitionBy(F.col("id") % 2).orderBy("id")).alias("rn"))
     assert not unpartitioned_window_lines(physical_plan(part))
+    # partitioned but unordered: one separator, no direction — NOT flagged
+    # (the false positive the ASC/DESC disambiguator exists for)
+    part_noord = df.select(
+        F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 2)).alias("c"))
+    assert not unpartitioned_window_lines(physical_plan(part_noord))
 
     for qid in ("e04_ntile", "e05_percent_cume", "e08_range_frame",
                 "i30_zipf_token_rank", "i40_token_rarity_score",

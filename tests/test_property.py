@@ -192,3 +192,42 @@ def test_top_run_count_matches_counter(prop_env, toks):
     # empty list which arrives as [''] — mirror that on the Python side
     py_toks = ",".join(toks).split(",")
     assert sp == max(Counter(py_toks).values()), (toks, sp)
+
+
+# ---------------------------------------------------------------------------
+# global_row_number (operators/windows.py): the distributed three-stage
+# formulation must equal sorted-enumerate for ANY value multiset and ANY
+# input partitioning, provided the order is tie-broken (the helper's
+# documented precondition).  Fewer examples than the SQL properties — each
+# runs three Spark jobs — but randomized values, duplicates, and partition
+# counts cover the boundary cases (empty-ish partitions, all-equal values,
+# single row).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=1,
+                  max_size=40),
+    parts=st.integers(min_value=1, max_value=9),
+    desc=st.booleans(),
+)
+def test_global_row_number_matches_sorted_enumerate(spark, vals, parts, desc):
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in enumerate(vals)], "k long, v long"
+    ).repartition(parts)
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    got = global_row_number(df, order, out="rn", total="n").collect()
+    expected = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(
+            enumerate(vals), key=lambda kv: (-kv[1] if desc else kv[1], kv[0])))
+    }
+    assert {r["k"]: r["rn"] for r in got} == expected
+    assert all(r["n"] == len(vals) for r in got)

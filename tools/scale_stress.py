@@ -147,40 +147,68 @@ def stream_kernels(spark, stream_path: str):
     the point: tumbling keys on (window, user_id % 8), so state stays
     bounded while input grows K-fold (the 100 TB dashboard shape); the
     session shape keys on user_id, so state grows K-fold with the disjoint
-    user shards (the 100 TB per-entity shape).  Each run gets a fresh
-    checkpoint dir; the noop sink discards output so wall clock measures
-    source scan + state maintenance, not result materialization."""
+    user shards (the 100 TB per-entity shape); the stream-stream join
+    (j08 shape) buffers watermark+range state on BOTH sides, keyed on the
+    sharded user_id.  The join's side filters are ts-derived (minute /
+    second parities), which replicate identically in every shard — an
+    event_id modulus would NOT (the rep offset shifts residues), and
+    uneven shards would break the exactly-K-fold premise.  Each run gets
+    a fresh checkpoint dir; the noop sink discards output so wall clock
+    measures source scan + state maintenance, not result
+    materialization."""
     import shutil
     import tempfile
 
     schema = spark.read.parquet(stream_path).schema
 
+    def read():
+        return spark.readStream.schema(schema).parquet(stream_path)
+
     def run(build, mode):
         ck = tempfile.mkdtemp(prefix="scale_stress_ck_")
         try:
-            raw = spark.readStream.schema(schema).parquet(stream_path)
-            q = (build(raw).writeStream.outputMode(mode).format("noop")
+            q = (build().writeStream.outputMode(mode).format("noop")
                  .option("checkpointLocation", ck)
                  .trigger(availableNow=True).start())
             q.awaitTermination()
         finally:
             shutil.rmtree(ck, ignore_errors=True)
 
-    def tumbling(raw):
-        return (raw.withWatermark("ts", "1 hour")
+    def tumbling():
+        return (read().withWatermark("ts", "1 hour")
                 .groupBy(F.window("ts", "1 hour").alias("w"),
                          (F.col("user_id") % 8).alias("g"))
                 .agg(F.count(F.lit(1)).alias("n")))
 
-    def session(raw):
-        return (raw.withWatermark("ts", "1 hour")
+    def session():
+        return (read().withWatermark("ts", "1 hour")
                 .groupBy(F.session_window("ts", "30 minutes").alias("w"),
                          "user_id")
                 .agg(F.count(F.lit(1)).alias("n")))
 
+    def sjoin():
+        left = (read().filter(F.minute("ts") % 5 == 0)
+                .withWatermark("ts", "1 hour")
+                .select("user_id", F.col("ts").alias("lts"),
+                        F.col("event_id").alias("lid")))
+        right = (read().filter(F.second("ts") % 2 == 0)
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("user_id").alias("r_user"),
+                         F.col("ts").alias("rts"),
+                         F.col("event_id").alias("rid")))
+        return left.join(
+            right,
+            (F.col("user_id") == F.col("r_user"))
+            & F.col("rts").between(
+                F.col("lts") - F.expr("INTERVAL 10 MINUTES"),
+                F.col("lts") + F.expr("INTERVAL 10 MINUTES")),
+            "inner",
+        ).select("lid", "rid")
+
     return {
         "stream-tumbling[j01-shape]": lambda _d: run(tumbling, "update"),
         "stream-session[j03-shape]": lambda _d: run(session, "append"),
+        "stream-join[j08-shape]": lambda _d: run(sjoin, "append"),
     }
 
 
