@@ -340,3 +340,43 @@ def test_i54_plan_shape(spark, sf_dir):
     assert plan.count("FileScan parquet") <= 2
     assert _shuffles(plan) <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_i53_census_matches_pure_python_packer(spark, monkeypatch):
+    # i53's bin formula ((run_sum - n_toks) div 512 in doc_id order) is
+    # SHARED with its oracle SQL, so the differential cannot catch a
+    # both-engines-wrong packing — pin against an independent pure-Python
+    # greedy packer (same hazard class as i48's pure-Python span pin).
+    import random
+
+    from csv_to_parquet_aws_datalake_spark.operators import llm_pipeline as lp
+
+    rng = random.Random(530)
+    rows = []
+    for i in range(120):
+        lang = ["en", "fr", "de"][i % 3]
+        n_toks = rng.randint(1, 700)        # some docs straddle/overflow 512
+        rows.append((i, lang, " ".join("w" for _ in range(n_toks))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    monkeypatch.setattr(lp, "load_table", lambda s, d, n: docs)
+    got = {r["lang"]: r for r in lp.i53_packing_census(spark, "ignored").collect()}
+
+    # independent reference: greedy fixed-boundary packing per lang, docs
+    # in doc_id order; a doc starting before a 512 boundary stays in its
+    # starting bin (bins CAN overflow) — the i39 contract
+    by_lang: dict[str, list[int]] = {}
+    for doc_id, lang, text in sorted(rows):
+        by_lang.setdefault(lang, []).append(len(text.split(" ")))
+    for lang, sizes in by_lang.items():
+        bins: dict[int, int] = {}
+        offset = 0
+        for n in sizes:
+            bins[offset // 512] = bins.get(offset // 512, 0) + n
+            offset += n
+        r = got[lang]
+        assert r["n_bins"] == len(bins), lang
+        assert r["n_docs"] == len(sizes), lang
+        assert r["total_toks"] == sum(sizes), lang
+        assert r["max_bin_toks"] == max(bins.values()), lang
+        assert r["overflow_bins"] == sum(1 for v in bins.values() if v > 512), lang
+        assert r["fill_rate"] == round(sum(bins.values()) / (len(bins) * 512.0), 6), lang

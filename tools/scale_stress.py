@@ -12,8 +12,10 @@ kernel whose wall clock grows much faster than K has a hidden superlinear
 stage that 1000x data would expose.
 
 Measured kernels: minhash_band_pairs, tfidf_top_terms, token_tf_df,
-cc_components, and span_dedup_spans are the REGISTERED implementations
-(factored out of i34/i08/i07/i27/i48 for exactly this tool); the dedup row is
+cc_components, span_dedup_spans, and global_row_number (the e04/e05/
+i40/i44 distributed-ranking core, driven as a table-sized total order)
+are the REGISTERED implementations
+(factored out of i34/i08/i07/i27/i48/e04 for exactly this tool); the dedup row is
 the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
 so the report never claims code it didn't run.  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
@@ -258,9 +260,22 @@ def srp_pairs_shape(emb: DataFrame) -> DataFrame:
 
 
 def kernels():
+    from pyspark.sql import functions as F
+
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         minhash_band_pairs, span_dedup_spans, tfidf_top_terms, token_tf_df,
     )
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    def rank_all(d):
+        # the r7 distributed global ranking (e04/e05/i40/i44 core): a
+        # table-sized total order by (length, doc_id) — the whole point is
+        # that this shape now scales instead of serializing on one task
+        return global_row_number(
+            d.select("doc_id", F.length("text").alias("n")),
+            [F.desc("n"), F.asc("doc_id")], out="rn", total="tot")
 
     def exact_dedup(d):
         return (d.groupBy(F.md5("text").alias("fp"))
@@ -279,7 +294,8 @@ def kernels():
             "dedup-shape": exact_dedup,
             "tfidf[i08-kernel]": tfidf_top_terms,
             "token-stats[i07-kernel]": token_tf_df,
-            "span[i48-kernel]": span_dedup_spans}
+            "span[i48-kernel]": span_dedup_spans,
+            "rank[grn-kernel]": rank_all}
 
 
 def main() -> int:
