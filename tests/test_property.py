@@ -231,3 +231,50 @@ def test_global_row_number_matches_sorted_enumerate(spark, vals, parts, desc):
     }
     assert {r["k"]: r["rn"] for r in got} == expected
     assert all(r["n"] == len(vals) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# dup_token_cover (llm_text.py, the i54 kernel): the min(pos-prev, 5)
+# interval-union formula must equal a brute-force union of [p, p+4] token
+# ranges over corpus-duplicated 5-gram positions, for ANY random corpus.
+# The fixed three-doc counterexample in test_r7_queries.py pins the known
+# failure (span-sum overcount); this sweeps for unknown ones.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=18)
+        .map(" ".join),
+        min_size=2, max_size=12),
+)
+def test_dup_token_cover_matches_bruteforce_union(spark, texts):
+    from collections import Counter
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        dup_gram_positions, dup_token_cover,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_toks"]
+           for r in dup_token_cover(dup_gram_positions(df)).collect()}
+
+    grams = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        per_doc[doc_id] = [i for i in range(len(toks) - 4)]
+        for i in per_doc[doc_id]:
+            grams[" ".join(toks[i:i + 5])] += 1
+    expected = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        covered = set()
+        for i in per_doc[doc_id]:
+            if grams[" ".join(toks[i:i + 5])] > 1:
+                covered.update(range(i, i + 5))
+        if covered:
+            expected[doc_id] = len(covered)
+    assert got == expected
