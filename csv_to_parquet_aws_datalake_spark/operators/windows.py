@@ -51,6 +51,12 @@ def global_row_number(df: DataFrame, order_cols: list,
     branch and the count branch, so the input is scanned once per consumer
     but shuffled once.
     """
+    reserved = {"_gpid", "_lrn", "_off", out} | ({total} if total else set())
+    clash = reserved & set(df.columns)
+    if clash:
+        # a silent collision would overwrite caller data or corrupt the
+        # scratch columns; every current caller passes clean projections
+        raise ValueError(f"global_row_number scratch-name collision: {clash}")
     par = df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(par, *order_cols)
               .withColumn("_gpid", F.spark_partition_id()))

@@ -946,3 +946,18 @@ def test_vectorized_multimodal_kernels_handle_empty_payloads(spark, monkeypatch)
     k15 = {r["doc_id"]: r for r in mm.k15_audio_energy(spark, "ignored").collect()}
     assert set(k15) == {3, 4}
     assert k15[3]["n_frames"] == 1 and k15[3]["peak_rms"] == float(ord("x"))
+
+
+def test_global_row_number_rejects_scratch_name_collisions(spark):
+    import pytest as _pytest
+
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, _gpid long")
+    with _pytest.raises(ValueError, match="collision"):
+        global_row_number(df, ["k"])
+    df2 = spark.createDataFrame([(1, 2)], "k long, rn long")
+    with _pytest.raises(ValueError, match="collision"):
+        global_row_number(df2, ["k"], out="rn")
