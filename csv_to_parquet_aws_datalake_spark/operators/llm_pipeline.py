@@ -160,6 +160,37 @@ def i38_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_bins(d: DataFrame, bin_tokens: int = 512) -> DataFrame:
+    """(lang, bin, n_docs, bin_toks): the ONE greedy fixed-boundary
+    packing definition — doc's bin is ``floor(tokens_before_it /
+    bin_tokens)`` within its language shard, docs in doc_id order.
+    Shared by i39 (the packing itself) and i53 (its efficiency census) so
+    the census can never silently describe a packing that no longer
+    exists (review r7 finding; same convention as dup_gram_positions for
+    i48/i54 and _SHINGLES_SPARK for i03/i04).
+
+    Packing is per-shard ON PURPOSE: the window partitions by ``lang``,
+    so at 100 TB the cumulative sum runs independently per shard after
+    one hash shuffle, and HashPartitioning(lang) also satisfies the
+    (lang, bin) aggregate — one exchange total.  A global (unkeyed)
+    running sum would force a 1-task sort, the exact anti-pattern the
+    window linter rejects; training pipelines only need intra-shard
+    sequential placement.
+    """
+    toks = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("run_sum", F.sum("n_toks").over(w)).select(
+        "lang", "n_toks",
+        F.expr(f"(run_sum - n_toks) div {bin_tokens}").alias("bin"),
+    )
+    return placed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("bin_toks"))
+
+
 @query(
     "i39_sequence_packing",
     oracle="""
@@ -179,31 +210,12 @@ def i38_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def i39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into 512-token context bins by running offset.
-
-    Each doc's bin is ``floor(tokens_before_it / 512)`` within its shard
-    (language), i.e. greedy fixed-boundary packing in doc_id order —
-    deterministic, single-pass, and exactly what sequence-packing does
-    before example concatenation.  Packing is per-shard ON PURPOSE: the
-    window partitions by ``lang``, so at 100 TB the cumulative sum runs
-    independently per shard after one hash shuffle.  A global (unkeyed)
-    running sum would force a 1-task sort — the anti-pattern this
-    formulation exists to avoid; training pipelines only need intra-shard
-    sequential placement.
-    """
+    """Pack documents into 512-token context bins by running offset —
+    see :func:`packing_bins` for the definition and the per-shard scale
+    rationale."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
-    w = (
-        Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = toks.withColumn("run_sum", F.sum("n_toks").over(w)).select(
-        "lang", "n_toks",
-        F.expr("(run_sum - n_toks) div 512").alias("bin"),
-    )
-    return placed.groupBy("lang", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("sum_toks"))
+    return packing_bins(d).select(
+        "lang", "bin", "n_docs", F.col("bin_toks").alias("sum_toks"))
 
 
 @query(
@@ -392,8 +404,8 @@ def i49_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM src
         ),
         tempered AS (
-            SELECT *, pow(share, 0.5)
-                       / (SELECT sum(pow(share, 0.5)) FROM shared)
+            SELECT *, sqrt(share)
+                       / (SELECT sum(sqrt(share)) FROM shared)
                        AS temp_share
             FROM shared
         )
@@ -422,6 +434,15 @@ def i50_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate — reuses the census instead of re-scanning the corpus
     once per total.  Every post-pin exchange moves #sources rows.  The
     keep_p column then drives a hash-uniform gate exactly like i43's.
+
+    Float determinism (review r7 finding): share^α uses ``sqrt`` — IEEE
+    requires sqrt correctly rounded, so each term is BIT-IDENTICAL across
+    engines, unlike ``pow(x, 0.5)`` whose libm implementations may differ
+    by 1 ULP per term.  The remaining exposure is the fold order of
+    sum(sqrt(share)) over #sources (~20) doubles; a boundary flip of the
+    6th rounded decimal needs a ≥half-ULP disagreement to land exactly on
+    a .5e-6 edge — accepted, like the d-family's round-before-hash
+    convention, and bounded by the tiny census size.
     """
     d = load_table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
@@ -432,9 +453,9 @@ def i50_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = src.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_toks",
         (F.col("n_toks") / F.col("tot")).alias("share"))
-    tw = shared.agg(F.sum(F.pow("share", 0.5)).alias("tw_sum"))
+    tw = shared.agg(F.sum(F.sqrt("share")).alias("tw_sum"))
     tempered = shared.crossJoin(F.broadcast(tw)).select(
-        "*", (F.pow("share", 0.5) / F.col("tw_sum")).alias("temp_share"))
+        "*", (F.sqrt("share") / F.col("tw_sum")).alias("temp_share"))
     mx = tempered.agg(
         F.max(F.col("temp_share") / F.col("share")).alias("max_ratio"))
     keep = (F.col("temp_share") / F.col("share")) / F.col("max_ratio")
@@ -520,23 +541,16 @@ def i53_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed 512 — the overflow count is the truncation the tokenizer will
     actually perform).
 
-    Plan: i39's per-shard running-sum window (one hash shuffle on lang),
-    then two aggregations that both reuse the lang partitioning —
-    HashPartitioning(lang) satisfies the clustering requirement of the
-    (lang, bin) aggregate AND the final lang aggregate, so the census
-    adds ZERO exchanges beyond i39's own window shuffle.
+    Plan: the SHARED packing_bins kernel (i39's per-shard running-sum
+    window, one hash shuffle on lang — sharing it means the census is of
+    the actual i39 packing by construction), then a final aggregation
+    that reuses the lang partitioning — HashPartitioning(lang) satisfies
+    the clustering requirement of the (lang, bin) aggregate AND the
+    final lang aggregate, so the census adds ZERO exchanges beyond the
+    packing's own window shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
-    w = (
-        Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = toks.withColumn("run_sum", F.sum("n_toks").over(w)).select(
-        "lang", "n_toks", F.expr("(run_sum - n_toks) div 512").alias("bin"))
-    bins = placed.groupBy("lang", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("bin_toks"))
+    bins = packing_bins(d)
     return bins.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("n_docs").alias("n_docs"),

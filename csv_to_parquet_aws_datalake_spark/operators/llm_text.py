@@ -1360,7 +1360,7 @@ def i40_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = global_row_number(
         tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")),
-        [F.desc("cnt"), F.asc("tok")], out="rar",
+        [("cnt", "desc"), "tok"], out="rar",
     ).select("tok", "rar")
     return (
         tok.join(F.broadcast(vocab), "tok")
@@ -1478,7 +1478,7 @@ def i44_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    idx = global_row_number(c, [F.desc("cnt"), F.asc("tok")], out="_rn")
+    idx = global_row_number(c, [("cnt", "desc"), "tok"], out="_rn")
     return idx.select(
         "tok", "cnt", (F.col("_rn") - 1).cast("long").alias("token_id"))
 

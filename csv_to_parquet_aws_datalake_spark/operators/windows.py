@@ -26,10 +26,24 @@ def global_row_number(df: DataFrame, order_cols: list,
                       out: str = "rn", total: str | None = None) -> DataFrame:
     """Distributed global row numbering over a TOTAL order.
 
-    ``order_cols`` (names or asc()/desc() Columns) MUST be tie-free —
-    callers tie-break on a unique key, which also makes the result
-    partitioning-invariant.  Returns ``df`` plus column ``out`` = the
-    1-based global row number, and (if ``total``) the total row count.
+    ``order_cols`` entries are column NAMES — a plain ``str`` for
+    ascending or ``(name, "desc")`` for descending — and MUST be
+    tie-free: callers tie-break on a unique key, which also makes the
+    result partitioning-invariant.  Returns ``df`` plus column ``out`` =
+    the 1-based global row number, and (if ``total``) the total row
+    count.
+
+    Every column of ``df`` must be an order key (enforced).  This is a
+    CORRECTNESS precondition, not tidiness: the ranking and counting
+    branches below each evaluate the range exchange, and they agree on
+    bucket assignment only because their plans are canonically identical
+    so ReuseExchange runs the shuffle once.  A payload column would let
+    column pruning narrow the count branch's exchange, reuse would miss,
+    and the two evaluations could sample DIFFERENT range boundaries from
+    a nondeterministically-ordered upstream (any shuffle) — ranking rows
+    in bucket i while counting them in bucket i+1 (review r7 finding).
+    Callers with payload columns rank a keys-only projection and join
+    back on the unique keys themselves.
 
     The scale-safe replacement for ``row_number().over(W.orderBy(...))``:
 
@@ -46,17 +60,27 @@ def global_row_number(df: DataFrame, order_cols: list,
        NOT a window: an unpartitioned window here, however tiny, would
        re-introduce the exact node this helper exists to eliminate, and
        the linter in plans/checks.py flags it with no size information.
-
-    AQE's ReuseExchange dedups the range shuffle between the ranking
-    branch and the count branch, so the input is scanned once per consumer
-    but shuffled once.
     """
+    names = [c if isinstance(c, str) else c[0] for c in order_cols]
+    exprs = [
+        F.asc(c) if isinstance(c, str)
+        else (F.desc(c[0]) if c[1] == "desc" else F.asc(c[0]))
+        for c in order_cols
+    ]
+    payload = set(df.columns) - set(names)
+    if payload:
+        raise ValueError(
+            f"global_row_number requires a keys-only frame; payload columns "
+            f"{sorted(payload)} would defeat the exchange reuse both internal "
+            f"branches depend on — pre-project to the order keys and join "
+            f"the rank back on them")
     reserved = {"_gpid", "_lrn", "_off", out} | ({total} if total else set())
     clash = reserved & set(df.columns)
     if clash:
         # a silent collision would overwrite caller data or corrupt the
         # scratch columns; every current caller passes clean projections
         raise ValueError(f"global_row_number scratch-name collision: {clash}")
+    order_cols = exprs
     par = df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(par, *order_cols)
               .withColumn("_gpid", F.spark_partition_id()))

@@ -74,16 +74,21 @@ def unpartitioned_window_lines(plan: str) -> list[str]:
     directions (SortOrder always prints ASC/DESC); the zero-separator
     form is always unpartitioned.  (A ``partitionBy(lit(0))`` does NOT
     escape this: Catalyst constant-folds foldable partition expressions
-    away, verified empirically on 4.1.)"""
+    away, verified empirically on 4.1.)  A GROUPED_AGG pandas UDF over a
+    window prints the same grammar and serializes the same way —
+    ``ArrowWindowPython`` on Spark 4.1, ``WindowInPandas`` on earlier
+    lines — matched too (review r7 finding: a substring test on
+    "Window [" alone let it escape)."""
     out = []
     for line in plan.splitlines():
-        if "Window [" not in line:
-            continue
-        groups = line.split("Window [", 1)[1].split("], [")
-        if len(groups) == 1 or (
-                len(groups) == 2
-                and (" ASC" in groups[1] or " DESC" in groups[1])):
-            out.append(line.strip())
+        for node in ("ArrowWindowPython [", "WindowInPandas [", "Window ["):
+            if node in line:
+                groups = line.split(node, 1)[1].split("], [")
+                if len(groups) == 1 or (
+                        len(groups) == 2
+                        and (" ASC" in groups[1] or " DESC" in groups[1])):
+                    out.append(line.strip())
+                break  # WindowInPandas lines must not re-match "Window ["
     return out
 
 

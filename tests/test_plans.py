@@ -346,6 +346,26 @@ def test_global_window_linter_detects_and_clears(spark, sf_dir):
     part_noord = df.select(
         F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 2)).alias("c"))
     assert not unpartitioned_window_lines(physical_plan(part_noord))
+    # a GROUPED_AGG pandas UDF over a global window compiles to
+    # WindowInPandas — same single-task shape, must be flagged too
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    pandas_global = df.select(
+        _pmean("id").over(W.orderBy("id").rowsBetween(
+            W.unboundedPreceding, W.currentRow)).alias("m"))
+    plan = physical_plan(pandas_global)
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan
+    assert unpartitioned_window_lines(plan)
+    pandas_part = df.select(
+        _pmean("id").over(
+            W.partitionBy(F.col("id") % 2).orderBy("id").rowsBetween(
+                W.unboundedPreceding, W.currentRow)).alias("m"))
+    assert not unpartitioned_window_lines(physical_plan(pandas_part))
 
     for qid in ("e04_ntile", "e05_percent_cume", "e08_range_frame",
                 "i30_zipf_token_rank", "i40_token_rarity_score",

@@ -213,7 +213,6 @@ def test_top_run_count_matches_counter(prop_env, toks):
     desc=st.booleans(),
 )
 def test_global_row_number_matches_sorted_enumerate(spark, vals, parts, desc):
-    from pyspark.sql import functions as F
 
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
         global_row_number,
@@ -222,7 +221,7 @@ def test_global_row_number_matches_sorted_enumerate(spark, vals, parts, desc):
     df = spark.createDataFrame(
         [(k, v) for k, v in enumerate(vals)], "k long, v long"
     ).repartition(parts)
-    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    order = [("v", "desc") if desc else "v", "k"]
     got = global_row_number(df, order, out="rn", total="n").collect()
     expected = {
         k: i + 1

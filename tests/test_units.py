@@ -880,7 +880,7 @@ def test_global_row_number_matches_naive_window(spark):
     }
     for parts in (1, 3, 8):
         got = global_row_number(
-            base.repartition(parts), [F.desc("v"), F.asc("k")],
+            base.repartition(parts), [("v", "desc"), "k"],
             out="rn", total="n")
         rows_got = got.collect()
         assert {r["k"]: r["rn"] for r in rows_got} == naive, parts
@@ -948,16 +948,20 @@ def test_vectorized_multimodal_kernels_handle_empty_payloads(spark, monkeypatch)
     assert k15[3]["n_frames"] == 1 and k15[3]["peak_rms"] == float(ord("x"))
 
 
-def test_global_row_number_rejects_scratch_name_collisions(spark):
+def test_global_row_number_rejects_unsafe_frames(spark):
     import pytest as _pytest
 
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
         global_row_number,
     )
 
-    df = spark.createDataFrame([(1, 2)], "k long, _gpid long")
-    with _pytest.raises(ValueError, match="collision"):
+    # payload columns defeat the exchange reuse the two internal branches
+    # depend on (review r7 finding) — must be rejected loudly
+    df = spark.createDataFrame([(1, 2)], "k long, payload long")
+    with _pytest.raises(ValueError, match="keys-only"):
         global_row_number(df, ["k"])
+    # an order key whose name collides with a scratch/output column would
+    # silently corrupt the offsets join
     df2 = spark.createDataFrame([(1, 2)], "k long, rn long")
     with _pytest.raises(ValueError, match="collision"):
-        global_row_number(df2, ["k"], out="rn")
+        global_row_number(df2, ["rn", "k"], out="rn")

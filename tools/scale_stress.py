@@ -275,7 +275,7 @@ def kernels():
         # that this shape now scales instead of serializing on one task
         return global_row_number(
             d.select("doc_id", F.length("text").alias("n")),
-            [F.desc("n"), F.asc("doc_id")], out="rn", total="tot")
+            [("n", "desc"), "doc_id"], out="rn", total="tot")
 
     def exact_dedup(d):
         return (d.groupBy(F.md5("text").alias("fp"))
