@@ -46,7 +46,8 @@ LLM_TRANCHE = (
     "i34_minhash_banding",
     "i35_incremental_dedup",
     "i40_token_rarity_score",
-    "k14_image_resize",
+    "i48_span_dedup",          # added r7 with its registration: the span-level
+    "k14_image_resize",        # substring-dedup hot path, tracked from here on
 )
 
 
