@@ -33,17 +33,22 @@ def global_row_number(df: DataFrame, order_cols: list,
     the 1-based global row number, and (if ``total``) the total row
     count.
 
-    Every column of ``df`` must be an order key (enforced).  This is a
-    CORRECTNESS precondition, not tidiness: the ranking and counting
-    branches below each evaluate the range exchange, and they agree on
-    bucket assignment only because their plans are canonically identical
-    so ReuseExchange runs the shuffle once.  A payload column would let
-    column pruning narrow the count branch's exchange, reuse would miss,
-    and the two evaluations could sample DIFFERENT range boundaries from
-    a nondeterministically-ordered upstream (any shuffle) — ranking rows
-    in bucket i while counting them in bucket i+1 (review r7 finding).
-    Callers with payload columns rank a keys-only projection and join
-    back on the unique keys themselves.
+    Every column of ``df`` must be an order key (enforced): callers with
+    payload columns rank a keys-only projection and join the rank back on
+    the unique keys themselves.  The keys-only rule bounds what the pin
+    below materializes to the sorted KEY stream, never payload bytes.
+
+    The ranged frame is pinned with ``localCheckpoint`` (the repo-wide
+    pin policy, llm_text.py:16) so the ranking and counting branches read
+    the SAME materialized bucket assignment by construction.  Before r8
+    they instead relied on Catalyst ReuseExchange deduplicating the range
+    shuffle — correct, but silently load-bearing (ADVICE r7): with reuse
+    disabled or canonicalization drift, the two RangePartitioners would
+    sample boundaries independently (seed derives from RDD id) and a row
+    could be RANKED in bucket i but COUNTED in bucket i+1, wrong with no
+    error.  The pin makes bucket agreement plan-independent, and as a
+    side effect the count branch now reads cached blocks instead of
+    re-walking the exchange.
 
     The scale-safe replacement for ``row_number().over(W.orderBy(...))``:
 
@@ -71,9 +76,8 @@ def global_row_number(df: DataFrame, order_cols: list,
     if payload:
         raise ValueError(
             f"global_row_number requires a keys-only frame; payload columns "
-            f"{sorted(payload)} would defeat the exchange reuse both internal "
-            f"branches depend on — pre-project to the order keys and join "
-            f"the rank back on them")
+            f"{sorted(payload)} would be materialized by the internal pin — "
+            f"pre-project to the order keys and join the rank back on them")
     reserved = {"_gpid", "_lrn", "_off", out} | ({total} if total else set())
     clash = reserved & set(df.columns)
     if clash:
@@ -83,7 +87,8 @@ def global_row_number(df: DataFrame, order_cols: list,
     order_cols = exprs
     par = df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(par, *order_cols)
-              .withColumn("_gpid", F.spark_partition_id()))
+              .withColumn("_gpid", F.spark_partition_id())
+              .localCheckpoint())  # pin: ranking+counting read ONE bucket map
     local = ranged.withColumn(
         "_lrn", F.row_number().over(W.partitionBy("_gpid").orderBy(*order_cols)))
     cnts = ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_pn"))

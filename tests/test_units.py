@@ -955,8 +955,8 @@ def test_global_row_number_rejects_unsafe_frames(spark):
         global_row_number,
     )
 
-    # payload columns defeat the exchange reuse the two internal branches
-    # depend on (review r7 finding) — must be rejected loudly
+    # payload columns would be materialized by the internal pin (and, pre-r8,
+    # defeated the exchange reuse — review r7 finding) — rejected loudly
     df = spark.createDataFrame([(1, 2)], "k long, payload long")
     with _pytest.raises(ValueError, match="keys-only"):
         global_row_number(df, ["k"])
@@ -965,3 +965,33 @@ def test_global_row_number_rejects_unsafe_frames(spark):
     df2 = spark.createDataFrame([(1, 2)], "k long, rn long")
     with _pytest.raises(ValueError, match="collision"):
         global_row_number(df2, ["rn", "k"], out="rn")
+
+
+def test_global_row_number_survives_exchange_reuse_off(spark):
+    # ADVICE r7 (medium): pre-r8 the ranking and counting branches agreed on
+    # range-bucket assignment only because ReuseExchange ran the shuffle
+    # once; with reuse disabled the two RangePartitioners could sample
+    # boundaries independently and rank/count rows in DIFFERENT buckets.
+    # The r8 localCheckpoint pin makes bucket agreement plan-independent —
+    # pin that by running the exact hazard configuration.
+    import random
+
+    from csv_to_parquet_aws_datalake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rng = random.Random(808)
+    rows = [(i, rng.randint(0, 9)) for i in range(311)]
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = global_row_number(
+            spark.createDataFrame(rows, "k long, v long").repartition(7),
+            ["v", "k"], out="rn", total="n").collect()
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    expected = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(rows, key=lambda kv: (kv[1], kv[0])))
+    }
+    assert {r["k"]: r["rn"] for r in got} == expected
+    assert all(r["n"] == 311 for r in got)
