@@ -89,7 +89,24 @@ def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     # splits) never matches, even on a cluster whose core count dwarfs its
     # split count — and on a host narrower than the scan (parallelism < splits)
     # a repartition could only REDUCE parallelism while paying a shuffle.
+    #
+    # The split count comes from metadata only — ``inputFiles()`` for frames
+    # rooted in a file scan (the call-site contract: scan-rooted, no exchange
+    # upstream), else the planned output partitioning.  The previous
+    # ``df.rdd.getNumPartitions()`` probe converted the frame to an RDD on
+    # the driver per call — a plan-to-RDD lineage build this helper's five
+    # hot-path callers (i34/i48/i51/i54 and the stress pins) paid on every
+    # construction (r7 brief item 5).  A file count slightly over-estimates
+    # splits when tiny files get packed into one task, but the guard only
+    # distinguishes "a handful of splits" from "a real corpus", where the
+    # two counts agree.  ``numPartitions() == 0`` is Catalyst's "unknown"
+    # (e.g. an AQE-wrapped exchange already in the plan — already wide):
+    # treated as healthy, so the at-scale path stays a guaranteed no-op.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(4, par):
+    splits = len(df.inputFiles())
+    if splits == 0:
+        splits = (df._jdf.queryExecution().executedPlan()
+                  .outputPartitioning().numPartitions())
+    if splits == 0 or splits >= min(4, par):
         return df
     return df.repartition(par, *key) if key else df.repartition(par)

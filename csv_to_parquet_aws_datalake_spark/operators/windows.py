@@ -48,7 +48,13 @@ def global_row_number(df: DataFrame, order_cols: list,
     could be RANKED in bucket i but COUNTED in bucket i+1, wrong with no
     error.  The pin makes bucket agreement plan-independent, and as a
     side effect the count branch now reads cached blocks instead of
-    re-walking the exchange.
+    re-walking the exchange.  Cost of the pin (ADVICE r8): localCheckpoint
+    is EAGER — calling this helper runs the range shuffle at DataFrame-
+    construction time (plan-only callers pay a job) and keeps the keys-only
+    stream on executors until the RDD is GC'd, with lineage truncated (an
+    executor loss is unrecoverable mid-query).  Acceptable for the local
+    harness; a fault-tolerant deployment would switch to a reliable
+    ``checkpoint()`` against the cluster's checkpoint dir, same semantics.
 
     The scale-safe replacement for ``row_number().over(W.orderBy(...))``:
 

@@ -413,6 +413,21 @@ def test_widen_if_narrow_fires_only_on_degenerate_scans(spark):
     assert widen_if_narrow(wide) is wide
 
 
+def test_widen_if_narrow_file_scan_path(spark, sf_dir):
+    # the hot-path callers (i34/i48/i51/i54) hand it a scan-rooted frame;
+    # the split count must come from file metadata (r9: the .rdd probe is
+    # gone), so a single-file local scan widens and the projection above
+    # the scan does not hide the files
+    from csv_to_parquet_aws_datalake_spark.loader import (
+        load_table, widen_if_narrow,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert len(d.inputFiles()) < 4  # precondition: degenerate local scan
+    assert widen_if_narrow(d).rdd.getNumPartitions() == par
+
+
 def test_a05_dropmalformed_complements_corrupt_count(spark, sf_dir):
     # the semantic tie between the two CSV modes: DROPMALFORMED keeps
     # exactly the rows PERMISSIVE did NOT flag as corrupt
@@ -982,13 +997,18 @@ def test_global_row_number_survives_exchange_reuse_off(spark):
 
     rng = random.Random(808)
     rows = [(i, rng.randint(0, 9)) for i in range(311)]
+    # restore whatever the fixture had, not a hardcoded "true" (ADVICE r8)
+    prev = spark.conf.get("spark.sql.exchange.reuse", None)
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try:
         got = global_row_number(
             spark.createDataFrame(rows, "k long, v long").repartition(7),
             ["v", "k"], out="rn", total="n").collect()
     finally:
-        spark.conf.set("spark.sql.exchange.reuse", "true")
+        if prev is None:
+            spark.conf.unset("spark.sql.exchange.reuse")
+        else:
+            spark.conf.set("spark.sql.exchange.reuse", prev)
     expected = {
         k: i + 1
         for i, (k, _) in enumerate(sorted(rows, key=lambda kv: (kv[1], kv[0])))
