@@ -1515,15 +1515,34 @@ def _spark_grams(d: DataFrame, *extra: str) -> DataFrame:
 
 
 def dup_gram_positions(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos) of every 5-gram occurring more than once corpus-wide:
-    one gram-keyed window shuffle after the map-side explode.  Shared by
-    the span kernel (island merge) and the coverage census (token union —
-    the two aggregate DIFFERENTLY, see i54)."""
+    """(doc_id, pos) of every 5-gram occurring more than once corpus-wide.
+    Shared by the span kernel (island merge) and the coverage census
+    (token union — the two aggregate DIFFERENTLY, see i54).
+
+    Shape (r9, ADVICE r7): per-gram counts via ``groupBy(g)`` — whose
+    map-side partial aggregation collapses a hot gram to ONE row per map
+    task before the shuffle — then a left-semi join of the grams against
+    the ``n > 1`` survivors.  The previous form was a COUNT window
+    partitioned by the gram: one shuffle fewer on paper, but a window
+    partition cannot be split, so a stop-phrase gram at web scale
+    (billions of occurrences of one key) converged on a single window
+    task — the straggler/OOM shape the linter exists to flag, just hidden
+    behind a partitioned spec.  The semi-join pays for skew-safety with a
+    second map-side gram explode over a second scan (column pruning makes
+    the count branch text-only, which is also why the branches are not
+    ReuseExchange-identical — embarrassingly parallel either way).  When
+    the dup-gram set fits the broadcast threshold the probe never
+    shuffles at all (the locally-observed plan); past it, the probe-side
+    shuffle on ``g`` still concentrates a hot gram, but a shuffled JOIN
+    partition, unlike a window partition, is exactly what AQE's
+    skew-join optimization can split (the small build side is replicated).
+    Corpora dominated by stop-phrase grams can additionally cut grams
+    made entirely of top-frequency tokens, as i51 documents — a semantic
+    change this exact kernel deliberately does not make."""
     grams = _spark_grams(docs)
-    return (
-        grams.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("g")))
-        .filter(F.col("n") > 1).select("doc_id", "pos")
-    )
+    dup = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1).select("g"))
+    return grams.join(dup, "g", "left_semi").select("doc_id", "pos")
 
 
 def dup_token_cover(hits: DataFrame) -> DataFrame:
@@ -1585,15 +1604,15 @@ def i48_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once in the corpus — the spans substring-dedup would cut,
     where document-level dedup (i01) sees nothing.
 
-    Plan: positional 5-grams (map-side posexplode), then a window COUNT
-    partitioned by the gram — one shuffle on the gram, after which every
-    occurrence already knows its corpus-wide multiplicity, so "duplicated"
-    is a filter, not an agg-plus-join (which would either re-explode the
-    corpus or pin the full exploded frame).  The surviving sliver then
-    takes the gaps-and-islands merge per document (pos − row_number is
-    constant on consecutive positions).  At 100 TB both stages key on
-    gram resp. doc_id — nothing is quadratic and no suffix array is
-    materialized.  Width 5 matches i33's contamination gram.
+    Plan: positional 5-grams (map-side posexplode), then the skew-safe
+    duplicate test in ``dup_gram_positions`` — a partially-aggregated
+    per-gram count semi-joined back, never a gram-partitioned window
+    (see its docstring for the hot-gram straggler this avoids and the
+    cost it pays).  The surviving sliver then takes the gaps-and-islands
+    merge per document (pos − row_number is constant on consecutive
+    positions).  At 100 TB every stage keys on gram resp. doc_id, a hot
+    gram is AQE-splittable, and no suffix array is materialized.  Width
+    5 matches i33's contamination gram.
     """
     d = load_table(spark, sf_dir, "documents")
     # i34 precedent: parallelize the CPU-heavy gram explode on degenerate

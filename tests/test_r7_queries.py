@@ -138,10 +138,17 @@ def _shuffles(plan: str) -> int:
                or "Exchange SinglePartition" in ln)
 
 
-def test_i48_single_scan_two_shuffles(spark, sf_dir):
+def test_i48_skew_safe_dup_test_and_bounded_shuffles(spark, sf_dir):
+    # r9 shape (ADVICE r7): the duplicate test is a partially-aggregated
+    # count + semi-join, NOT a gram-partitioned window — the only Window
+    # left is the doc-keyed island merge, and the gram count must carry a
+    # map-side partial_count (the skew defense: a hot gram collapses to
+    # one row per map task before the shuffle)
     plan = _plan(registry.QUERIES["i48_span_dedup"](spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1     # window count, no re-explode
-    assert _shuffles(plan) <= 2                    # gram window + doc window
+    assert plan.count("FileScan parquet") <= 2     # pruned count branch
+    assert _shuffles(plan) <= 3                    # gram agg + doc window
+    assert plan.count("Window [") == 1             # island merge only
+    assert "partial_count" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 
@@ -333,11 +340,12 @@ def test_i54_share_never_exceeds_one(spark, sf_dir):
 
 
 def test_i54_plan_shape(spark, sf_dir):
-    # two column-pruned scans (grams path: doc_id+text; census path:
-    # doc_id+source+text), three keyed shuffles (gram window, doc_id
+    # three column-pruned scans (grams path: doc_id+text, plus the
+    # text-only dup-count branch of the r9 semi-join shape; census path:
+    # doc_id+source+text), keyed shuffles only (gram agg, doc_id
     # window+join side, source rollup), never a cartesian
     plan = _plan(registry.QUERIES["i54_span_coverage"](spark, sf_dir))
-    assert plan.count("FileScan parquet") <= 2
+    assert plan.count("FileScan parquet") <= 3
     assert _shuffles(plan) <= 4
     assert "CartesianProduct" not in plan
 
