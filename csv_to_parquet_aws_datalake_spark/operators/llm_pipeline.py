@@ -364,7 +364,9 @@ def i49_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the classical u^(1/w)-largest formulation under the monotone map
     k = -ln(·)/w; the exponential form spreads keys across (0, inf)
     instead of compressing them toward 1.0, so a cross-engine 1-ULP libm
-    difference cannot flip a near-boundary membership — ADVICE r6).  u is
+    difference cannot flip a near-boundary membership — ADVICE r6; the
+    rank-50/51 gap on the test corpus is pinned at >64 ULPs by
+    tests/test_r7_queries.py — ADVICE r7).  u is
     the md5-uniform kernel (first 8 hex digits of a seeded doc_id hash,
     +0.5, /2^32), the same deterministic idiom as i36/i43, so membership
     is a pure function of (seed, doc_id, w) and both engines compute the

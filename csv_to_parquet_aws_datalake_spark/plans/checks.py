@@ -62,6 +62,38 @@ ANTIPATTERN_ALLOW: dict[str, set[str]] = {
 }
 
 
+def unpartitioned_window_nodes(df: DataFrame) -> list[str]:
+    """Window nodes in the OPTIMIZED LOGICAL plan whose partitionSpec is
+    EMPTY — the authoritative form of the global-window test (ADVICE r7):
+    instead of re-parsing the plan STRING (where an expression that
+    itself prints ``], [`` — e.g. two constant-folded array literals as
+    adjacent arguments — can mis-bracket the splitter in
+    ``unpartitioned_window_lines``), walk the plan tree and ask each
+    logical Window for its partition spec directly.  One logical Window
+    covers every physical incarnation (WindowExec, WindowGroupLimit
+    pushdowns, and the pandas GROUPED_AGG forms ArrowWindowPython /
+    WindowInPandas — those are physical choices made AFTER this node).
+    Foldable partition keys (``partitionBy(lit(0))``) are removed by the
+    optimizer before this plan, so they are correctly reported as
+    unpartitioned, matching the physical-string linter's semantics.
+    Subquery expressions carry their own plan trees; they are walked too.
+    """
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()):
+            out.append(node.simpleString(25))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        subq = node.subqueries()  # plans inside scalar/EXISTS/IN subqueries
+        for i in range(subq.size()):
+            stack.append(subq.apply(i))
+    return out
+
+
 def unpartitioned_window_lines(plan: str) -> list[str]:
     """Plan lines whose Window node has an EMPTY partition spec — the
     single-task global windows Spark warns about with "No Partition
@@ -78,7 +110,14 @@ def unpartitioned_window_lines(plan: str) -> list[str]:
     window prints the same grammar and serializes the same way —
     ``ArrowWindowPython`` on Spark 4.1, ``WindowInPandas`` on earlier
     lines — matched too (review r7 finding: a substring test on
-    "Window [" alone let it escape)."""
+    "Window [" alone let it escape).
+
+    Known limit (ADVICE r7): the ``], [`` bracket-splitting can
+    mis-bracket when a window EXPRESSION itself prints that separator
+    (two constant-folded array literals as adjacent arguments).  Kept as
+    the plan-TEXT heuristic for audits that only hold a string; the
+    enforcement path (``assert_no_antipatterns``) uses the logical-tree
+    walk in ``unpartitioned_window_nodes`` instead."""
     out = []
     for line in plan.splitlines():
         for node in ("ArrowWindowPython [", "WindowInPandas [", "Window ["):
@@ -99,7 +138,8 @@ def assert_no_antipatterns(name: str, df: DataFrame) -> None:
     Arrow-vectorized form exists, or a global (unpartitioned) window —
     the single-task total-order shape that serializes a table-sized input
     at 100 TB (global row numbers come from
-    operators.windows.global_row_number instead)."""
+    operators.windows.global_row_number instead).  The window test reads
+    the logical plan's partitionSpec (r9), not the plan string."""
     plan = physical_plan(df)
     allowed = ANTIPATTERN_ALLOW.get(name, set())
     if "CartesianProduct" in plan and "cartesian" not in allowed:
@@ -109,7 +149,7 @@ def assert_no_antipatterns(name: str, df: DataFrame) -> None:
         raise AssertionError(
             f"{name}: row-at-a-time Python UDF in plan — use a pandas/Arrow form")
     if "global_window" not in allowed:
-        bad = unpartitioned_window_lines(plan)
+        bad = unpartitioned_window_nodes(df)
         if bad:
             raise AssertionError(
                 f"{name}: unpartitioned Window in plan (single-task global "

@@ -372,3 +372,69 @@ def test_global_window_linter_detects_and_clears(spark, sf_dir):
                 "i44_vocab_index"):
         plan = physical_plan(registry.QUERIES[qid](spark, sf_dir))
         assert not unpartitioned_window_lines(plan), qid
+
+
+def test_global_window_node_walk_agrees_and_beats_string_heuristic(spark):
+    # ADVICE r7: the enforcement path now asks the logical Window node for
+    # its partitionSpec instead of re-parsing the plan string.  First, the
+    # node walk must agree with the string heuristic on its whole
+    # existing case matrix; then the counterexample the string form
+    # mis-brackets — a window EXPRESSION whose arguments print "], ["
+    # (two constant-folded array literals) — must still be judged by the
+    # actual partition spec.
+    from pyspark.sql.window import Window as W
+
+    from csv_to_parquet_aws_datalake_spark.plans.checks import (
+        unpartitioned_window_nodes,
+    )
+
+    df = spark.range(10)
+    naive = df.select(F.row_number().over(W.orderBy("id")).alias("rn"))
+    assert unpartitioned_window_nodes(naive)
+    bare = df.select(F.sum("id").over(W.partitionBy()).alias("s"))
+    assert unpartitioned_window_nodes(bare)
+    part = df.select(
+        F.row_number().over(
+            W.partitionBy(F.col("id") % 2).orderBy("id")).alias("rn"))
+    assert not unpartitioned_window_nodes(part)
+    part_noord = df.select(
+        F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 2)).alias("c"))
+    assert not unpartitioned_window_nodes(part_noord)
+    # constant-folded partition keys are optimized away before the
+    # optimized plan, so lit(0) does not disguise a global window
+    folded = df.select(
+        F.row_number().over(W.partitionBy(F.lit(0)).orderBy("id")).alias("rn"))
+    assert unpartitioned_window_nodes(folded)
+    # the mis-bracket counterexample: first_value over a PARTITIONED spec,
+    # where the window expression's printed arguments contain "], [" —
+    # arrays_zip of two foldable array literals.  Partitioned → clean.
+    tricky = df.select(
+        F.first(F.arrays_zip(F.array(F.lit(1), F.lit(2)),
+                             F.array(F.lit(3), F.lit(4))))
+        .over(W.partitionBy(F.col("id") % 2).orderBy("id")).alias("z"))
+    assert not unpartitioned_window_nodes(tricky)
+    # and the same tricky expression over a GLOBAL spec is still caught
+    tricky_global = df.select(
+        F.first(F.arrays_zip(F.array(F.lit(1), F.lit(2)),
+                             F.array(F.lit(3), F.lit(4))))
+        .over(W.orderBy("id")).alias("z"))
+    assert unpartitioned_window_nodes(tricky_global)
+    # a GROUPED_AGG pandas UDF window is still a logical Window (the
+    # ArrowWindowPython/WindowInPandas split happens in the physical
+    # planner, after this node) — the walk covers it with no extra case
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _pmean2(v: pd.Series) -> float:
+        return float(v.mean())
+
+    pandas_global = df.select(
+        _pmean2("id").over(W.orderBy("id").rowsBetween(
+            W.unboundedPreceding, W.currentRow)).alias("m"))
+    assert unpartitioned_window_nodes(pandas_global)
+    pandas_part = df.select(
+        _pmean2("id").over(
+            W.partitionBy(F.col("id") % 2).orderBy("id").rowsBetween(
+                W.unboundedPreceding, W.currentRow)).alias("m"))
+    assert not unpartitioned_window_nodes(pandas_part)

@@ -271,7 +271,32 @@ def test_i49_sample_is_partitioning_invariant(spark, sf_dir):
     assert got == sample_with(7)
 
 
-def test_i51_matrix_on_constructed_sources(spark):
+def test_i49_boundary_keys_are_ulp_separated(spark, sf_dir):
+    # ADVICE r7: membership is decided by ordering the UNROUNDED double
+    # key, so if rank 50 and rank 51 sat within a few ULPs, a libm
+    # -ln(u) difference between Spark's JVM and DuckDB could flip the
+    # boundary doc.  Pin that the actual corpus keeps a gap orders of
+    # magnitude above cross-engine libm disagreement (<= 1 ULP on a
+    # correctly-rounded log; allow a wide 64-ULP margin).  Equal keys at
+    # the boundary would be a real hazard even with the doc_id
+    # tie-break, since the oracle compares post-round values — assert
+    # strict separation too.
+    import math
+
+    from pyspark.sql import functions as F
+
+    import csv_to_parquet_aws_datalake_spark.loader as loader
+
+    d = loader.load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("aes-seed-1:"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
+        / F.lit(4294967296.0)
+    k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    ks = [r["k"] for r in
+          d.select(k.alias("k")).orderBy(F.asc("k")).limit(51).collect()]
+    assert len(ks) == 51  # corpus larger than the sample: boundary exists
+    k50, k51 = ks[49], ks[50]
+    assert k51 - k50 > 64 * math.ulp(k50), (k50, k51)
     # hand-computed contamination matrix: srcA and srcB share exactly the
     # grams of one common sentence; srcC shares nothing.
     from pyspark.sql import functions as F
