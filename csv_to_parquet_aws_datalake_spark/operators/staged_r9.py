@@ -1,0 +1,283 @@
+"""Round-10 candidates, STAGED — implemented and oracle-tested but NOT
+registered.
+
+The registry is frozen at 200 (VERDICT r8: the driver re-proves 50
+records per round stalest-first, so the steady-state rotation needs every
+slot and any new registration permanently displaces a freshness slot).
+These land here exactly like the r6->r7 staging that made the i48-i54
+registrations mechanical: full implementations with DuckDB oracles,
+exercised by ``tests/test_staged_r9.py`` through the SAME differential
+comparator the driver uses, plus the anti-pattern linter.  Registering
+one later is a mechanical move: wrap with ``@query`` in the right
+operators module and delete it here.
+
+The three (all public techniques, all composing proven kernels):
+
+- i55 longest-dup-span census — the per-source "how long are the
+  repeated substrings" dashboard behind span dedup (Lee et al. 2022):
+  per-doc maximal duplicated spans from i48's ``span_dedup_spans``
+  kernel, reduced to per-source max/mean span length and span counts.
+  The suffix-array-free census: gram islands, never pairwise doc
+  comparison.
+- i56 Gopher-rule quality breakdown — per-source failure counts for
+  the document-quality rules of Rae et al. 2021 ("Scaling Language
+  Models: Methods, Analysis & Insights from Training Gopher", §A1.1):
+  word-count bounds, mean-word-length bounds, and the stop-word
+  requirement, adapted to this corpus's vocabulary.  Composes i25's
+  map-side-only per-doc-stats idiom: array expressions, zero exchanges
+  before the one source rollup.
+- i57 BM25 scoring (Robertson-Sparck Jones; the Lucene
+  ``ln(1 + (N-df+0.5)/(df+0.5))`` idf variant) — top-20 docs for a
+  fixed query term set, composing i08's tf/df kernels plus a doc-length
+  normalization.  Per-term contributions are pivoted into COLUMNS and
+  summed in one fixed expression order on both engines, so the score is
+  bit-identical (a ``sum()`` over the term rows would add doubles in
+  engine-chosen order); ordering is on the ROUNDED score with a doc_id
+  tie-break (the i49 lesson, applied at design time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loader import load_table, widen_if_narrow
+from ..registry import QueryFn
+from .llm_text import _GRAMS_CTE, span_dedup_spans
+
+# name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
+STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+@_stage(
+    "i55_longest_dup_span_census",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hits AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM grams WHERE g IN (SELECT g FROM dup)
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+            FROM hits GROUP BY doc_id, grp
+        ),
+        docmax AS (
+            SELECT doc_id, CAST(max(e - s + 1) AS BIGINT) AS doc_max,
+                   CAST(count(*) AS BIGINT) AS doc_spans
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs_with_dup,
+               CAST(max(doc_max) AS BIGINT) AS max_span_toks,
+               round(avg(doc_max), 6) AS avg_max_span_toks,
+               CAST(sum(doc_spans) AS BIGINT) AS n_spans
+        FROM docmax JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """,
+)
+def i55_longest_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of i48's maximal duplicated spans: how many docs
+    carry one, the longest span in tokens, the mean per-doc maximum, and
+    the total span count — the numbers a substring-dedup cut threshold
+    is picked from (Lee et al. 2022 report exactly this distribution).
+
+    Plan: the shared ``span_dedup_spans`` kernel (gram agg + semi-join +
+    doc-keyed island merge, see its docstring for the skew story), then a
+    per-doc max that REUSES the island merge's doc_id partitioning, an
+    equi-join back to (doc_id, source) — both sides doc-keyed, corpus-
+    linear — and one source rollup.  avg() of BIGINTs divides an exact
+    integer sum once, so the double is cross-engine identical."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
+    docmax = spans.groupBy("doc_id").agg(
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("doc_max"),
+        F.count(F.lit(1)).alias("doc_spans"))
+    return (
+        docmax.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_with_dup"),
+             F.max("doc_max").alias("max_span_toks"),
+             F.round(F.avg("doc_max"), 6).alias("avg_max_span_toks"),
+             F.sum("doc_spans").alias("n_spans"))
+    )
+
+
+@_stage(
+    "i56_gopher_rule_breakdown",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT source, len(toks) AS n,
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks) AS mwl,
+                   len(list_intersect(list_distinct(toks), ['the', 'a']))
+                       AS n_stop
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n < 50 OR n > 100000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+               CAST(sum(CASE WHEN mwl < 3 OR mwl > 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+               CAST(sum(CASE WHEN n_stop < 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+               CAST(sum(CASE WHEN n >= 50 AND n <= 100000
+                              AND mwl >= 3 AND mwl <= 10 AND n_stop >= 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(CAST(sum(CASE WHEN n >= 50 AND n <= 100000
+                                    AND mwl >= 3 AND mwl <= 10
+                                    AND n_stop >= 2
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS pass_share
+        FROM m GROUP BY source
+    """,
+)
+def i56_gopher_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source breakdown of Gopher's document-quality gates (Rae et
+    al. 2021 §A1.1): word-count bounds [50, 100000], mean word length in
+    [3, 10], and >=2 distinct stop words — the corpus's articles
+    {'the', 'a'} stand in for Gopher's English stop list.  Reported as
+    per-rule failure counts plus the all-rules pass share, the table a
+    curation run reads to see WHICH rule is cutting a source.
+
+    Scale shape (i25's idiom): every per-doc stat is an array expression
+    — no explode, no (doc, token) shuffle — so the only exchange is the
+    final source rollup with map-side partial aggregation.  Mean word
+    length is an exact integer sum divided once, identical cross-engine;
+    the rule thresholds compare that one double the same way on both."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (d.filter(F.col("text").isNotNull())
+         .select("source", F.split("text", " ").alias("toks"))
+         .selectExpr(
+             "source",
+             "size(toks) AS n",
+             "cast(aggregate(toks, 0L, (acc, x) -> acc + length(x))"
+             " AS double) / size(toks) AS mwl",
+             "size(array_intersect(array_distinct(toks),"
+             " array('the', 'a'))) AS n_stop"))
+    ok = ("n >= 50 AND n <= 100000 AND mwl >= 3 AND mwl <= 10"
+          " AND n_stop >= 2")
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END"))
+         .alias("fail_len"),
+        F.sum(F.expr("CASE WHEN mwl < 3 OR mwl > 10 THEN 1 ELSE 0 END"))
+         .alias("fail_wordlen"),
+        F.sum(F.expr("CASE WHEN n_stop < 2 THEN 1 ELSE 0 END"))
+         .alias("fail_stop"),
+        F.sum(F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END")).alias("n_pass"),
+        F.round(
+            F.sum(F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END"))
+            .cast("double") / F.count(F.lit(1)), 6).alias("pass_share"),
+    )
+
+
+_BM25_TERMS = ("join", "customer", "window")  # fixed query, df spread
+
+
+@_stage(
+    "i57_bm25_topk",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (SELECT doc_id, len(toks) AS n FROM d),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS nd, avg(n) AS avgdl
+               FROM dl),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+            WHERE tok IN ('join', 'customer', 'window')
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+                GROUP BY 1),
+        contrib AS (
+            SELECT tf.doc_id, tf.tok,
+                   ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (c * 2.2)
+                   / (c + 1.2 * (0.25 + 0.75 * dl.n / avgdl)) AS w
+            FROM tf
+            JOIN dfq USING (tok)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st
+        ),
+        piv AS (
+            SELECT doc_id,
+                   max(CASE WHEN tok = 'join' THEN w END) AS w1,
+                   max(CASE WHEN tok = 'customer' THEN w END) AS w2,
+                   max(CASE WHEN tok = 'window' THEN w END) AS w3
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id,
+               round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 6)
+                   AS bm25
+        FROM piv
+        ORDER BY round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0),
+                       6) DESC, doc_id
+        LIMIT 20
+    """,
+)
+def i57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene's ``ln(1+(N-df+0.5)/(df+0.5))`` idf)
+    of every document against the fixed query {join, customer, window},
+    top-20 — the relevance-scoring primitive behind retrieval-based
+    curation, composing i08's tf/df kernels plus doc-length
+    normalization.
+
+    Determinism by construction: the per-term contributions are pivoted
+    into columns and summed in ONE fixed expression order on both
+    engines (a ``sum()`` over term rows would add doubles in
+    engine-chosen order), and the top-k orders on the ROUNDED score with
+    a doc_id tie-break so a sub-round libm wiggle in ``ln`` cannot flip
+    the boundary (the i49 lesson).
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so the
+    (doc, term) frame is |terms|-bounded per doc; df and the corpus
+    stats are broadcast 3-row/1-row aggregates; the tf-to-length join
+    keys on doc_id and the pivot groupBy reuses that partitioning; the
+    top-k is TakeOrderedAndProject, never a global sort.  Doc lengths
+    are pinned once (i08's rationale: the tf and stats branches would
+    otherwise re-scan the corpus; keys-only two-column frame)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    dl = (d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+          .localCheckpoint())  # pin: stats + join branches, one scan
+    st = F.broadcast(dl.agg(F.count(F.lit(1)).alias("nd"),
+                            F.avg("n").alias("avgdl")))
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .filter(F.col("tok").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    dfq = F.broadcast(tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    contrib = (
+        tf.join(dfq, "tok").join(dl, "doc_id").crossJoin(st)
+        .selectExpr(
+            "doc_id", "tok",
+            "ln(1.0 + (nd - df + 0.5) / (df + 0.5))"
+            " * (c * 2.2)"
+            " / (c + 1.2 * (0.25 + 0.75 * n / avgdl)) AS w"))
+    piv = contrib.groupBy("doc_id").agg(
+        F.max(F.expr("CASE WHEN tok = 'join' THEN w END")).alias("w1"),
+        F.max(F.expr("CASE WHEN tok = 'customer' THEN w END")).alias("w2"),
+        F.max(F.expr("CASE WHEN tok = 'window' THEN w END")).alias("w3"))
+    return (
+        piv.select(
+            "doc_id",
+            F.round(F.expr("coalesce(w1, 0D) + coalesce(w2, 0D)"
+                           " + coalesce(w3, 0D)"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id").limit(20)
+    )
