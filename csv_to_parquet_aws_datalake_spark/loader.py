@@ -71,6 +71,50 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def _scan_split_estimate(df: DataFrame) -> int:
+    """Metadata-only estimate of a frame's scan parallelism (r9: replaces
+    the ``df.rdd.getNumPartitions()`` probe, which built a plan-to-RDD
+    lineage on the driver per call).
+
+    File-rooted frames: ``ceil(total_bytes / maxPartitionBytes)`` — a
+    LOWER bound on the planned task count (Spark may split finer via
+    bytesPerCore, never coarser), so a "healthy" verdict is trustworthy
+    in both directions the raw file COUNT is not (r9 review): one large
+    splittable file estimates large (no spurious at-scale widening), and
+    many tiny packed files estimate 1 (the single-task explode hazard is
+    caught).  Sizes come from the local filesystem; non-local schemes
+    fall back to the file count (a real remote corpus has many files).
+    Non-file frames: the planned output partitioning, where 0 is
+    Catalyst's UnknownPartitioning — "don't know", reported as 0 so the
+    caller treats it as healthy (an unknowable narrow in-memory frame is
+    the caller's contract to avoid, documented there)."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return (df._jdf.queryExecution().executedPlan()
+                .outputPartitioning().numPartitions())
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return len(files)
+        try:
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return len(files)
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128MB")
+    try:
+        max_pb = int(df.sparkSession.sparkContext._jvm
+                     .org.apache.spark.network.util.JavaUtils
+                     .byteStringAsBytes(conf))
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    return max(1, math.ceil(total / max_pb))
+
+
 def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     """Repartition ``df`` to cluster width ONLY when the scan is under-
     parallel (fewer splits than cores).
@@ -90,23 +134,17 @@ def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     # split count — and on a host narrower than the scan (parallelism < splits)
     # a repartition could only REDUCE parallelism while paying a shuffle.
     #
-    # The split count comes from metadata only — ``inputFiles()`` for frames
-    # rooted in a file scan (the call-site contract: scan-rooted, no exchange
-    # upstream), else the planned output partitioning.  The previous
-    # ``df.rdd.getNumPartitions()`` probe converted the frame to an RDD on
-    # the driver per call — a plan-to-RDD lineage build this helper's five
-    # hot-path callers (i34/i48/i51/i54 and the stress pins) paid on every
-    # construction (r7 brief item 5).  A file count slightly over-estimates
-    # splits when tiny files get packed into one task, but the guard only
-    # distinguishes "a handful of splits" from "a real corpus", where the
-    # two counts agree.  ``numPartitions() == 0`` is Catalyst's "unknown"
-    # (e.g. an AQE-wrapped exchange already in the plan — already wide):
-    # treated as healthy, so the at-scale path stays a guaranteed no-op.
+    # The split count comes from _scan_split_estimate (metadata only, no
+    # RDD conversion — r7 brief item 5, r9 review for the size-based
+    # form).  Call-site contract: hand this helper a SCAN-ROOTED frame
+    # (projection/filter above a file scan is fine, an exchange or an
+    # in-memory localCheckpoint upstream is not) — for a non-file frame
+    # whose planned partitioning is Unknown the estimate is 0, treated
+    # as healthy, so a narrow constructed frame would silently skip
+    # widening.  Every current caller (i34/i48/i51/i54, the stress pins)
+    # passes a scan-rooted frame.
     par = df.sparkSession.sparkContext.defaultParallelism
-    splits = len(df.inputFiles())
-    if splits == 0:
-        splits = (df._jdf.queryExecution().executedPlan()
-                  .outputPartitioning().numPartitions())
+    splits = _scan_split_estimate(df)
     if splits == 0 or splits >= min(4, par):
         return df
     return df.repartition(par, *key) if key else df.repartition(par)

@@ -341,6 +341,20 @@ def i46_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aes_sampling_key():
+    """The i49 A-ES key expression, single-sourced (r9 review): the
+    registered query and BOTH its test pins (partitioning invariance,
+    rank-50/51 ULP margin) build the key from here, so a kernel change
+    (seed, hash slice, weight guard) re-points every pin automatically
+    instead of leaving a stale inline copy green.  Expects ``doc_id``
+    and ``n_chars`` columns; see i49's docstring for the formula's
+    derivation and determinism story."""
+    hx = F.md5(F.concat(F.lit("aes-seed-1:"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
+        / F.lit(4294967296.0)
+    return -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+
+
 @query(
     "i49_weighted_topk_sample",
     oracle="""
@@ -380,12 +394,8 @@ def i49_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle beyond the k-row reduction, scale-indifferent.
     """
     d = load_table(spark, sf_dir, "documents")
-    hx = F.md5(F.concat(F.lit("aes-seed-1:"), F.col("doc_id").cast("string")))
-    u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
-        / F.lit(4294967296.0)
-    k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
     return (
-        d.select("doc_id", "n_chars", k.alias("k"))
+        d.select("doc_id", "n_chars", aes_sampling_key().alias("k"))
         .orderBy(F.asc("k"), "doc_id").limit(50)
         .select("doc_id", "n_chars", F.round("k", 6).alias("aes_key"))
     )

@@ -1499,6 +1499,19 @@ _GRAMS_CTE = """
     )
 """
 
+# dup grams + their per-doc gaps-and-islands grouping, shared by i48's
+# oracle and the staged i55 census oracle (staged_r9.py — one edit point
+# for the span formulation, r9 review)
+_DUP_SPAN_HITS_CTE = """
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hits AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM grams WHERE g IN (SELECT g FROM dup)
+        )
+"""
+
 
 def _spark_grams(d: DataFrame, *extra: str) -> DataFrame:
     """(doc_id, *extra, pos, g) positional 5-grams, map-side only."""
@@ -1567,8 +1580,9 @@ def dup_token_cover(hits: DataFrame) -> DataFrame:
 def span_dedup_spans(docs: DataFrame) -> DataFrame:
     """Kernel behind i48: (doc_id, text) -> maximal spans of corpus-
     duplicated 5-grams.  Factored out so tools/scale_stress.py can
-    amplify it — one gram-keyed window shuffle + one doc-keyed island
-    merge, both corpus-linear."""
+    amplify it — the skew-safe dup-gram test (partial-agg count +
+    semi-join, see dup_gram_positions) followed by one doc-keyed island
+    merge, every stage corpus-linear and hot-gram-splittable."""
     hits = dup_gram_positions(docs)
     w = W.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
@@ -1584,13 +1598,7 @@ def span_dedup_spans(docs: DataFrame) -> DataFrame:
     "i48_span_dedup",
     oracle=f"""
         WITH {_GRAMS_CTE},
-        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-        hits AS (
-            SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
-            FROM grams WHERE g IN (SELECT g FROM dup)
-        )
+        {_DUP_SPAN_HITS_CTE}
         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                CAST(max(pos) + 4 AS BIGINT) AS span_end,
                CAST(count(*) AS BIGINT) AS span_grams
@@ -1733,11 +1741,12 @@ def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes ``min(pos - prev_pos, 5)`` fresh tokens (5 for the first
     in its doc) — the exact union length, one lag window in doc order.
 
-    Plan: the shared dup_gram_positions kernel (one scan, one gram-window
-    shuffle), a doc_id-partitioned lag + aggregate that REUSE one doc_id
-    exchange, then a doc_id-keyed left join against per-doc token counts
-    and a per-source rollup — everything keys on doc_id or source, and
-    the hits side carries two integers per duplicated gram.
+    Plan: the shared dup_gram_positions kernel (skew-safe partial-agg
+    count + semi-join since r9, see its docstring), a doc_id-partitioned
+    lag + aggregate that REUSE one doc_id exchange, then a doc_id-keyed
+    left join against per-doc token counts and a per-source rollup —
+    everything keys on doc_id or source, and the hits side carries two
+    integers per duplicated gram.
     """
     d = load_table(spark, sf_dir, "documents")
     hits = dup_gram_positions(widen_if_narrow(d.select("doc_id", "text")))

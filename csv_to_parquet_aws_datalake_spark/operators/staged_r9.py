@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
-from .llm_text import _GRAMS_CTE, span_dedup_spans
+from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE, span_dedup_spans
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -61,13 +61,7 @@ def _stage(name: str, oracle: str | None = None):
     "i55_longest_dup_span_census",
     oracle=f"""
         WITH {_GRAMS_CTE},
-        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-        hits AS (
-            SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
-            FROM grams WHERE g IN (SELECT g FROM dup)
-        ),
+        {_DUP_SPAN_HITS_CTE},
         spans AS (
             SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
             FROM hits GROUP BY doc_id, grp

@@ -249,17 +249,15 @@ def test_i49_sample_is_partitioning_invariant(spark, sf_dir):
 
     def sample_with(parts):
         import csv_to_parquet_aws_datalake_spark.loader as loader
+        from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+            aes_sampling_key,
+        )
 
         base = loader.load_table(spark, sf_dir, "documents")
         d = base.repartition(parts)
-        # run the same expression chain as the query on the repartitioned
-        # frame (the query loads its own table, so recompute inline)
-        hx = F.md5(F.concat(F.lit("aes-seed-1:"),
-                            F.col("doc_id").cast("string")))
-        u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
-            / F.lit(4294967296.0)
-        k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
-        rows = (d.select("doc_id", k.alias("k"))
+        # the REGISTERED key expression (single-sourced, r9 review) on the
+        # repartitioned frame (the query loads its own table)
+        rows = (d.select("doc_id", aes_sampling_key().alias("k"))
                 .orderBy(F.asc("k"), "doc_id").limit(50).collect())
         return [r["doc_id"] for r in rows]
 
@@ -286,17 +284,20 @@ def test_i49_boundary_keys_are_ulp_separated(spark, sf_dir):
     from pyspark.sql import functions as F
 
     import csv_to_parquet_aws_datalake_spark.loader as loader
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        aes_sampling_key,
+    )
 
     d = loader.load_table(spark, sf_dir, "documents")
-    hx = F.md5(F.concat(F.lit("aes-seed-1:"), F.col("doc_id").cast("string")))
-    u = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 0.5) \
-        / F.lit(4294967296.0)
-    k = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
     ks = [r["k"] for r in
-          d.select(k.alias("k")).orderBy(F.asc("k")).limit(51).collect()]
+          d.select(aes_sampling_key().alias("k"))
+          .orderBy(F.asc("k")).limit(51).collect()]
     assert len(ks) == 51  # corpus larger than the sample: boundary exists
     k50, k51 = ks[49], ks[50]
     assert k51 - k50 > 64 * math.ulp(k50), (k50, k51)
+
+
+def test_i51_matrix_on_constructed_sources(spark):
     # hand-computed contamination matrix: srcA and srcB share exactly the
     # grams of one common sentence; srcC shares nothing.
     from pyspark.sql import functions as F

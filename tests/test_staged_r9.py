@@ -132,10 +132,18 @@ def test_i57_matches_pure_python_bm25(spark, sf_dir):
     # the Spark expressions, so a both-engines-wrong transcription would
     # pass the differential)
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
         _BM25_TERMS,
     )
+
+    def round6(x: float) -> float:
+        # Spark's F.round is BigDecimal HALF_UP on the double's exact
+        # binary expansion; Python's round() is banker's — mirror Spark
+        # so an exact 6th-decimal tie cannot diverge the reference
+        return float(Decimal(x).quantize(Decimal("1e-6"),
+                                         rounding=ROUND_HALF_UP))
 
     fn, _ = STAGED["i57_bm25_topk"]
     got = [(r["doc_id"], r["bm25"]) for r in fn(spark, sf_dir).collect()]
@@ -156,6 +164,6 @@ def test_i57_matches_pure_python_bm25(spark, sf_dir):
                 idf = math.log(1.0 + (nd - df_t[q] + 0.5) / (df_t[q] + 0.5))
                 s += idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
         if s > 0:
-            scored.append((doc_id, round(s, 6)))
+            scored.append((doc_id, round6(s)))
     scored.sort(key=lambda x: (-x[1], x[0]))
     assert got == scored[:20]

@@ -428,6 +428,37 @@ def test_widen_if_narrow_file_scan_path(spark, sf_dir):
     assert widen_if_narrow(d).rdd.getNumPartitions() == par
 
 
+def test_scan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
+    # r9 review: the estimate must be bytes/maxPartitionBytes, not the
+    # file count — many tiny packed files still estimate 1 (the
+    # single-task hazard is caught), and enough bytes estimate wide even
+    # from ONE file (no spurious at-scale repartition)
+    from csv_to_parquet_aws_datalake_spark.loader import (
+        _scan_split_estimate, widen_if_narrow,
+    )
+
+    ten = str(tmp_path / "ten_tiny")
+    spark.range(0, 100).repartition(10).write.parquet(ten)
+    tiny = spark.read.parquet(ten)
+    assert len(tiny.inputFiles()) == 10
+    assert _scan_split_estimate(tiny) == 1  # Spark would pack these
+    assert widen_if_narrow(tiny) is not tiny
+
+    # shrink the packing target so one modest file estimates "wide":
+    # documents.parquet is tens of KB even at sf0.001
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert _scan_split_estimate(d) >= 4
+        assert widen_if_narrow(d) is d  # healthy: no shuffle added
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
 def test_a05_dropmalformed_complements_corrupt_count(spark, sf_dir):
     # the semantic tie between the two CSV modes: DROPMALFORMED keeps
     # exactly the rows PERMISSIVE did NOT flag as corrupt
