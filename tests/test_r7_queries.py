@@ -327,6 +327,31 @@ def test_i51_matrix_on_constructed_sources(spark):
     }
 
 
+def test_dup_gram_kernel_on_adversarial_hot_gram_corpus(spark):
+    # the r9 skew fix's own adversary: EVERY doc shares one stop-phrase
+    # 5-gram (the hot key whose window partition could not be split),
+    # surrounded by per-doc-unique filler.  The kernel must stay exact:
+    # each doc hits on the shared gram's position only, and the span is
+    # exactly the 5 shared tokens.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        dup_gram_positions, span_dedup_spans,
+    )
+
+    hot = "click here to read more"
+    rows = [(i, f"u{i}a u{i}b u{i}c {hot} u{i}d u{i}e u{i}f")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = dup_gram_positions(df).collect()
+    # filler tokens are doc-unique, so only grams fully inside the hot
+    # phrase repeat: exactly one position (pos 3) per doc
+    assert len(hits) == 200
+    assert all(r["pos"] == 3 for r in hits)
+    spans = span_dedup_spans(df).collect()
+    assert len(spans) == 200
+    assert all(r["span_start"] == 3 and r["span_end"] == 7
+               and r["span_grams"] == 1 for r in spans)
+
+
 def test_i54_coverage_is_token_union_not_span_sum(spark):
     # the counterexample that killed the naive sum-of-span-lengths
     # formula: i48 islands are maximal in GRAM space, but islands with a
