@@ -11,7 +11,7 @@ comparator the driver uses, plus the anti-pattern linter.  Registering
 one later is a mechanical move: wrap with ``@query`` in the right
 operators module and delete it here.
 
-The three (all public techniques, all composing proven kernels):
+The four (all public techniques, all composing proven kernels):
 
 - i55 longest-dup-span census — the per-source "how long are the
   repeated substrings" dashboard behind span dedup (Lee et al. 2022):
@@ -34,6 +34,13 @@ The three (all public techniques, all composing proven kernels):
   bit-identical (a ``sum()`` over the term rows would add doubles in
   engine-chosen order); ordering is on the ROUNDED score with a doc_id
   tie-break (the i49 lesson, applied at design time).
+- i58 SemDeDup census (Abbas et al. 2023, "SemDeDup: Data-efficient
+  learning at web-scale through semantic deduplication") — the
+  embedding-space sibling of text dedup: cluster vectors, compare pairs
+  only WITHIN a cluster, mark keep-first duplicates above a cosine
+  threshold.  Composes i23's exact-decimal centroid kernel and i06's
+  rounded-threshold pair idiom, bucketed by cluster so the pairwise
+  stage never crosses cluster boundaries.
 """
 
 from __future__ import annotations
@@ -41,9 +48,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import cosine, dot, norm
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE, span_dedup_spans
+from .llm_vectors import _CENTROID_CTES_SQL, _centroid_table
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -275,3 +284,108 @@ def i57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " + coalesce(w3, 0D)"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id").limit(20)
     )
+
+
+_SEMDEDUP_TAU = 0.35  # between within-cluster pair-cosine p99 and p99.9
+#                       at sf0.001/0.01/0.1 (measured), so every SF yields
+#                       a small but non-empty duplicate set
+
+
+def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """The i58 kernel over any (vec_id, label, embedding) frame — factored
+    out so constructed-frame tests drive the registered formulation.
+
+    SemDeDup (Abbas et al. 2023): assign every vector to its nearest
+    centroid (here i23's per-label exact-decimal centroids stand in for
+    the paper's k-means step, which at production scale sizes k so
+    clusters stay bounded), then within each cluster mark every vector
+    whose rounded cosine to a LOWER-vec_id cluster-mate reaches ``tau``
+    as a duplicate (the i02 keep-first rule, the paper's keep-one
+    policy).  Reported per cluster: membership, duplicates, share.
+
+    Scale shape: centroids broadcast (k rows); assignment is map-side +
+    a vec_id-partitioned argmax window; the pair stage is an EQUI-join
+    on the assigned cluster — candidates never cross clusters, the
+    bucketing that separates this from i06's all-pairs baseline (with
+    k ∝ corpus size, per-cluster pairwise stays bounded).  Norms hoist
+    out of the pair join (i06's discipline: n folds, not n²).  The
+    assignment is pinned: three consumers (membership census, both pair
+    sides) would otherwise re-run the centroid scoring; a multi-session
+    100 TB pipeline would persist assignments to storage instead, as
+    llm_text.py:16's pin-policy note already prescribes."""
+    from pyspark.sql.window import Window as W
+
+    cenarr = _centroid_table(emb)
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    assigned = (
+        emb.crossJoin(F.broadcast(cenarr))
+        .select("vec_id", "embedding", "clabel",
+                F.round(cosine("embedding", "carr"), 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel", "embedding")
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        F.col("clabel").alias("cl"), F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"), norm("embedding").alias("na"))
+    b = assigned.select(
+        F.col("clabel").alias("cl"), F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"), norm("embedding").alias("nb"))
+    cosp = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    dups = (
+        a.join(b.withColumnRenamed("cl", "clb"),
+               (F.col("cl") == F.col("clb")) & (F.col("va") < F.col("vb")))
+        .filter(cosp >= tau)
+        .select("cl", "vb").distinct()
+    )
+    dc = dups.groupBy("cl").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        assigned.groupBy(F.col("clabel").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(dc, F.col("cluster") == F.col("cl"), "left")
+        .select(
+            "cluster", "n_vectors",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_vectors"), 6).alias("dup_share"))
+    )
+
+
+@_stage(
+    "i58_semdedup_census",
+    oracle=f"""
+        WITH {_CENTROID_CTES_SQL}, assigned AS (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.clabel,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                carr), 6) AS cos
+            FROM embeddings e CROSS JOIN cenarr c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY cos DESC, c.clabel) = 1
+        ), dups AS (
+            SELECT DISTINCT a.clabel, b.vec_id AS vb
+            FROM assigned a JOIN assigned b
+              ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 6)
+                  >= {_SEMDEDUP_TAU}
+        ), dc AS (
+            SELECT clabel, CAST(count(*) AS BIGINT) AS n_dup
+            FROM dups GROUP BY 1
+        )
+        SELECT a.clabel AS cluster,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(coalesce(max(dc.n_dup), 0) AS BIGINT) AS n_dup,
+               round(CAST(coalesce(max(dc.n_dup), 0) AS DOUBLE) / count(*),
+                     6) AS dup_share
+        FROM assigned a LEFT JOIN dc ON a.clabel = dc.clabel
+        GROUP BY a.clabel
+    """,
+)
+def i58_semdedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: per-cluster duplicate census at
+    cosine >= 0.35 (see semdedup_census for the algorithm, composition,
+    and 100 TB story).  The embedding-space member of the dedup family:
+    i01 exact text, i03/i34 near-dup text, i48 substring spans, i58
+    semantic — the four granularities a curation pipeline layers."""
+    emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
+    return semdedup_census(emb)

@@ -33,7 +33,7 @@ def test_staged_matches_oracle(name, spark, oracle, sf_dir):
     fn, sql = STAGED[name]
     df = fn(spark, sf_dir)
     assert_no_antipatterns(name, df)
-    assert sql is not None  # all three r10 candidates are hash-provable
+    assert sql is not None  # all four r10 candidates are hash-provable
     compare(df, oracle, sql)
 
 
@@ -167,3 +167,56 @@ def test_i57_matches_pure_python_bm25(spark, sf_dir):
             scored.append((doc_id, round6(s)))
     scored.sort(key=lambda x: (-x[1], x[0]))
     assert got == scored[:20]
+
+
+def test_i58_keep_first_on_constructed_clusters(spark):
+    # three identical vectors + one orthogonal under label c0, plus a
+    # lone c1 vector identical to the orthogonal one: keep-first must
+    # drop the two higher vec_ids of the triple, and the orthogonal
+    # vector must MIGRATE to c1 (nearest centroid, not label) where it
+    # becomes the kept representative of the identical pair there
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+        semdedup_census,
+    )
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, "c0", e1), (2, "c0", e1), (3, "c0", e1),  # identical triple
+        (4, "c0", e2),                                 # orthogonal: kept
+        (5, "c1", e2),                                 # lone cluster
+    ]
+    df = spark.createDataFrame(
+        rows, f"vec_id long, label string, embedding array<float>")
+    got = {r["cluster"]: r for r in semdedup_census(df, tau=0.9).collect()}
+    # assignment is by NEAREST centroid, not by label: c1's centroid IS
+    # e2 (cos 1.0), while c0's centroid [0.75, 0.25, 0, 0] gives vec 4
+    # only cos ~0.316 — so vec 4 migrates to c1 and becomes the kept
+    # representative of the (4, 5) identical pair there
+    assert got["c0"]["n_vectors"] == 3
+    assert got["c0"]["n_dup"] == 2          # vec 2 and 3, keep-first
+    assert got["c0"]["dup_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["c1"]["n_vectors"] == 2      # vec 4 (migrated) + vec 5
+    assert got["c1"]["n_dup"] == 1          # vec 5, keep-first
+
+
+def test_i58_census_totals_and_bounds(spark, sf_dir):
+    fn, _ = STAGED["i58_semdedup_census"]
+    rows = fn(spark, sf_dir).collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in rows) == n_emb  # assignment total
+    assert sum(r["n_dup"] for r in rows) > 0           # tau yields dups
+    for r in rows:
+        assert 0 <= r["n_dup"] < r["n_vectors"], r     # keep-first keeps >=1
+        assert r["dup_share"] == pytest.approx(
+            r["n_dup"] / r["n_vectors"], abs=1e-6)
+
+
+def test_i58_pairs_are_cluster_bucketed(spark, sf_dir):
+    # the SemDeDup scale claim: the pair stage is an equi-join on the
+    # assigned cluster, never a cartesian
+    fn, _ = STAGED["i58_semdedup_census"]
+    plan = physical_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the broadcast centroid scoring
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
