@@ -11,7 +11,7 @@ comparator the driver uses, plus the anti-pattern linter.  Registering
 one later is a mechanical move: wrap with ``@query`` in the right
 operators module and delete it here.
 
-The four (all public techniques, all composing proven kernels):
+The five (all public techniques, all composing proven kernels):
 
 - i55 longest-dup-span census — the per-source "how long are the
   repeated substrings" dashboard behind span dedup (Lee et al. 2022):
@@ -41,6 +41,11 @@ The four (all public techniques, all composing proven kernels):
   threshold.  Composes i23's exact-decimal centroid kernel and i06's
   rounded-threshold pair idiom, bucketed by cluster so the pairwise
   stage never crosses cluster boundaries.
+- k16 perceptual-hash (aHash) dedup buckets — the image-dedup step of
+  a multimodal pipeline over the repo's deterministic decode stub:
+  map-side 8-bit block-mean codes (exact integer cross-multiply, no
+  floats) via Arrow-batched mapInPandas, then one census groupBy.
+  Hamming-radius matching would band the code like i34's MinHash bands.
 """
 
 from __future__ import annotations
@@ -389,3 +394,92 @@ def i58_semdedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic — the four granularities a curation pipeline layers."""
     emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     return semdedup_census(emb)
+
+
+def phash_codes(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, phash): 8-bit average-hash codes,
+    the k16 kernel.  Whole-batch numpy over Arrow batches (k07's
+    convention): one concatenated byte view, block sums via cumsum
+    gathers (no reduceat — its segment-end semantics mis-bracket when a
+    payload's tail bytes sit between block 7 and the next payload), and
+    the block-vs-overall mean test as an exact integer cross-multiply
+    ``bsum * L > tot * W`` so no float ever enters the hash.  Callers
+    must pre-filter payloads shorter than 8 bytes (W would be 0)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            ln = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                             count=len(payloads))
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+                .astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cat)])
+            starts = np.cumsum(ln) - ln
+            w = ln // 8
+            bstart = starts[:, None] + np.arange(8)[None, :] * w[:, None]
+            bsum = csum[bstart + w[:, None]] - csum[bstart]
+            tot = csum[starts + ln] - csum[starts]
+            bits = (bsum * ln[:, None]) > (tot[:, None] * w[:, None])
+            phash = (bits << (7 - np.arange(8))[None, :]).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": phash})
+
+    return binary_df.mapInPandas(hash_batches, "doc_id long, phash long")
+
+
+@_stage(
+    "k16_phash_dedup",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS L, length(text) // 8 AS W,
+                   list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, i, 1)))) AS tot
+            FROM documents WHERE length(text) >= 8
+        ), blocks AS (
+            SELECT doc_id, L, W, tot, b.b,
+                   list_sum(list_transform(
+                       range(b.b * W + 1, (b.b + 1) * W + 1),
+                       i -> ord(substr(text, i, 1)))) AS bsum
+            FROM base CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bsum * L > tot * W
+                                 THEN 1 << (7 - CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks GROUP BY doc_id
+        )
+        SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc
+        FROM hashed GROUP BY phash HAVING count(*) > 1
+    """,
+)
+def k16_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) near-dup buckets over binary media
+    payloads — the image-dedup step of a multimodal curation pipeline:
+    8 block means vs the overall mean give an 8-bit code; payloads
+    sharing a code are duplicate candidates, keep-first representative
+    reported.  The decode is the repo's deterministic stub (utf-8 text
+    bytes stand in for decoded grayscale rows, k06/k07's convention) —
+    a real pipeline swaps the byte source for pixel rows and widens the
+    hash to 64 bits, changing neither the Spark plan nor the census.
+
+    Scale shape: hashing is MAP-SIDE ONLY (Arrow-batched mapInPandas,
+    whole-batch numpy); the only exchange is the 8-bit-keyed census
+    groupBy with map-side partial aggregation.  Hamming-radius (rather
+    than exact-code) matching would band the code exactly like i34's
+    MinHash bands — same bucketed shape, no all-pairs.  The integer
+    cross-multiply mean test keeps the hash float-free, so Spark and
+    the byte-arithmetic oracle agree bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = (d.filter(F.length("text") >= 8)
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return (
+        phash_codes(binary)
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )

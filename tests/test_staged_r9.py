@@ -33,7 +33,7 @@ def test_staged_matches_oracle(name, spark, oracle, sf_dir):
     fn, sql = STAGED[name]
     df = fn(spark, sf_dir)
     assert_no_antipatterns(name, df)
-    assert sql is not None  # all four r10 candidates are hash-provable
+    assert sql is not None  # all five r10 candidates are hash-provable
     compare(df, oracle, sql)
 
 
@@ -220,3 +220,36 @@ def test_i58_pairs_are_cluster_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop join is the broadcast centroid scoring
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_k16_kernel_hand_computed(spark):
+    # "aaaabbbb": L=8, W=1, tot=780; blocks 97*4 then 98*4 — bit b set
+    # iff bsum*8 > 780, so exactly the four 98-blocks: phash 0b00001111
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+        phash_codes,
+    )
+    from pyspark.sql import functions as F
+
+    df = (spark.createDataFrame([(1, "aaaabbbb"), (2, "bbbbaaaa")],
+                                "doc_id long, text string")
+          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    got = {r["doc_id"]: r["phash"] for r in phash_codes(df).collect()}
+    assert got == {1: 0b00001111, 2: 0b11110000}
+
+
+def test_k16_census_and_plan(spark, sf_dir):
+    # collision groups exist at every SF (probed at design time), every
+    # group has >=2 members and a min-doc representative; hashing is
+    # map-side (no exchange below the census groupBy)
+    fn, _ = STAGED["k16_phash_dedup"]
+    df = fn(spark, sf_dir)
+    # plan BEFORE collect: the post-execution AQE string repeats the tree
+    # under '== Initial Plan ==', double-counting exchanges
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows  # non-empty census
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert 0 <= r["phash"] < 256
