@@ -138,6 +138,41 @@ def _centroid_table(emb: DataFrame) -> DataFrame:
                     lambda x: x.c).alias("carr"))
 
 
+def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
+    """(vec_id, clabel, embedding): every vector paired with its nearest
+    exact-decimal centroid — broadcast k-row centroid table, rounded
+    cosine, vec_id-partitioned argmax window with a clabel tie-break.
+    Single-sourced (r9 review: this block existed verbatim in i29 and
+    the staged i58; a tie-break or rounding change must hit every
+    consumer at once).  ``_ASSIGNED_CTE_SQL`` is the oracle-side twin."""
+    from pyspark.sql.window import Window as W
+
+    cenarr = _centroid_table(emb)
+    return (
+        emb.crossJoin(F.broadcast(cenarr))
+        .select("vec_id", "clabel", "embedding",
+                F.round(cosine("embedding", "carr"), 6).alias("acos"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel", "embedding")
+    )
+
+
+# assign_nearest_centroid's oracle twin; expects cenarr in scope
+# (_CENTROID_CTES_SQL) and binds (vec_id, clabel, emb)
+_ASSIGNED_CTE_SQL = """
+        assigned AS (
+            SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM embeddings e CROSS JOIN cenarr c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
+                         c.clabel) = 1
+        )
+"""
+
+
 # i23's centroid CTE chain, shared verbatim with i29's oracle
 _CENTROID_CTES_SQL = """
         pos AS (
@@ -308,14 +343,7 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cenarr CROSS JOIN q
             ORDER BY round(list_cosine_similarity(carr, qv), 6) DESC, clabel
             LIMIT 3
-        ), assigned AS (
-            SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
-            FROM embeddings e CROSS JOIN cenarr c
-            QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round(list_cosine_similarity(
-                         CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
-                         c.clabel) = 1
-        )
+        ), {_ASSIGNED_CTE_SQL}
         SELECT a.vec_id,
                round(list_cosine_similarity(a.emb, q.qv), 6) AS cos
         FROM assigned a JOIN probes p ON a.clabel = p.clabel CROSS JOIN q
@@ -337,16 +365,7 @@ def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical partitions; final top-k is TakeOrderedAndProject."""
     emb = load_table(spark, sf_dir, "embeddings")
     cenarr = _centroid_table(emb)
-    from pyspark.sql.window import Window as W
-    assigned = (
-        emb.crossJoin(F.broadcast(cenarr))
-        .select("vec_id", "clabel", "embedding",
-                F.round(cosine("embedding", "carr"), 6).alias("acos"))
-        .withColumn("rn", F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel", "embedding")
-    )
+    assigned = assign_nearest_centroid(emb)
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
     probes = (

@@ -53,11 +53,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import dot, norm
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE, span_dedup_spans
-from .llm_vectors import _CENTROID_CTES_SQL, _centroid_table
+from .llm_vectors import (
+    _ASSIGNED_CTE_SQL,
+    _CENTROID_CTES_SQL,
+    assign_nearest_centroid,
+)
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -308,29 +312,21 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
     as a duplicate (the i02 keep-first rule, the paper's keep-one
     policy).  Reported per cluster: membership, duplicates, share.
 
-    Scale shape: centroids broadcast (k rows); assignment is map-side +
-    a vec_id-partitioned argmax window; the pair stage is an EQUI-join
-    on the assigned cluster — candidates never cross clusters, the
-    bucketing that separates this from i06's all-pairs baseline (with
-    k ∝ corpus size, per-cluster pairwise stays bounded).  Norms hoist
-    out of the pair join (i06's discipline: n folds, not n²).  The
-    assignment is pinned: three consumers (membership census, both pair
-    sides) would otherwise re-run the centroid scoring; a multi-session
-    100 TB pipeline would persist assignments to storage instead, as
-    llm_text.py:16's pin-policy note already prescribes."""
-    from pyspark.sql.window import Window as W
-
-    cenarr = _centroid_table(emb)
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
-    assigned = (
-        emb.crossJoin(F.broadcast(cenarr))
-        .select("vec_id", "embedding", "clabel",
-                F.round(cosine("embedding", "carr"), 6).alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel", "embedding")
-        .localCheckpoint()
-    )
+    Scale shape: the assignment is the shared
+    ``llm_vectors.assign_nearest_centroid`` (broadcast k-row centroids,
+    map-side scoring, vec_id argmax window — single-sourced with i29, r9
+    review); the pair stage is an EQUI-join on the assigned cluster —
+    candidates never cross clusters, the bucketing that separates this
+    from i06's all-pairs baseline (with k ∝ corpus size, per-cluster
+    pairwise stays bounded).  Norms hoist out of the pair join (i06's
+    discipline: n folds, not n²).  The assignment is pinned: three
+    consumers (membership census, both pair sides) would otherwise
+    re-run the centroid scoring; a multi-session 100 TB pipeline would
+    persist assignments to storage instead, as llm_text.py:16's
+    pin-policy note already prescribes.  (The pin also hides the
+    scoring join from the census plan — tests lint the unpinned
+    assignment plan separately.)"""
+    assigned = assign_nearest_centroid(emb).localCheckpoint()
     a = assigned.select(
         F.col("clabel").alias("cl"), F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"), norm("embedding").alias("na"))
@@ -360,14 +356,7 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
 @_stage(
     "i58_semdedup_census",
     oracle=f"""
-        WITH {_CENTROID_CTES_SQL}, assigned AS (
-            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.clabel,
-                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                carr), 6) AS cos
-            FROM embeddings e CROSS JOIN cenarr c
-            QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                                       ORDER BY cos DESC, c.clabel) = 1
-        ), dups AS (
+        WITH {_CENTROID_CTES_SQL}, {_ASSIGNED_CTE_SQL}, dups AS (
             SELECT DISTINCT a.clabel, b.vec_id AS vb
             FROM assigned a JOIN assigned b
               ON a.clabel = b.clabel AND a.vec_id < b.vec_id
@@ -472,10 +461,18 @@ def k16_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     than exact-code) matching would band the code exactly like i34's
     MinHash bands — same bucketed shape, no all-pairs.  The integer
     cross-multiply mean test keeps the hash float-free, so Spark and
-    the byte-arithmetic oracle agree bit-for-bit."""
+    the byte-arithmetic oracle agree bit-for-bit.  Oracle caveat
+    (k06/k07's documented convention): DuckDB has no BLOB substring, so
+    the oracle indexes CHARACTERS and ord() code points — equal to byte
+    offsets/values only because the corpus is ASCII; a non-ASCII corpus
+    would need a byte-table oracle instead."""
     d = load_table(spark, sf_dir, "documents")
-    binary = (d.filter(F.length("text") >= 8)
-              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    # i48/i55 precedent: parallelize the hashing on degenerate one-file
+    # local scans (round-robin exchange, not hash — the census plan pin
+    # counts hashpartitioning exchanges and stays at one)
+    binary = widen_if_narrow(
+        d.filter(F.length("text") >= 8)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return (
         phash_codes(binary)
         .groupBy("phash")

@@ -213,13 +213,30 @@ def test_i58_census_totals_and_bounds(spark, sf_dir):
 
 
 def test_i58_pairs_are_cluster_bucketed(spark, sf_dir):
-    # the SemDeDup scale claim: the pair stage is an equi-join on the
-    # assigned cluster, never a cartesian
+    # the SemDeDup scale claim, in two halves because the localCheckpoint
+    # pin hides everything upstream of it from the census plan (r9
+    # review: a post-pin-only assertion could never see the scoring
+    # join).  1) the UNPINNED assignment plan: the centroid scoring is a
+    # broadcast nested-loop, never an unbroadcast cartesian, and the
+    # argmax window is vec_id-partitioned;  2) the census plan: the pair
+    # stage is an equi-join on the assigned cluster, no cartesian.
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        assign_nearest_centroid,
+    )
+    from csv_to_parquet_aws_datalake_spark.plans.checks import (
+        unpartitioned_window_nodes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aplan = physical_plan(assign_nearest_centroid(emb))
+    assert "BroadcastNestedLoopJoin" in aplan
+    assert "CartesianProduct" not in aplan
+    assert not unpartitioned_window_nodes(assign_nearest_centroid(emb))
+
     fn, _ = STAGED["i58_semdedup_census"]
     plan = physical_plan(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the only nested-loop join is the broadcast centroid scoring
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_k16_kernel_hand_computed(spark):
