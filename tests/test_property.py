@@ -277,3 +277,114 @@ def test_dup_token_cover_matches_bruteforce_union(spark, texts):
         if covered:
             expected[doc_id] = len(covered)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# phash_codes (staged_r9.py, the k16 kernel): the whole-batch numpy
+# cumsum-gather implementation vs a per-payload pure-Python reference —
+# the property pins the batch indexing (block boundaries, tail bytes
+# excluded beyond 8*W, strict mean inequality) that a fixed example
+# can't sweep.
+
+
+def _phash_py(payload: bytes) -> int:
+    L = len(payload)
+    w = L // 8
+    tot = sum(payload)
+    code = 0
+    for b in range(8):
+        bsum = sum(payload[b * w:(b + 1) * w])
+        if bsum * L > tot * w:
+            code |= 1 << (7 - b)
+    return code
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=8, max_size=50),
+    min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_phash_kernel_matches_pure_python(spark, texts):
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+        phash_codes,
+    )
+
+    rows = list(enumerate(texts))
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    got = {r["doc_id"]: r["phash"] for r in phash_codes(df).collect()}
+    want = {i: _phash_py(t.encode()) for i, t in rows}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# semdedup_census (staged_r9.py, the i58 kernel) vs a brute-force pure-
+# Python reference: random small integer vector sets sweep centroid
+# migration, rounding-boundary assignment ties, and keep-first chains
+# that the fixed constructed-cluster example can't.  Integer-valued
+# vectors keep every intermediate (decimal centroid sums, left-fold
+# dots) bit-identical between engines and the reference.
+
+
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _semdedup_py(rows, tau):
+    # rows: (vec_id, label, [ints]); mirrors semdedup_census exactly:
+    # exact-mean centroids, round6 cosine argmax w/ clabel tie-break,
+    # keep-first pairs at rounded cosine >= tau within a cluster
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * 1.0 * y
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    labels = sorted({lb for _, lb, _ in rows})
+    cen = {}
+    for lb in labels:
+        mem = [v for _, l2, v in rows if l2 == lb]
+        cen[lb] = [sum(d) / len(mem) for d in zip(*mem)]
+    assigned = {}
+    for vid, _, v in rows:
+        best = min(((-_round6_half_up(cos(v, cen[lb])), lb) for lb in labels))
+        assigned[vid] = best[1]
+    out = {}
+    for lb in labels:
+        mem = sorted(vid for vid, a in assigned.items() if a == lb)
+        vec = {vid: v for vid, _, v in rows}
+        dups = {vb for i, vb in enumerate(mem) for va in mem[:i]
+                if _round6_half_up(cos(vec[va], vec[vb])) >= tau}
+        if mem:
+            out[lb] = (len(mem), len(dups))
+    return out
+
+
+@given(
+    st.lists(st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.tuples(st.integers(1, 3), st.integers(0, 3), st.integers(0, 3))),
+        min_size=4, max_size=10),
+    st.sampled_from([0.5, 0.9, 0.99]))
+@settings(max_examples=6, deadline=None, derandomize=True)
+def test_semdedup_kernel_matches_bruteforce(spark, vecs, tau):
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+        semdedup_census,
+    )
+
+    rows = [(i, lb, [float(x) for x in v]) for i, (lb, v) in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    got = {r["cluster"]: (r["n_vectors"], r["n_dup"])
+           for r in semdedup_census(df, tau=tau).collect()}
+    assert got == _semdedup_py(rows, tau)
