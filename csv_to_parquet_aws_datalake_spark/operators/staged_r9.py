@@ -322,8 +322,18 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
     map-side scoring, vec_id argmax window — single-sourced with i29, r9
     review); the pair stage is an EQUI-join on the assigned cluster —
     candidates never cross clusters, the bucketing that separates this
-    from i06's all-pairs baseline (with k ∝ corpus size, per-cluster
-    pairwise stays bounded).  Norms hoist out of the pair join (i06's
+    from i06's all-pairs baseline.  MEASURED scale tension (r9 stress,
+    per-replica-label amplification at sf0.1): the pair stage needs
+    k ∝ corpus to keep clusters bounded, but DENSE assignment scores
+    every vector against all k centroids — O(n·k) — so with k ∝ n the
+    kernel measured 2.3× vs linear at K=4 (the assignment, not the
+    pairs).  The production remedy, as in IVF practice, is approximate
+    assignment: SRP-bucket the CENTROIDS (i18's path) so each vector
+    scores only its bucket's centroids — a registration of this
+    candidate should ship that variant for the scale path and keep this
+    dense form as the exact contract baseline (the i06/i18
+    relationship, one family over).  Norms hoist out of the pair join
+    (i06's
     discipline: n folds, not n²).  The assignment is pinned: three
     consumers (membership census, both pair sides) would otherwise
     re-run the centroid scoring; a multi-session 100 TB pipeline would
