@@ -19,10 +19,14 @@ zero-shuffle map expression, fully fused into the scan by codegen.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import configure
+
+_LOG = logging.getLogger(__name__)
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -71,6 +75,12 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+#: Extensions whose files Spark cannot split by byte range: the whole
+#: file is one task regardless of size, so the byte-derived estimate
+#: below would over-report their parallelism (ADVICE r9a).
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".bz2", ".deflate", ".lz4", ".xz")
+
+
 def _scan_split_estimate(df: DataFrame) -> int:
     """Metadata-only estimate of a frame's scan parallelism (r9: replaces
     the ``df.rdd.getNumPartitions()`` probe, which built a plan-to-RDD
@@ -82,20 +92,38 @@ def _scan_split_estimate(df: DataFrame) -> int:
     in both directions the raw file COUNT is not (r9 review): one large
     splittable file estimates large (no spurious at-scale widening), and
     many tiny packed files estimate 1 (the single-task explode hazard is
-    caught).  Sizes come from the local filesystem; non-local schemes
+    caught).  When any input file carries a non-splittable-codec
+    extension (gzip CSV/JSON etc.), byte-range splittability no longer
+    holds — each such file executes as ONE task however large — so the
+    estimate is capped at ``len(files)``, the effective per-file
+    parallelism bound (ADVICE r9a; an all-gzip scan of few huge files now
+    reads as narrow instead of spuriously healthy).  Codec assumption:
+    a large single-ROW-GROUP parquet file is equally unsplittable in
+    practice but is undetectable without footer reads; callers get the
+    documented lower-bound contract only for multi-row-group parquet
+    (the driver corpus) and uncompressed/splittable text.
+    Sizes come from the local filesystem; non-local schemes
     fall back to the file count (a real remote corpus has many files).
     Non-file frames: the planned output partitioning, where 0 is
     Catalyst's UnknownPartitioning — "don't know", reported as 0 so the
     caller treats it as healthy (an unknowable narrow in-memory frame is
-    the caller's contract to avoid, documented there)."""
+    the caller's contract to avoid, documented there; a debug line marks
+    the path so a contract-violating call site is discoverable, ADVICE
+    r9b)."""
     import math
     import os
     from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
     if not files:
-        return (df._jdf.queryExecution().executedPlan()
-                .outputPartitioning().numPartitions())
+        n = (df._jdf.queryExecution().executedPlan()
+             .outputPartitioning().numPartitions())
+        if n == 0:
+            _LOG.debug(
+                "_scan_split_estimate: no input files and Unknown "
+                "partitioning — treating as healthy per the scan-rooted "
+                "call-site contract (widen_if_narrow docstring)")
+        return n
     total = 0
     for f in files:
         if not f.startswith("file:"):
@@ -112,7 +140,10 @@ def _scan_split_estimate(df: DataFrame) -> int:
                      .byteStringAsBytes(conf))
     except Exception:
         max_pb = 128 * 1024 * 1024
-    return max(1, math.ceil(total / max_pb))
+    est = max(1, math.ceil(total / max_pb))
+    if any(f.lower().endswith(_NON_SPLITTABLE_EXTS) for f in files):
+        est = min(est, len(files))
+    return est
 
 
 def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:

@@ -11,7 +11,11 @@ comparator the driver uses, plus the anti-pattern linter.  Registering
 one later is a mechanical move: wrap with ``@query`` in the right
 operators module and delete it here.
 
-The six (all public techniques, all composing proven kernels):
+The five (all public techniques, all composing proven kernels; a sixth,
+the e19 ordered-funnel census, staged here through round 9 and was
+REGISTERED in round 10 as ``operators/windows.py:e19_funnel_census`` —
+the one candidate judged worth a permanent freshness slot, VERDICT r9
+item 3):
 
 - i55 longest-dup-span census — the per-source "how long are the
   repeated substrings" dashboard behind span dedup (Lee et al. 2022):
@@ -46,11 +50,6 @@ The six (all public techniques, all composing proven kernels):
   map-side 8-bit block-mean codes (exact integer cross-multiply, no
   floats) via Arrow-batched mapInPandas, then one census groupBy.
   Hamming-radius matching would band the code like i34's MinHash bands.
-- e19 ordered-funnel census — view -> click -> purchase conversion in
-  strict event-time order, ONE user-keyed shuffle (sorted per-user
-  array folded through a (stage, last_ts) state machine) differentially
-  proven against a deliberately DIFFERENT oracle algorithm (three
-  min-aggregate/join passes) and a third pure-Python scan.
 """
 
 from __future__ import annotations
@@ -494,84 +493,4 @@ def k16_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.min("doc_id").alias("keep_doc"))
         .filter(F.col("n_docs") > 1)
-    )
-
-
-@_stage(
-    "e19_funnel_census",
-    oracle="""
-        WITH v AS (
-            SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY 1
-        ), c AS (
-            SELECT e.user_id, min(e.ts) AS t2
-            FROM events e JOIN v USING (user_id)
-            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
-        ), p AS (
-            SELECT e.user_id, min(e.ts) AS t3
-            FROM events e JOIN c USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
-        )
-        SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
-                   AS users_total,
-               (SELECT CAST(count(*) AS BIGINT) FROM v) AS reached_view,
-               (SELECT CAST(count(*) AS BIGINT) FROM c) AS reached_click,
-               (SELECT CAST(count(*) AS BIGINT) FROM p) AS reached_purchase,
-               round((SELECT CAST(count(*) AS DOUBLE) FROM p)
-                     / (SELECT count(*) FROM v), 6) AS view_to_purchase
-    """,
-)
-def e19_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel census over the event stream: how many users
-    progressed view -> click -> purchase in strictly increasing event
-    time (the greedy earliest-match subsequence, which is reachability-
-    optimal: if ANY ordered subsequence exists, the greedy one finds
-    it).  The product-analytics primitive behind conversion dashboards.
-
-    DELIBERATELY different algorithms on the two engines (the strongest
-    differential form — no shared formula to transcribe wrong): the
-    oracle takes three min-aggregate + join passes (earliest view, then
-    earliest later click, then earliest later purchase), while Spark
-    makes ONE user-keyed shuffle — per-user sorted event arrays folded
-    left-to-right through a (stage, last_ts) state machine, the i25
-    "per-key sorted scan beats repeated shuffles" discipline.  Both
-    enforce STRICT ts increase between stages, so same-timestamp ties
-    cannot diverge the engines.  At 100 TB the collect_list is bounded
-    by per-user activity (the e10 sessionize assumption) and the census
-    rollup is a broadcast-sized single row."""
-    ev = load_table(spark, sf_dir, "events")
-    fold = """
-        aggregate(
-            array_sort(evs),
-            named_struct('stage', 0, 't', CAST(NULL AS TIMESTAMP)),
-            (acc, x) -> CASE
-                WHEN acc.stage = 0 AND x.et = 'view'
-                    THEN named_struct('stage', 1, 't', x.ts)
-                WHEN acc.stage = 1 AND x.et = 'click' AND x.ts > acc.t
-                    THEN named_struct('stage', 2, 't', x.ts)
-                WHEN acc.stage = 2 AND x.et = 'purchase' AND x.ts > acc.t
-                    THEN named_struct('stage', 3, 't', x.ts)
-                ELSE acc END,
-            acc -> acc.stage) AS stage
-    """
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(F.collect_list(F.struct(
-            F.col("ts"), F.col("event_id").alias("eid"),
-            F.col("event_type").alias("et"))).alias("evs"))
-        .selectExpr("user_id", fold)
-    )
-    return per_user.agg(
-        F.count(F.lit(1)).alias("users_total"),
-        F.sum(F.expr("CASE WHEN stage >= 1 THEN 1 ELSE 0 END"))
-         .alias("reached_view"),
-        F.sum(F.expr("CASE WHEN stage >= 2 THEN 1 ELSE 0 END"))
-         .alias("reached_click"),
-        F.sum(F.expr("CASE WHEN stage >= 3 THEN 1 ELSE 0 END"))
-         .alias("reached_purchase"),
-        F.round(
-            F.sum(F.expr("CASE WHEN stage >= 3 THEN 1 ELSE 0 END"))
-            .cast("double")
-            / F.sum(F.expr("CASE WHEN stage >= 1 THEN 1 ELSE 0 END")), 6)
-        .alias("view_to_purchase"),
     )

@@ -810,3 +810,98 @@ def e18_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+def funnel_census(ev: DataFrame) -> DataFrame:
+    """The e19 kernel over any (user_id, ts, event_id, event_type) frame —
+    factored out so constructed-frame tests can drive the empty-funnel
+    edge (nullif ratio) and future stress runs can amplify it.
+
+    ONE user-keyed shuffle: per-user sorted event arrays folded
+    left-to-right through a (stage, last_ts) state machine — the i25
+    "per-key sorted scan beats repeated shuffles" discipline.  The census
+    rollup is a single broadcast-sized row.  The ratio divisor is
+    nullif-guarded: a corpus with zero view events yields NULL on both
+    engines (ADVICE r9c — under ANSI mode a bare division would instead
+    raise DIVIDE_BY_ZERO)."""
+    fold = """
+        aggregate(
+            array_sort(evs),
+            named_struct('stage', 0, 't', CAST(NULL AS TIMESTAMP)),
+            (acc, x) -> CASE
+                WHEN acc.stage = 0 AND x.et = 'view'
+                    THEN named_struct('stage', 1, 't', x.ts)
+                WHEN acc.stage = 1 AND x.et = 'click' AND x.ts > acc.t
+                    THEN named_struct('stage', 2, 't', x.ts)
+                WHEN acc.stage = 2 AND x.et = 'purchase' AND x.ts > acc.t
+                    THEN named_struct('stage', 3, 't', x.ts)
+                ELSE acc END,
+            acc -> acc.stage) AS stage
+    """
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct(
+            F.col("ts"), F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"))).alias("evs"))
+        .selectExpr("user_id", fold)
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum(F.expr("CASE WHEN stage >= 1 THEN 1 ELSE 0 END"))
+         .alias("reached_view"),
+        F.sum(F.expr("CASE WHEN stage >= 2 THEN 1 ELSE 0 END"))
+         .alias("reached_click"),
+        F.sum(F.expr("CASE WHEN stage >= 3 THEN 1 ELSE 0 END"))
+         .alias("reached_purchase"),
+    ).withColumn(
+        "view_to_purchase",
+        F.round(F.col("reached_purchase").cast("double")
+                / F.expr("nullif(reached_view, 0)"), 6))
+
+
+@query(
+    "e19_funnel_census",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+        )
+        SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+                   AS users_total,
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS reached_view,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS reached_click,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS reached_purchase,
+               round((SELECT CAST(count(*) AS DOUBLE) FROM p)
+                     / nullif((SELECT count(*) FROM v), 0), 6)
+                   AS view_to_purchase
+    """,
+)
+def e19_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel census over the event stream: how many users
+    progressed view -> click -> purchase in strictly increasing event
+    time (the greedy earliest-match subsequence, which is reachability-
+    optimal: if ANY ordered subsequence exists, the greedy one finds
+    it).  The product-analytics primitive behind conversion dashboards;
+    e11's unordered twin covers only a 2-stage first-vs-first rule.
+
+    Registered round 10 from the r9 staging module (the one staged
+    candidate judged worth a permanent freshness slot — VERDICT r9 item
+    3).  DELIBERATELY different algorithms on the two engines (the
+    strongest differential form — no shared formula to transcribe
+    wrong): the oracle takes three min-aggregate + join passes (earliest
+    view, then earliest later click, then earliest later purchase),
+    while Spark makes ONE user-keyed shuffle — see funnel_census.  Both
+    enforce STRICT ts increase between stages, so same-timestamp ties
+    cannot diverge the engines; a third pure-Python formulation is
+    pinned in tests.  At 100 TB the collect_list is bounded by per-user
+    activity (the e10 sessionize assumption) and the census rollup is a
+    broadcast-sized single row."""
+    return funnel_census(load_table(spark, sf_dir, "events"))

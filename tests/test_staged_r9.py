@@ -272,44 +272,18 @@ def test_k16_census_and_plan(spark, sf_dir):
         assert 0 <= r["phash"] < 256
 
 
-def test_e19_funnel_matches_pure_python(spark, sf_dir):
-    # third formulation (after the Spark fold and the oracle's min-join
-    # chain): a pure-Python greedy subsequence scan over the raw events
-    fn, _ = STAGED["e19_funnel_census"]
-    row = fn(spark, sf_dir).collect()[0]
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .select("user_id", "ts", "event_id", "event_type").collect())
-    by_user: dict[int, list] = {}
-    for r in ev:
-        by_user.setdefault(r["user_id"], []).append(
-            (r["ts"], r["event_id"], r["event_type"]))
-    reached = [0, 0, 0]
-    for evs in by_user.values():
-        stage, last = 0, None
-        for ts, _, et in sorted(evs):
-            if stage == 0 and et == "view":
-                stage, last = 1, ts
-            elif stage == 1 and et == "click" and ts > last:
-                stage, last = 2, ts
-            elif stage == 2 and et == "purchase" and ts > last:
-                stage, last = 3, ts
-        for s in range(1, stage + 1):
-            reached[s - 1] += 1
-    assert row["users_total"] == len(by_user)
-    assert (row["reached_view"], row["reached_click"],
-            row["reached_purchase"]) == tuple(reached)
-    # monotone by construction; at ~50 events/user this corpus converts
-    # nearly everyone, so equality between stages is expected — the
-    # strict-order machinery is proven by the three-way formulation
-    # equality above, not by stage attrition
-    assert row["reached_view"] >= row["reached_click"] \
-        >= row["reached_purchase"] > 0
+def test_k16_corpus_is_ascii(spark, sf_dir):
+    # ADVICE r9d: k16's DuckDB oracle indexes CHARACTERS/ord() code
+    # points while the Spark kernel hashes utf-8 BYTES, and the caller's
+    # length(text) >= 8 filter counts characters — equal only while the
+    # corpus is ASCII.  Pin the precondition itself so a future
+    # non-ASCII corpus fails loudly HERE, not as an inscrutable hash
+    # mismatch (a byte-table oracle is the documented remedy).
+    from pyspark.sql import functions as F
 
-
-def test_e19_single_user_shuffle(spark, sf_dir):
-    # ONE user-keyed exchange (collect_list agg); the census rollup is a
-    # single-partition agg of user-count rows, not a second wide shuffle
-    fn, _ = STAGED["e19_funnel_census"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "CartesianProduct" not in plan
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_wide = d.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_wide == 0, (
+        f"{n_wide} non-ASCII documents: k16's character-indexed oracle "
+        "no longer equals the byte-hashing kernel — switch to the "
+        "byte-table oracle documented in k16_phash_dedup")

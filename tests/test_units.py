@@ -1046,3 +1046,28 @@ def test_global_row_number_survives_exchange_reuse_off(spark):
     }
     assert {r["k"]: r["rn"] for r in got} == expected
     assert all(r["n"] == 311 for r in got)
+
+def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
+    # ADVICE r9a: a gzip CSV executes as ONE task per file no matter its
+    # size, so the byte-derived estimate must cap at the file count —
+    # otherwise widen_if_narrow would read "healthy" in exactly the
+    # single-task-explode case it exists to catch
+    from csv_to_parquet_aws_datalake_spark.loader import _scan_split_estimate
+
+    gz = str(tmp_path / "one_gz")
+    (spark.range(0, 50_000)
+     .selectExpr("id", "repeat('x', 64) AS pad")
+     .coalesce(1).write.option("compression", "gzip").csv(gz))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+    try:
+        df = spark.read.csv(gz)
+        files = [f for f in df.inputFiles() if f.endswith(".gz")]
+        assert files and len(df.inputFiles()) == len(files)
+        # bytes/4k alone would report this healthy; the codec cap must win
+        assert _scan_split_estimate(df) == len(files)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
