@@ -1,0 +1,173 @@
+"""Round-11 staged candidates (operators/staged_r10.py): oracle-
+differential through the driver's comparator, plan pins, a constructed
+orphan-fallback case, and a hypothesis sweep of the SRP-bucketed
+assignment against a pure-Python reference of the SAME approximate
+algorithm (not the dense one — the bucketing is the semantics under
+test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from csv_to_parquet_aws_datalake_spark import registry
+from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+    STAGED as STAGED_R9,
+)
+from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+    STAGED,
+    assign_nearest_centroid_ann,
+)
+from csv_to_parquet_aws_datalake_spark.plans.checks import (
+    assert_no_antipatterns,
+    physical_plan,
+    unpartitioned_window_nodes,
+)
+from tests.differential import compare, make_oracle_con
+
+registry.load_all()
+
+
+def test_staged_not_registered_nor_colliding():
+    assert not set(STAGED) & set(registry.QUERIES)
+    assert not set(STAGED) & set(STAGED_R9)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_matches_oracle(name, spark, oracle, sf_dir):
+    fn, sql = STAGED[name]
+    df = fn(spark, sf_dir)
+    assert_no_antipatterns(name, df)
+    assert sql is not None
+    compare(df, oracle, sql)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_tri_sf_parity(name, spark):
+    fn, sql = STAGED[name]
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        con = make_oracle_con(sf_dir)
+        try:
+            compare(fn(spark, sf_dir), con, sql)
+        finally:
+            con.close()
+
+
+def test_ann_assignment_bucketed_and_orphan_paths(spark):
+    # hand-computed frame exercising BOTH paths.  Basis = vectors 1..3
+    # (the axes).  Centroids: c0 = mean(v1,v2,v3,v5) = [.5,.5,.5,0]
+    # (bucket 111=7), c1 = v4 = [-1,-1,-1,1] (bucket 000=0).  v5 codes
+    # 7 -> bucketed to c0; v4 codes 0 -> bucketed to c1; v1/v2/v3 code
+    # 100/010/001 — buckets with NO centroid — and must take the dense
+    # fallback, which assigns all three to c0 (cos ~0.577 vs -0.5)
+    rows = [
+        (1, "c0", [1.0, 0.0, 0.0, 0.0]),
+        (2, "c0", [0.0, 1.0, 0.0, 0.0]),
+        (3, "c0", [0.0, 0.0, 1.0, 0.0]),
+        (4, "c1", [-1.0, -1.0, -1.0, 1.0]),
+        (5, "c0", [1.0, 1.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    got = {r["vec_id"]: r["clabel"]
+           for r in assign_nearest_centroid_ann(df).collect()}
+    assert got == {1: "c0", 2: "c0", 3: "c0", 4: "c1", 5: "c0"}
+
+
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _assign_ann_py(rows, bits=3):
+    # pure-Python mirror of assign_nearest_centroid_ann: exact-mean
+    # centroids, data-derived sign basis (vec_ids 1..bits; missing ->
+    # bit constantly 0), bucket equi-candidates with dense fallback,
+    # round6-cosine argmax with label tie-break
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * 1.0 * y
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    vec = {vid: v for vid, _, v in rows}
+    labels = sorted({lb for _, lb, _ in rows})
+    cen = {}
+    for lb in labels:
+        mem = [v for _, l2, v in rows if l2 == lb]
+        cen[lb] = [sum(col) / len(mem) for col in zip(*mem)]
+    basis = [vec.get(i) for i in range(1, bits + 1)]
+
+    def code(v):
+        c = 0
+        for i, b in enumerate(basis):
+            if b is not None and dot(v, b) > 0:
+                c += 1 << (bits - 1 - i)
+        return c
+
+    cbuck = {lb: code(c) for lb, c in cen.items()}
+    out = {}
+    for vid, _, v in rows:
+        vb = code(v)
+        cands = [lb for lb in labels if cbuck[lb] == vb] or labels
+        out[vid] = min(
+            cands, key=lambda lb: (-_round6_half_up(cos(v, cen[lb])), lb))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ann_assignment_matches_pure_python(spark, seed):
+    # deterministic pseudo-random integer vector sets (md5-free local
+    # LCG) sweep bucket occupancy, orphan fallback, and argmax ties the
+    # constructed example can't; integer values keep every intermediate
+    # bit-identical between the engines and the reference
+    state = seed * 2654435761 % (2**32)
+
+    def rnd(n):
+        nonlocal state
+        state = (1103515245 * state + 12345) % (2**31)
+        return state % n
+
+    n = 5 + rnd(6)
+    rows = [(i, "ab"[rnd(2)],
+             [float(1 + rnd(3)), float(rnd(4)), float(rnd(4))])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    got = {r["vec_id"]: r["clabel"]
+           for r in assign_nearest_centroid_ann(df).collect()}
+    assert got == _assign_ann_py(rows)
+
+
+def test_i59_census_totals_and_plan(spark, sf_dir):
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+
+    fn, _ = STAGED["i59_semdedup_census_ann"]
+    df = fn(spark, sf_dir)
+    rows = df.collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r["n_dup"] < r["n_vectors"], r
+        assert r["dup_share"] == pytest.approx(
+            r["n_dup"] / r["n_vectors"], abs=1e-6)
+
+    # census plan: the pair stage stays an equi-join on the assigned
+    # cluster — no cartesian anywhere
+    assert "CartesianProduct" not in physical_plan(df)
+
+    # UNPINNED assignment plan (the localCheckpoint pin hides it from
+    # the census plan — the i58 lesson): the bucketed scoring is an
+    # EQUI join (BroadcastHashJoin on the SRP code), never an
+    # unbroadcast cartesian, and every window is vec_id-partitioned
+    emb = load_table(spark, sf_dir, "embeddings")
+    aplan = physical_plan(assign_nearest_centroid_ann(emb))
+    assert "BroadcastHashJoin" in aplan
+    assert "CartesianProduct" not in aplan
+    assert not unpartitioned_window_nodes(assign_nearest_centroid_ann(emb))

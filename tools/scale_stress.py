@@ -222,6 +222,32 @@ def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
     return shard_offset(emb, k, ["vec_id"], ["embedding"], keep_rep=True)
 
 
+def amplify_vectors_labeled(emb: DataFrame, k: int) -> DataFrame:
+    """The honest SemDeDup workload model (r9: per-replica labels make
+    the centroid count k grow with the corpus): vec_ids offset, label
+    suffixed per replica, and each replica applies its own per-dimension
+    SIGN-FLIP pattern.  A sign flip is an isometry WITHIN a replica
+    (s_i^2 = 1 preserves every intra-replica dot product and every
+    exact-decimal centroid, just negated per flipped dimension), so the
+    per-replica workload is EXACTLY the base one while different
+    replicas occupy different sign-orthants of embedding space — SRP-
+    separable, as a genuinely grown corpus's new clusters are.  Verbatim
+    copies (amplify_vectors) would defeat ANY bucketing scheme: identical
+    vectors always share a bucket, which measures the amplifier, not the
+    kernel."""
+    out = shard_offset(emb, k, ["vec_id"], ["label", "embedding"],
+                       keep_rep=True)
+    return out.select(
+        "vec_id",
+        F.concat(F.col("label"), F.lit("_r"),
+                 F.col("rep").cast("string")).alias("label"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "IF(pmod(shiftright(rep, pmod(i, 4)), 2) = 1, -x, x))"
+        ).alias("embedding"),
+    )
+
+
 def srp_pairs_shape(emb: DataFrame) -> DataFrame:
     """Embedding near-dup candidate generation, the i18/i29 scale path as
     a self-join: 3-bit sign-random-projection code (data-derived basis,
@@ -298,11 +324,40 @@ def kernels():
             "rank[grn-kernel]": rank_all}
 
 
+def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
+    """The staged i59 kernel under the honest workload model: centroid
+    count grows with the corpus (amplify_vectors_labeled), so the SRP
+    bit count grows with log2(K) — 3/5/7 bits at K=1/4/16 — keeping the
+    expected centroids-per-bucket constant (i18's production knob).
+    Measured r10 at sf0.1: 5.6 / 9.7 / 10.7 s at K=1/4/16 = 0.44x/0.12x
+    vs linear.  (The r9 "dense 2.3x at K=4" figure came from the
+    verbatim-copy amplifier, whose tie-break cluster collapse inflated
+    the PAIR stage — see semdedup_census's scale paragraph for the
+    corrected dense-vs-ANN record.)"""
+    import math
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        semdedup_census_ann,
+    )
+
+    bits = 3 + max(0, int(round(math.log2(k))))
+    return semdedup_census_ann(embk, bits=bits)
+
+
 def main() -> int:
-    args = sys.argv[1:]
+    only: tuple[str, ...] | None = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = tuple(p for p in a.split("=", 1)[1].split(",") if p)
+        else:
+            args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     # ascending order is load-bearing: the first K is the per-unit baseline
     ks = sorted({int(a) for a in args[1:]}) or [1, 4, 16]
+
+    def sel(name: str) -> bool:
+        return only is None or name.startswith(only)
 
     from csv_to_parquet_aws_datalake_spark.loader import (
         load_table, widen_if_narrow,
@@ -341,59 +396,80 @@ def main() -> int:
     for k in ks:
         spark = build_session("scale-stress")
         spark.sparkContext.setLogLevel("ERROR")
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        n0 = n0 or docs.count()
-
-        # connected components gets its own edge-based amplification:
-        # replica r offsets both endpoints by r * 2^40, giving K disjoint
-        # copies of the base component structure — rounds stay O(log
-        # component size) while per-round join/agg work grows K-fold.  The
-        # iterative kernel is the one whose scale behavior a single-shot
-        # plan can least predict.
-        base_edges = (minhash_band_pairs(docs)
-                      .select(F.col("da").alias("a"), F.col("db").alias("b"))
-                      .localCheckpoint())
-        # cc consumes edge-amplified band-pair edges, so its rows column
-        # must report edges * k, not documents * k (ADVICE r6)
-        n_edges = n_edges or base_edges.count()
-
-        def cc_at(kk: int):
-            return cc_components(shard_offset(base_edges, kk, ["a", "b"], []))
-
+        timed = {}
+        doc_rows = set(kernels())
+        stream_rows = ("stream-tumbling[j01-shape]", "stream-session[j03-shape]",
+                       "stream-join[j08-shape]")
+        stream_path = None
+        d = None
+        if any(map(sel, doc_rows)) or sel("cc[i27-kernel]"):
+            docs = load_table(spark, sf_dir, "documents") \
+                .select("doc_id", "text")
+            n0 = n0 or docs.count()
+        if sel("cc[i27-kernel]"):
+            # connected components gets its own edge-based amplification:
+            # replica r offsets both endpoints by r * 2^40, giving K
+            # disjoint copies of the base component structure — rounds stay
+            # O(log component size) while per-round join/agg work grows
+            # K-fold.  The iterative kernel is the one whose scale behavior
+            # a single-shot plan can least predict.
+            base_edges = (minhash_band_pairs(docs)
+                          .select(F.col("da").alias("a"),
+                                  F.col("db").alias("b"))
+                          .localCheckpoint())
+            # cc consumes edge-amplified band-pair edges, so its rows column
+            # must report edges * k, not documents * k (ADVICE r6)
+            n_edges = n_edges or base_edges.count()
+            timed["cc[i27-kernel]"] = \
+                lambda _d, _e=base_edges, _k=k: cc_components(
+                    shard_offset(_e, _k, ["a", "b"], []))
         # pin the amplified inputs so every kernel at this K reads the same
         # materialized shard set (isolates kernel cost from amplification)
-        d = widen_if_narrow(amplify(docs, k)).localCheckpoint()
-        ev = load_table(spark, sf_dir, "events") \
-            .select("user_id", "event_id", "ts")
-        n_ev = n_ev or ev.count()
-        ep = widen_if_narrow(amplify_events(ev, k)).localCheckpoint()
-        # the streaming tranche needs a DIRECTORY source: materialize the
-        # pinned amplified events once per K (untimed, like the pins)
-        stream_path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".scratch", f"stream_stress_k{k}")
-        ep.write.mode("overwrite").parquet(stream_path)
-        li = load_table(spark, sf_dir, "lineitem") \
-            .select("l_orderkey", "l_extendedprice")
-        od = load_table(spark, sf_dir, "orders") \
-            .select("o_orderkey", "o_custkey")
-        n_li = n_li or li.count()
-        lik, odk = amplify_fact(li, od, k)
-        lik = widen_if_narrow(lik).localCheckpoint()
-        odk = widen_if_narrow(odk).localCheckpoint()
-        emb = load_table(spark, sf_dir, "embeddings") \
-            .select("vec_id", "embedding")
-        n_emb = n_emb or emb.count()
-        embk = widen_if_narrow(amplify_vectors(emb, k)).localCheckpoint()
-        timed = dict(kernels())
-        timed["cc[i27-kernel]"] = lambda _d, _k=k: cc_at(_k)
-        for name, fn in event_kernels().items():
-            timed[name] = lambda _d, _fn=fn, _ep=ep: _fn(_ep)
-        timed["join-shape[c01]"] = \
-            lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
-        timed["srp-pairs-shape[i18]"] = \
-            lambda _d, _e=embk: srp_pairs_shape(_e)
-        timed.update(stream_kernels(spark, stream_path))
+        if any(map(sel, doc_rows)):
+            d = widen_if_narrow(amplify(docs, k)).localCheckpoint()
+            timed.update({n: f for n, f in kernels().items() if sel(n)})
+        if any(map(sel, set(event_kernels()) | set(stream_rows))):
+            ev = load_table(spark, sf_dir, "events") \
+                .select("user_id", "event_id", "ts")
+            n_ev = n_ev or ev.count()
+            ep = widen_if_narrow(amplify_events(ev, k)).localCheckpoint()
+            for name, fn in event_kernels().items():
+                timed[name] = lambda _d, _fn=fn, _ep=ep: _fn(_ep)
+            if any(map(sel, stream_rows)):
+                # the streaming tranche needs a DIRECTORY source:
+                # materialize the pinned amplified events once per K
+                # (untimed, like the pins)
+                stream_path = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".scratch", f"stream_stress_k{k}")
+                ep.write.mode("overwrite").parquet(stream_path)
+                timed.update(stream_kernels(spark, stream_path))
+        if sel("join-shape[c01]"):
+            li = load_table(spark, sf_dir, "lineitem") \
+                .select("l_orderkey", "l_extendedprice")
+            od = load_table(spark, sf_dir, "orders") \
+                .select("o_orderkey", "o_custkey")
+            n_li = n_li or li.count()
+            lik, odk = amplify_fact(li, od, k)
+            lik = widen_if_narrow(lik).localCheckpoint()
+            odk = widen_if_narrow(odk).localCheckpoint()
+            timed["join-shape[c01]"] = \
+                lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
+        if sel("srp-pairs-shape[i18]") or sel("semdedup-ann[i59-kernel]"):
+            emb = load_table(spark, sf_dir, "embeddings")
+            n_emb = n_emb or emb.count()
+            if sel("srp-pairs-shape[i18]"):
+                embk = widen_if_narrow(amplify_vectors(
+                    emb.select("vec_id", "embedding"), k)).localCheckpoint()
+                timed["srp-pairs-shape[i18]"] = \
+                    lambda _d, _e=embk: srp_pairs_shape(_e)
+            if sel("semdedup-ann[i59-kernel]"):
+                embl = widen_if_narrow(amplify_vectors_labeled(
+                    emb.select("vec_id", "label", "embedding"), k)) \
+                    .localCheckpoint()
+                timed["semdedup-ann[i59-kernel]"] = \
+                    lambda _d, _e=embl, _k=k: semdedup_ann_kernel(_e, _k)
+        timed = {n: timed[n] for n in timed if sel(n)}
         for name, fn in timed.items():
             sec = float("inf")
             for i in range(3):
@@ -414,7 +490,7 @@ def main() -> int:
                 rows_k = n_ev * k
             elif name.startswith("join-shape"):
                 rows_k = n_li * k
-            elif name.startswith("srp-pairs"):
+            elif name.startswith(("srp-pairs", "semdedup")):
                 rows_k = n_emb * k
             elif name.startswith("cc["):
                 rows_k = n_edges * k
@@ -422,8 +498,9 @@ def main() -> int:
                 rows_k = n0 * k
             print(f"{name:24s} {k:4d} {rows_k:9d} {sec:8.2f} {ratio:8.2f}x{flag}")
         spark.stop()
-        import shutil
-        shutil.rmtree(stream_path, ignore_errors=True)
+        if stream_path is not None:
+            import shutil
+            shutil.rmtree(stream_path, ignore_errors=True)
     return 1 if unhealthy else 0
 
 
