@@ -32,6 +32,22 @@ in IVF practice, is APPROXIMATE assignment:
   algorithm in DuckDB (basis, codes, bucket equi-join, orphan fallback,
   then the SHARED census tail from staged_r9 — single-sourced so the two
   oracles cannot diverge by transcription).
+
+Plus the three follow-on compositions the r9 plan named (VERDICT r9
+item 7), each with tri-SF oracle parity, plan pins, and an independent
+reference:
+
+- i60 span-length histogram — i55's census widened to per-source
+  power-of-two length bands (integer CASE ranges, no float log2), the
+  distribution a substring-dedup threshold is actually read from.
+- i61 BM25 over query SETS — i57's determinism design (position-pivoted
+  contributions, fixed-order sum, rounded-score tie-broken top-k)
+  generalized to three queries scored in one corpus pass with a
+  query-partitioned row_number window.
+- i62 C4-style line-dedup census — segment-keyed EXACT matching
+  (10-token pseudo-lines; the corpus has no newlines), one line-keyed
+  hash-aggregate: the splittable-hot-KEY shape, deliberately not a
+  window (the r9 skew lesson).
 """
 
 from __future__ import annotations
@@ -42,6 +58,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine, dot
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
+from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE
 from .llm_vectors import _CENTROID_CTES_SQL, _centroid_table
 from .staged_r9 import _SEMDEDUP_CENSUS_TAIL_SQL, semdedup_census
 
@@ -210,3 +227,249 @@ def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     <-> i18 (SRP buckets) relationship."""
     emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     return semdedup_census_ann(emb)
+
+
+@_stage(
+    "i60_span_length_histogram",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        {_DUP_SPAN_HITS_CTE},
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+            FROM hits GROUP BY doc_id, grp
+        ), sl AS (
+            SELECT doc_id, CAST(e - s + 1 AS BIGINT) AS len FROM spans
+        ), b AS (
+            SELECT doc_id, len,
+                   CASE WHEN len < 8 THEN '05-07'
+                        WHEN len < 16 THEN '08-15'
+                        WHEN len < 32 THEN '16-31'
+                        WHEN len < 64 THEN '32-63'
+                        ELSE '64+' END AS len_bucket
+            FROM sl
+        )
+        SELECT d.source, b.len_bucket,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+               CAST(max(b.len) AS BIGINT) AS max_len
+        FROM b JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """,
+)
+def i60_span_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HISTOGRAM of duplicated-span lengths (power-of-two
+    buckets) — the distribution Lee et al. 2022 plot to pick a substring-
+    dedup cut threshold; composes i55's census (which reports only
+    max/mean) with explicit length bands.  Buckets are integer CASE
+    ranges, not log2() — a float log at an exact power-of-two boundary
+    is a cross-engine rounding hazard the integer comparisons don't
+    have.
+
+    Plan: the shared span_dedup_spans kernel (see its skew story), a
+    map-side length+bucket projection, the (doc_id, source) equi-join,
+    and ONE rollup on (source, len_bucket) — bounded key space, map-side
+    combined.  n_docs is a count-distinct over doc_id WITHIN a bucket
+    (a doc can span several buckets), Spark's two-phase distinct agg."""
+    d = load_table(spark, sf_dir, "documents")
+    from .llm_text import span_dedup_spans
+
+    spans = span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
+    sl = spans.select(
+        "doc_id",
+        (F.col("span_end") - F.col("span_start") + 1).cast("long")
+        .alias("len"))
+    b = sl.withColumn("len_bucket", F.expr(
+        "CASE WHEN len < 8 THEN '05-07'"
+        " WHEN len < 16 THEN '08-15'"
+        " WHEN len < 32 THEN '16-31'"
+        " WHEN len < 64 THEN '32-63'"
+        " ELSE '64+' END"))
+    return (
+        b.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.max("len").alias("max_len"))
+    )
+
+
+#: fixed query sets for i61 — three queries x three corpus-vocabulary
+#: terms, all distinct so the per-(query, position) pivot is total
+_BM25_QUERY_SETS = (
+    ("q_ops", ("join", "scan", "merge")),
+    ("q_dims", ("customer", "part", "window")),
+    ("q_core", ("hash", "batch", "table")),
+)
+_BM25_ALL_TERMS = tuple(t for _, ts in _BM25_QUERY_SETS for t in ts)
+
+
+@_stage(
+    "i61_bm25_query_sets",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (SELECT doc_id, len(toks) AS n FROM d),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS nd, avg(n) AS avgdl
+               FROM dl),
+        qmap AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"('{q}', {p + 1}, '{t}')"
+                           for q, ts in _BM25_QUERY_SETS
+                           for p, t in enumerate(ts))}
+            ) v(query_id, pos, tok)
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+            WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_ALL_TERMS)})
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+                GROUP BY 1),
+        contrib AS (
+            SELECT q.query_id, q.pos, tf.doc_id,
+                   ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (c * 2.2)
+                   / (c + 1.2 * (0.25 + 0.75 * dl.n / avgdl)) AS w
+            FROM tf
+            JOIN qmap q USING (tok)
+            JOIN dfq USING (tok)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st
+        ),
+        piv AS (
+            SELECT query_id, doc_id,
+                   max(CASE WHEN pos = 1 THEN w END) AS w1,
+                   max(CASE WHEN pos = 2 THEN w END) AS w2,
+                   max(CASE WHEN pos = 3 THEN w END) AS w3
+            FROM contrib GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id,
+               round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 6)
+                   AS bm25
+        FROM piv
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(coalesce(w1, 0) + coalesce(w2, 0)
+                                + coalesce(w3, 0), 6) DESC, doc_id) <= 5
+    """,
+)
+def i61_bm25_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query over a SET of queries — the batch-retrieval
+    form of i57 (one query): score every (query, document) pair for
+    three fixed 3-term queries and keep each query's top five.  The
+    retrieval side of decontamination-style curation, where a benchmark
+    suite's queries sweep the corpus at once.
+
+    Determinism (i57's design carried to query sets): per-term
+    contributions pivot into POSITION columns w1..w3 — every query has
+    exactly 3 distinct terms, so the pivot is total — and the score sums
+    them in one fixed expression order on both engines; top-k per query
+    is a row_number window on the ROUNDED score with a doc_id tie-break.
+
+    Scale shape: tf is computed ONCE for the union of all query terms
+    (9-token IN-filter before the aggregation, so the (doc, term) frame
+    stays |terms|-bounded per doc); the query map, df table, and corpus
+    stats are broadcast 9-row/1-row frames; the pivot groupBy keys on
+    (query_id, doc_id) and the top-k window partitions by query_id —
+    |queries| partitions, each tie-broken and bounded, never a global
+    sort.  Doc lengths pin once (i08/i57's rationale)."""
+    from pyspark.sql.window import Window as W
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    dl = (d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+          .localCheckpoint())  # pin: stats + join branches, one scan
+    st = F.broadcast(dl.agg(F.count(F.lit(1)).alias("nd"),
+                            F.avg("n").alias("avgdl")))
+    qmap = F.broadcast(spark.createDataFrame(
+        [(q, p + 1, t) for q, ts in _BM25_QUERY_SETS
+         for p, t in enumerate(ts)],
+        "query_id string, pos int, tok string"))
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .filter(F.col("tok").isin(*_BM25_ALL_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    dfq = F.broadcast(tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    contrib = (
+        tf.join(qmap, "tok").join(dfq, "tok").join(dl, "doc_id")
+        .crossJoin(st)
+        .selectExpr(
+            "query_id", "pos", "doc_id",
+            "ln(1.0 + (nd - df + 0.5) / (df + 0.5))"
+            " * (c * 2.2)"
+            " / (c + 1.2 * (0.25 + 0.75 * n / avgdl)) AS w"))
+    piv = contrib.groupBy("query_id", "doc_id").agg(
+        F.max(F.expr("CASE WHEN pos = 1 THEN w END")).alias("w1"),
+        F.max(F.expr("CASE WHEN pos = 2 THEN w END")).alias("w2"),
+        F.max(F.expr("CASE WHEN pos = 3 THEN w END")).alias("w3"))
+    scored = piv.select(
+        "query_id", "doc_id",
+        F.round(F.expr("coalesce(w1, 0D) + coalesce(w2, 0D)"
+                       " + coalesce(w3, 0D)"), 6).alias("bm25"))
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "doc_id", "bm25"))
+
+
+@_stage(
+    "i62_line_dedup_census",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), lines AS (
+            SELECT doc_id,
+                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')
+                       AS line
+            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
+        )
+        SELECT line,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc
+        FROM lines GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def i62_line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line dedup (Raffel et al. 2020 drop repeated
+    lines/spans across documents): the census of every "line" occurring
+    in MORE THAN ONE document, with occurrence counts and the keep-first
+    representative.  This corpus has no newlines, so a line is the
+    deterministic segmentation into consecutive 10-token blocks —
+    swapping in a real newline split changes only the tokenizer
+    expression, not the plan.
+
+    Structurally DIFFERENT from i48's substring spans: segment-keyed
+    EXACT matching — no gram islands, no window — so the whole operator
+    is a map-side line explode plus ONE line-keyed groupBy with map-side
+    partial aggregation.  A web-scale boilerplate line ("all rights
+    reserved...") is a hot KEY, but in a hash-aggregate (splittable,
+    combine-first), not a hot window partition — the shape the r9
+    skew-fix taught; at 100 TB the census would be md5(line)-keyed to
+    keep shuffle rows narrow (kept readable here for the oracle)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    return line_dedup_census(
+        widen_if_narrow(d.select("doc_id", "text")))
+
+
+def line_dedup_census(d: DataFrame, block: int = 10) -> DataFrame:
+    """The i62 kernel over any (doc_id, text) frame — factored out so
+    constructed-frame tests drive the registered formulation (the
+    shared-formula discipline: an inline test copy could drift)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, (size(t) + {block - 1}) div {block} - 1),"
+            f" i -> concat_ws(' ', slice(t, i * {block} + 1, {block})))"))
+        .alias("line"))
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occ"),
+             F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )

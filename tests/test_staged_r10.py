@@ -171,3 +171,133 @@ def test_i59_census_totals_and_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in aplan
     assert "CartesianProduct" not in aplan
     assert not unpartitioned_window_nodes(assign_nearest_centroid_ann(emb))
+
+
+def test_i60_histogram_consistent_with_i55(spark, sf_dir):
+    # independent reference: the histogram must be an exact refinement of
+    # the i55 census (same span kernel, different rollup) — per source,
+    # bucket counts sum to i55's n_spans and the bucket maxima recover
+    # i55's max_span_toks
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+        STAGED as R9,
+    )
+
+    fn, _ = STAGED["i60_span_length_histogram"]
+    hist: dict[str, list] = {}
+    for r in fn(spark, sf_dir).collect():
+        hist.setdefault(r["source"], []).append(r)
+    census = {r["source"]: r
+              for r in R9["i55_longest_dup_span_census"][0](
+                  spark, sf_dir).collect()}
+    assert set(hist) == set(census)
+    for src, rows in hist.items():
+        assert sum(r["n_spans"] for r in rows) == census[src]["n_spans"]
+        assert max(r["max_len"] for r in rows) == census[src]["max_span_toks"]
+        for r in rows:
+            assert r["n_docs"] <= census[src]["n_docs_with_dup"]
+            lo = {"05-07": 5, "08-15": 8, "16-31": 16,
+                  "32-63": 32, "64+": 64}[r["len_bucket"]]
+            hi = {"05-07": 7, "08-15": 15, "16-31": 31,
+                  "32-63": 63, "64+": 1 << 62}[r["len_bucket"]]
+            assert lo <= r["max_len"] <= hi
+
+
+def test_i61_matches_pure_python_bm25(spark, sf_dir):
+    # independent reference (the i57 guard generalized): the whole
+    # multi-query BM25 recomputed in Python from raw text — the oracle
+    # SQL mirrors the Spark expressions, so a both-engines-wrong
+    # transcription would pass the differential without this
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        _BM25_ALL_TERMS,
+        _BM25_QUERY_SETS,
+    )
+
+    def round6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-6"),
+                                         rounding=ROUND_HALF_UP))
+
+    fn, _ = STAGED["i61_bm25_query_sets"]
+    got = {(r["query_id"], r["doc_id"]): r["bm25"]
+           for r in fn(spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs
+            if r["text"] is not None}
+    nd = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / nd
+    df_t = {q: sum(1 for t in toks.values() if q in t)
+            for q in _BM25_ALL_TERMS}
+    want = {}
+    for qid, terms in _BM25_QUERY_SETS:
+        scored = []
+        for doc_id, t in toks.items():
+            s = 0.0
+            for q in terms:  # fixed order, mirroring the position pivot
+                c = t.count(q)
+                if c:
+                    idf = math.log(
+                        1.0 + (nd - df_t[q] + 0.5) / (df_t[q] + 0.5))
+                    s += (idf * (c * 2.2)
+                          / (c + 1.2 * (0.25 + 0.75 * len(t) / avgdl)))
+            if s > 0:
+                scored.append((doc_id, round6(s)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for doc_id, s in scored[:5]:
+            want[(qid, doc_id)] = s
+    assert got == want
+
+
+def test_i61_plan_shape(spark, sf_dir):
+    # broadcast query-map/df/stats sides; query-partitioned top-k window
+    # (the linter rejects unpartitioned ones registry-wide); no cartesian
+    fn, _ = STAGED["i61_bm25_query_sets"]
+    df = fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert not unpartitioned_window_nodes(df)
+
+
+def test_i62_census_on_constructed_docs(spark):
+    # hand-checkable corpus: doc 1 and 2 share their FIRST 10-token
+    # block verbatim (boilerplate); doc 3 repeats that block at a
+    # NON-block-aligned offset (must NOT match — segmentation is
+    # block-keyed, the documented C4 approximation); docs 4/5 share a
+    # short tail line
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [
+        (1, boiler + " x1 x2"),
+        (2, boiler + " y1"),
+        (3, "pad " + boiler),          # shifted by one token
+        (4, "t0 t1"),
+        (5, "t0 t1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        line_dedup_census,
+    )
+
+    got = {r["line"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
+           for r in line_dedup_census(df).collect()}
+    assert got == {boiler: (2, 2, 1), "t0 t1": (2, 2, 4)}
+
+
+def test_i62_single_line_keyed_aggregate(spark, sf_dir):
+    # the whole operator is a map-side line explode plus line-keyed
+    # aggregation — the distinct-doc count adds Spark's second partial
+    # phase but no extra wide shuffle beyond the two agg exchanges, and
+    # never a window or cartesian (the splittable-hot-KEY design claim)
+    fn, _ = STAGED["i62_line_dedup_census"]
+    df = fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] >= 2 and r["n_occ"] >= r["n_docs"]
