@@ -262,6 +262,30 @@ def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def srp_basis(emb: DataFrame, bits: int = 3) -> DataFrame:
+    """1-row frame b1..b<bits>: the data-derived sign-random-projection
+    basis — embeddings ``vec_id 1..bits`` (deterministic, no RNG, so
+    oracles can reproduce it).  Single-sourced (r10 review: this block
+    existed in i18, tools/scale_stress.srp_pairs_shape, and the staged
+    ANN assignment; a basis-rule change must hit every consumer at
+    once).  A missing basis id leaves its column NULL, which
+    ``srp_code`` degrades to a constantly-0 bit on both engines."""
+    return emb.filter(F.col("vec_id").isin(*range(1, bits + 1))).agg(
+        *[F.max(F.when(F.col("vec_id") == i, F.col("embedding")))
+          .alias(f"b{i}") for i in range(1, bits + 1)])
+
+
+def srp_code(col: str, bits: int = 3):
+    """The b-bit sign code of ``col`` against basis columns b1..b<bits>
+    in scope: bit i set iff dot(col, b_i) > 0 (NULL > 0 is false-y in
+    the CASE on both engines).  srp_basis's expression twin."""
+    b = F.lit(0)
+    for i in range(1, bits + 1):
+        b = b + F.when(dot(col, f"b{i}") > 0,
+                       F.lit(1 << (bits - i))).otherwise(0)
+    return b
+
+
 @query(
     "i18_ann_bucketed",
     oracle="""
@@ -304,22 +328,10 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^9 vectors the same plan wants ~20 projection bits (and nprobe
     multi-probe for recall, the i29 pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    basis = (
-        emb.filter(F.col("vec_id").isin(1, 2, 3))
-        .agg(
-            F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
-            F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
-            F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
-        )
-    )
     coded = (
-        emb.crossJoin(F.broadcast(basis))
-        .select(
-            "vec_id", "embedding",
-            (F.when(dot("embedding", "b1") > 0, 4).otherwise(0)
-             + F.when(dot("embedding", "b2") > 0, 2).otherwise(0)
-             + F.when(dot("embedding", "b3") > 0, 1).otherwise(0)).alias("bucket"),
-        )
+        emb.crossJoin(F.broadcast(srp_basis(emb)))
+        .select("vec_id", "embedding",
+                srp_code("embedding").alias("bucket"))
     )
     q = (coded.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb")))

@@ -18,18 +18,23 @@ sizes it, the dense term is quadratic and must dominate; the remedy, as
 in IVF practice, is APPROXIMATE assignment:
 
 - ``assign_nearest_centroid_ann`` — sign-random-projection-bucket the
-  CENTROIDS (i18's machinery, one family over): both vectors and
-  centroids get a b-bit SRP code from a data-derived basis; each vector
-  scores ONLY the centroids sharing its code (a broadcast equi-join on
-  the bucket, never the full k), with a dense fallback for vectors whose
-  bucket holds no centroid.  With bits ≈ log2(k / target-per-bucket) the
-  per-vector work is O(target) and total assignment cost O(n) — the
-  production knob i18's docstring derives.
+  CENTROIDS (i18's machinery, one family over): vectors and centroids
+  get a b-bit SRP code from a data-derived basis, an n-independent
+  routing table maps every code to its nprobe nearest occupied centroid
+  buckets by Hamming distance, and each vector scores ONLY the probed
+  buckets' centroids (two broadcast equi-joins, never the full k).
+  With bits ≈ log2(k / target-per-bucket) the per-vector work is
+  O(nprobe·target) and total assignment cost O(n·nprobe·target +
+  k²/target) — the production knob i18's docstring derives.  Two
+  measured dead-ends are recorded in the kernel docstring: a dense
+  orphan fallback re-grew O(n·k) (36-46% orphan share), and
+  single-probe routing funneled half the corpus into one cluster —
+  nprobe is the recall AND balance knob.
 - i59 SemDeDup census over ANN assignment — ``semdedup_census`` with the
   assignment swapped: the exact i06<->i18 relationship applied one stage
   earlier (dense i58 stays the exact-contract baseline; i59 is the form
   a 100 TB corpus runs).  Differential oracle mirrors the SAME bucketed
-  algorithm in DuckDB (basis, codes, bucket equi-join, orphan fallback,
+  algorithm in DuckDB (basis, codes, Hamming routing, bucket equi-join,
   then the SHARED census tail from staged_r9 — single-sourced so the two
   oracles cannot diverge by transcription).
 
@@ -52,15 +57,24 @@ reference:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot
+from ..functions.vector import cosine
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE
-from .llm_vectors import _CENTROID_CTES_SQL, _centroid_table
-from .staged_r9 import _SEMDEDUP_CENSUS_TAIL_SQL, semdedup_census
+from .llm_vectors import (
+    _CENTROID_CTES_SQL,
+    _centroid_table,
+    srp_basis,
+    srp_code,
+)
+from .staged_r9 import (
+    _SEMDEDUP_CENSUS_TAIL_SQL,
+    _SEMDEDUP_TAU,
+    semdedup_census,
+)
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -74,74 +88,71 @@ def _stage(name: str, oracle: str | None = None):
     return deco
 
 
-def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3) -> DataFrame:
+def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
+                                nprobe: int = 3) -> DataFrame:
     """(vec_id, clabel, embedding): approximate nearest-centroid
-    assignment — each vector scores only the centroids in its SRP bucket.
+    assignment — each vector scores only the centroids of the ``nprobe``
+    buckets its SRP code routes to.
 
     Basis = embeddings ``vec_id 1..bits`` (data-derived, deterministic —
     i18's convention, so the oracle can reproduce it; a missing basis id
     leaves that bit constantly 0 on BOTH engines, since NULL > 0 is
     false-y in the CASE on each, degrading resolution, never diverging).
-    Both centroids (k rows, broadcast) and vectors get the b-bit sign
-    code; the scoring join is an EQUI-join on the code, so per-vector
-    work is |bucket| centroids, not k.  Vectors whose bucket holds no
-    centroid fall back to dense scoring against all k — empty by
-    construction once k >> 2^bits, and bounded by the orphan count
-    otherwise.  Argmax semantics are identical to the dense
-    ``assign_nearest_centroid``: rounded cosine desc, clabel tie-break,
-    vec_id-partitioned row_number.
+    Centroids (k rows, broadcast) and vectors get the b-bit sign code;
+    a ROUTING TABLE maps every possible code to its ``nprobe`` nearest
+    OCCUPIED centroid buckets by Hamming distance (integer
+    bit_count(xor), exact on both engines; lowest-bucket tie-break) —
+    an occupied code routes to itself first at distance 0, so one table
+    subsumes the same-bucket case and the empty-bucket fallback in a
+    single code path.  Scoring is then two broadcast equi-joins (code ->
+    probed buckets -> their centroids) and the dense argmax semantics:
+    rounded cosine desc, clabel tie-break, vec_id-partitioned
+    row_number.
 
     Scale story (the fix for the dense assignment's O(n·k) term —
-    measured at 4.3× per 4× data on the K=4→16 assignment-only step,
-    vs 2.15× for this form): with k ∝ corpus and
-    bits ≈ log2(k / target-per-bucket),
-    each vector scores ~target centroids — O(n) total — while the dense
-    form scores n·k.  Approximation error is the standard IVF trade: a
-    vector whose true nearest centroid signs differently on some
-    projection is assigned to its bucket's best instead (multi-probe,
-    i29's pattern, is the recall knob).  The bucketed join broadcasts
-    the k-row coded centroid table; at 100 TB k may reach millions of
-    rows — still megabytes of (clabel, code) pairs, and the join key
-    keeps AQE free to pick a shuffled hash join if a giant centroid set
-    ever outgrows broadcast."""
+    measured 4.3× per 4× data on the K=4→16 assignment-only step):
+    with k ∝ corpus and bits ≈ log2(k / target-per-bucket), each vector
+    scores ~nprobe·target centroids and the routing table costs
+    2^bits × |occupied| integer ops — INDEPENDENT of n — so total
+    assignment is O(n·nprobe·target + k²/target).  Two measured
+    dead-ends shaped this design (r10 staging): a DENSE fallback for
+    centroid-less-bucket vectors re-grew an O(n·k) term (orphan share
+    36-46%, not a corner), and SINGLE-probe routing under sparse
+    occupancy funneled half the corpus into one cluster (978/2000 at
+    the fixture — 2.7× the pair work and a downstream skew hazard).
+    nprobe is i29's recall knob doing double duty as the BALANCE knob:
+    more probed buckets per code spreads borderline vectors toward
+    their true nearest centroid.  The broadcast centroid table is
+    megabytes even at million-row k, and the equi-join keys keep AQE
+    free to pick a shuffled hash join if it ever outgrows broadcast."""
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
-    basis = F.broadcast(
-        emb.filter(F.col("vec_id").isin(*range(1, bits + 1)))
-        .agg(*[F.max(F.when(F.col("vec_id") == i, F.col("embedding")))
-               .alias(f"b{i}") for i in range(1, bits + 1)]))
-
-    def code(col: str) -> Column:
-        b = F.lit(0)
-        for i in range(1, bits + 1):
-            b = b + F.when(dot(col, f"b{i}") > 0,
-                           F.lit(1 << (bits - i))).otherwise(0)
-        return b
-
+    basis = F.broadcast(srp_basis(emb, bits))
     cbuck = (cenarr.crossJoin(basis)
-             .select("clabel", "carr", code("carr").alias("bucket")))
+             .select("clabel", "carr",
+                     srp_code("carr", bits).alias("cbucket")))
+    codes = (emb.sparkSession.range(1 << bits)
+             .select(F.col("id").cast("int").alias("code")))
+    wr = W.partitionBy("code").orderBy("ham", "cbucket")
+    routing = (
+        codes.crossJoin(F.broadcast(cbuck.select("cbucket").distinct()))
+        .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= nprobe)
+        .select("code", "cbucket"))
     vbuck = (emb.crossJoin(basis)
-             .select("vec_id", "embedding", code("embedding").alias("bucket")))
+             .select("vec_id", "embedding",
+                     srp_code("embedding", bits).alias("code")))
     w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
-
-    def argmax(scored: DataFrame) -> DataFrame:
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "clabel", "embedding"))
-
-    bucketed = argmax(
-        vbuck.join(F.broadcast(cbuck), "bucket")
+    return (
+        vbuck.join(F.broadcast(routing), "code")
+        .join(F.broadcast(cbuck), "cbucket")
         .select("vec_id", "clabel", "embedding",
-                F.round(cosine("embedding", "carr"), 6).alias("acos")))
-    fallback = argmax(
-        vbuck.join(F.broadcast(cbuck.select("bucket").distinct()),
-                   "bucket", "left_anti")
-        .select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cenarr))
-        .select("vec_id", "clabel", "embedding",
-                F.round(cosine("embedding", "carr"), 6).alias("acos")))
-    return bucketed.unionByName(fallback)
+                F.round(cosine("embedding", "carr"), 6).alias("acos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "clabel", "embedding"))
 
 
 # oracle twin of assign_nearest_centroid_ann at bits=3; expects cenarr in
@@ -162,8 +173,17 @@ _ANN_ASSIGNED_CTES_SQL = """
                   + CASE WHEN list_dot_product(carr, b2) > 0
                          THEN 2 ELSE 0 END
                   + CASE WHEN list_dot_product(carr, b3) > 0
-                         THEN 1 ELSE 0 END) AS bucket
+                         THEN 1 ELSE 0 END) AS cbucket
             FROM cenarr CROSS JOIN basis
+        ), routing AS (
+            SELECT code, cbucket FROM (
+                SELECT c.code, b.cbucket,
+                       bit_count(xor(c.code, b.cbucket)) AS ham
+                FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS code) c
+                CROSS JOIN (SELECT DISTINCT cbucket FROM cbuck) b
+            )
+            QUALIFY row_number() OVER (PARTITION BY code
+                                       ORDER BY ham, cbucket) <= 3
         ), vbuck AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                    (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -172,38 +192,30 @@ _ANN_ASSIGNED_CTES_SQL = """
                                                b2) > 0 THEN 2 ELSE 0 END
                   + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
                                                b3) > 0 THEN 1 ELSE 0 END)
-                       AS bucket
+                       AS code
             FROM embeddings CROSS JOIN basis
-        ), bucketed AS (
-            SELECT v.vec_id, c.clabel, v.emb
-            FROM vbuck v JOIN cbuck c ON v.bucket = c.bucket
-            QUALIFY row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY round(list_cosine_similarity(v.emb, c.carr),
-                                    6) DESC, c.clabel) = 1
-        ), orphans AS (
-            SELECT v.vec_id, c.clabel, v.emb
-            FROM vbuck v CROSS JOIN cenarr c
-            WHERE v.bucket NOT IN (SELECT bucket FROM cbuck)
-            QUALIFY row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY round(list_cosine_similarity(v.emb, c.carr),
-                                    6) DESC, c.clabel) = 1
         ), assigned AS (
-            SELECT * FROM bucketed UNION ALL SELECT * FROM orphans
+            SELECT v.vec_id, cb.clabel, v.emb
+            FROM vbuck v
+            JOIN routing r ON v.code = r.code
+            JOIN cbuck cb ON r.cbucket = cb.cbucket
+            QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_cosine_similarity(v.emb, cb.carr),
+                                    6) DESC, cb.clabel) = 1
         )
 """
 
 
-def semdedup_census_ann(emb: DataFrame, tau: float | None = None,
+def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
                         bits: int = 3) -> DataFrame:
     """The i59 kernel: staged_r9's ``semdedup_census`` with the dense
     assignment swapped for the SRP-bucketed one — the pair stage, the
     keep-first rule, the census rollup, and the localCheckpoint pin are
     all the SHARED code path, so the only semantic difference between
     i58 and i59 is which centroid a borderline vector lands on."""
-    kwargs = {} if tau is None else {"tau": tau}
     return semdedup_census(
-        emb, assign=lambda e: assign_nearest_centroid_ann(e, bits=bits),
-        **kwargs)
+        emb, tau=tau,
+        assign=lambda e: assign_nearest_centroid_ann(e, bits=bits))
 
 
 @_stage(

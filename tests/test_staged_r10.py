@@ -52,13 +52,18 @@ def test_staged_tri_sf_parity(name, spark):
             con.close()
 
 
-def test_ann_assignment_bucketed_and_orphan_paths(spark):
-    # hand-computed frame exercising BOTH paths.  Basis = vectors 1..3
-    # (the axes).  Centroids: c0 = mean(v1,v2,v3,v5) = [.5,.5,.5,0]
-    # (bucket 111=7), c1 = v4 = [-1,-1,-1,1] (bucket 000=0).  v5 codes
-    # 7 -> bucketed to c0; v4 codes 0 -> bucketed to c1; v1/v2/v3 code
-    # 100/010/001 — buckets with NO centroid — and must take the dense
-    # fallback, which assigns all three to c0 (cos ~0.577 vs -0.5)
+def test_ann_assignment_routing_and_nprobe(spark):
+    # hand-computed frame pinning the routing semantics at both nprobe
+    # settings.  Basis = vectors 1..3 (the axes).  Centroids:
+    # c0 = mean(v1,v2,v3,v5) = [.5,.5,.5,0] (code 111=7), c1 = v4 =
+    # [-1,-1,-1,1] (code 000=0).  v5 codes 7 -> its own bucket
+    # (Hamming 0) -> c0; v4 codes 0 -> c1.  v1/v2/v3 code 100/010/001 —
+    # buckets with NO centroid.  At nprobe=1 each one-hot code routes
+    # ONLY to occupied bucket 0 (distance 1 beats bucket 7's 2), so all
+    # three land on c1 even though c0 is the dense-cosine winner — the
+    # single-probe recall loss, pinned so a semantics change is loud.
+    # At the default nprobe=3 both occupied buckets are probed and the
+    # assignment recovers the dense answer.
     rows = [
         (1, "c0", [1.0, 0.0, 0.0, 0.0]),
         (2, "c0", [0.0, 1.0, 0.0, 0.0]),
@@ -68,9 +73,12 @@ def test_ann_assignment_bucketed_and_orphan_paths(spark):
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, label string, embedding array<float>")
-    got = {r["vec_id"]: r["clabel"]
-           for r in assign_nearest_centroid_ann(df).collect()}
-    assert got == {1: "c0", 2: "c0", 3: "c0", 4: "c1", 5: "c0"}
+    got1 = {r["vec_id"]: r["clabel"]
+            for r in assign_nearest_centroid_ann(df, nprobe=1).collect()}
+    assert got1 == {1: "c1", 2: "c1", 3: "c1", 4: "c1", 5: "c0"}
+    got3 = {r["vec_id"]: r["clabel"]
+            for r in assign_nearest_centroid_ann(df).collect()}
+    assert got3 == {1: "c0", 2: "c0", 3: "c0", 4: "c1", 5: "c0"}
 
 
 def _round6_half_up(x: float) -> float:
@@ -80,11 +88,12 @@ def _round6_half_up(x: float) -> float:
                                      rounding=ROUND_HALF_UP))
 
 
-def _assign_ann_py(rows, bits=3):
+def _assign_ann_py(rows, bits=3, nprobe=3):
     # pure-Python mirror of assign_nearest_centroid_ann: exact-mean
     # centroids, data-derived sign basis (vec_ids 1..bits; missing ->
-    # bit constantly 0), bucket equi-candidates with dense fallback,
-    # round6-cosine argmax with label tie-break
+    # bit constantly 0), code -> nprobe-nearest-occupied-buckets Hamming
+    # routing (lowest-bucket tie-break), round6-cosine argmax with label
+    # tie-break among the probed buckets' centroids
     import math
 
     def dot(a, b):
@@ -112,10 +121,17 @@ def _assign_ann_py(rows, bits=3):
         return c
 
     cbuck = {lb: code(c) for lb, c in cen.items()}
+    occupied = sorted(set(cbuck.values()))
+
+    def route(c):
+        ranked = sorted(occupied,
+                        key=lambda b: (bin(c ^ b).count("1"), b))
+        return set(ranked[:nprobe])
+
     out = {}
     for vid, _, v in rows:
-        vb = code(v)
-        cands = [lb for lb in labels if cbuck[lb] == vb] or labels
+        probed = route(code(v))
+        cands = [lb for lb in labels if cbuck[lb] in probed]
         out[vid] = min(
             cands, key=lambda lb: (-_round6_half_up(cos(v, cen[lb])), lb))
     return out

@@ -33,7 +33,7 @@ def test_staged_matches_oracle(name, spark, oracle, sf_dir):
     fn, sql = STAGED[name]
     df = fn(spark, sf_dir)
     assert_no_antipatterns(name, df)
-    assert sql is not None  # all six r10 candidates are hash-provable
+    assert sql is not None  # all five remaining candidates are hash-provable
     compare(df, oracle, sql)
 
 

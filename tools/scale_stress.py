@@ -39,7 +39,9 @@ single-JVM artifacts (serial 1-split map stages, cross-K checkpoint
 pollution, first-run GC/JIT spikes) that each measure neutralizes.
 Timings on a shared box — read trends, not third digits.
 
-Usage: python tools/scale_stress.py [sf_dir] [K ...]   (default sf0.1, K=1 4 16)
+Usage: python tools/scale_stress.py [sf_dir] [K ...] [--only=prefix,...]
+(default sf0.1, K=1 4 16; --only filters rows by name prefix and skips
+the unselected rows' input pins — erroring if nothing matches)
 """
 
 from __future__ import annotations
@@ -207,11 +209,19 @@ def stream_kernels(spark, stream_path: str):
             "inner",
         ).select("lid", "rid")
 
-    return {
-        "stream-tumbling[j01-shape]": lambda _d: run(tumbling, "update"),
-        "stream-session[j03-shape]": lambda _d: run(session, "append"),
-        "stream-join[j08-shape]": lambda _d: run(sjoin, "append"),
-    }
+    builds = {"stream-tumbling[j01-shape]": (tumbling, "update"),
+              "stream-session[j03-shape]": (session, "append"),
+              "stream-join[j08-shape]": (sjoin, "append")}
+    assert set(builds) == set(STREAM_ROW_NAMES)  # main()'s gate keys on it
+    return {name: (lambda _d, _b=b, _m=m: run(_b, _m))
+            for name, (b, m) in builds.items()}
+
+
+#: stream_kernels' row names, shared with main()'s input gating so a
+#: kernel rename cannot silently drop the row from the report (r10 review)
+STREAM_ROW_NAMES = ("stream-tumbling[j01-shape]",
+                    "stream-session[j03-shape]",
+                    "stream-join[j08-shape]")
 
 
 def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
@@ -234,7 +244,15 @@ def amplify_vectors_labeled(emb: DataFrame, k: int) -> DataFrame:
     separable, as a genuinely grown corpus's new clusters are.  Verbatim
     copies (amplify_vectors) would defeat ANY bucketing scheme: identical
     vectors always share a bucket, which measures the amplifier, not the
-    kernel."""
+    kernel.  The flip pattern spells out the low 16 bits of the replica
+    id across dimensions (dim i flips iff bit i%16 of rep is set), so
+    every replica gets a DISTINCT pattern up to K=65536; beyond that two
+    replicas would collide back into verbatim copies, so refuse (r10
+    review — the earlier 4-bit pattern silently collided at K>16)."""
+    if k > 65536:
+        raise ValueError(
+            "amplify_vectors_labeled sign patterns are distinct only up "
+            f"to K=65536; K={k} would re-create verbatim-copy replicas")
     out = shard_offset(emb, k, ["vec_id"], ["label", "embedding"],
                        keep_rep=True)
     return out.select(
@@ -243,7 +261,7 @@ def amplify_vectors_labeled(emb: DataFrame, k: int) -> DataFrame:
                  F.col("rep").cast("string")).alias("label"),
         F.expr(
             "transform(embedding, (x, i) -> "
-            "IF(pmod(shiftright(rep, pmod(i, 4)), 2) = 1, -x, x))"
+            "IF(pmod(shiftright(rep, pmod(i, 16)), 2) = 1, -x, x))"
         ).alias("embedding"),
     )
 
@@ -254,13 +272,11 @@ def srp_pairs_shape(emb: DataFrame) -> DataFrame:
     first three vectors) buckets each vector; candidates are pairs inside
     one (rep, bucket) — a bucket-keyed equi-join, never all-pairs.
     Output: candidate-pair count per bucket."""
-    from csv_to_parquet_aws_datalake_spark.functions.vector import dot
-
-    basis_row = emb.filter(F.col("vec_id").isin(1, 2, 3)).agg(
-        F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("b1"),
-        F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("b2"),
-        F.max(F.when(F.col("vec_id") == 3, F.col("embedding"))).alias("b3"),
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        srp_basis, srp_code,
     )
+
+    basis_row = srp_basis(emb)
     # a null basis vector would silently zero every sign bit and collapse
     # the join to all-pairs-per-replica — a different (quadratic) workload
     # than this row claims to measure; fail loudly instead
@@ -268,13 +284,8 @@ def srp_pairs_shape(emb: DataFrame) -> DataFrame:
     if any(first[c] is None for c in ("b1", "b2", "b3")):
         raise ValueError("srp_pairs_shape needs vec_ids 1..3 in the input "
                          "to derive its projection basis")
-    basis = F.broadcast(basis_row)
-    coded = emb.crossJoin(basis).select(
-        "rep", "vec_id",
-        (F.when(dot("embedding", "b1") > 0, 4).otherwise(0)
-         + F.when(dot("embedding", "b2") > 0, 2).otherwise(0)
-         + F.when(dot("embedding", "b3") > 0, 1).otherwise(0)).alias("bucket"),
-    )
+    coded = emb.crossJoin(F.broadcast(basis_row)).select(
+        "rep", "vec_id", srp_code("embedding").alias("bucket"))
     a, b = coded.alias("a"), coded.alias("b")
     return (
         a.join(b, (F.col("a.rep") == F.col("b.rep"))
@@ -329,11 +340,12 @@ def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     count grows with the corpus (amplify_vectors_labeled), so the SRP
     bit count grows with log2(K) — 3/5/7 bits at K=1/4/16 — keeping the
     expected centroids-per-bucket constant (i18's production knob).
-    Measured r10 at sf0.1: 5.6 / 9.7 / 10.7 s at K=1/4/16 = 0.44x/0.12x
-    vs linear.  (The r9 "dense 2.3x at K=4" figure came from the
-    verbatim-copy amplifier, whose tie-break cluster collapse inflated
-    the PAIR stage — see semdedup_census's scale paragraph for the
-    corrected dense-vs-ANN record.)"""
+    Measured r10 at sf0.1 (final nprobe=3 routing design):
+    5.3 / 11.8 / 17.5 s at K=1/4/16 = 0.56x/0.21x vs linear.  (The r9
+    "dense 2.3x at K=4" figure came from the verbatim-copy amplifier,
+    whose tie-break cluster collapse inflated the PAIR stage — see
+    semdedup_census's scale paragraph for the corrected dense-vs-ANN
+    record.)"""
     import math
 
     from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
@@ -398,8 +410,7 @@ def main() -> int:
         spark.sparkContext.setLogLevel("ERROR")
         timed = {}
         doc_rows = set(kernels())
-        stream_rows = ("stream-tumbling[j01-shape]", "stream-session[j03-shape]",
-                       "stream-join[j08-shape]")
+        stream_rows = STREAM_ROW_NAMES
         stream_path = None
         d = None
         if any(map(sel, doc_rows)) or sel("cc[i27-kernel]"):
@@ -470,6 +481,10 @@ def main() -> int:
                 timed["semdedup-ann[i59-kernel]"] = \
                     lambda _d, _e=embl, _k=k: semdedup_ann_kernel(_e, _k)
         timed = {n: timed[n] for n in timed if sel(n)}
+        if not timed:
+            raise SystemExit(
+                f"--only={','.join(only or ())} matched no kernels — "
+                "check the prefix against the report's row names")
         for name, fn in timed.items():
             sec = float("inf")
             for i in range(3):
