@@ -10,12 +10,12 @@ substantially a verbatim-copy artifact that collapsed all replicas into
 one replica's clusters and inflated the PAIR stage) shows the dense
 census sublinear at fixture scale; but the dense assignment's O(n·k)
 term is real and emergent — assignment-only timing grows 4.3× per 4×
-data on the K=4→16 step, vs 2.15× for the bucketed variant below, which
-is already 1.4× faster in absolute terms at K=16 (3.44 s vs 4.76 s)
-despite a higher fixed cost at K=1 (1.58 s vs 0.93 s — the classic
-exact-vs-ANN constant/asymptote trade).  With k ∝ corpus, as SemDeDup
-sizes it, the dense term is quadratic and must dominate; the remedy, as
-in IVF practice, is APPROXIMATE assignment:
+data on the K=4→16 step.  (An intermediate orphan-fallback variant of
+the bucketed assignment measured 2.15× on that same step before being
+replaced by the Hamming routing below; its numbers are historical.)
+With k ∝ corpus, as SemDeDup sizes it, the dense term is quadratic and
+must dominate; the remedy, as in IVF practice, is APPROXIMATE
+assignment:
 
 - ``assign_nearest_centroid_ann`` — sign-random-projection-bucket the
   CENTROIDS (i18's machinery, one family over): vectors and centroids
@@ -124,7 +124,15 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     more probed buckets per code spreads borderline vectors toward
     their true nearest centroid.  The broadcast centroid table is
     megabytes even at million-row k, and the equi-join keys keep AQE
-    free to pick a shuffled hash join if it ever outgrows broadcast."""
+    free to pick a shuffled hash join if it ever outgrows broadcast.
+    Known cost ceiling in THIS formulation (r10 second review): the
+    routing table enumerates all 2^bits codes against all occupied
+    buckets — fine through ~2^10 buckets, but quadratic in bucket count
+    at the 20-bit sizing the asymptotics suggest; a registration at
+    that scale should build the table by expanding each occupied
+    bucket's Hamming ball radius-by-radius until every code is covered
+    (|occupied| × C(bits, <=r) rows — linear in k), kept as the simple
+    cross-product here for oracle expressibility at bits=3."""
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
@@ -231,8 +239,10 @@ def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dense assignment's O(n·k) term (measured emergent, not yet
     dominant, at fixture scale — see the module docstring for the
     corrected r9-vs-r10 record).  Stress row
-    ``semdedup-ann[i59-kernel]``: 0.12× vs linear at K=16 under the
-    honest k ∝ corpus model.  Same cluster-bucketed pair stage and
+    ``semdedup-ann[i59-kernel]``, final nprobe=3 routing design:
+    0.21× vs linear at K=16 under the honest k ∝ corpus model, with
+    cluster balance within 3% of dense (single-probe had funneled half
+    the corpus into one cluster).  Same cluster-bucketed pair stage and
     keep-first census; only the assignment is approximate (see
     assign_nearest_centroid_ann).  The dense i58 remains the
     exact-contract baseline, mirroring the registry's i06 (exact pairs)

@@ -1,8 +1,8 @@
 """Round-11 staged candidates (operators/staged_r10.py): oracle-
 differential through the driver's comparator, plan pins, a constructed
-orphan-fallback case, and a hypothesis sweep of the SRP-bucketed
+routing/nprobe case, and pseudo-random sweeps of the SRP-routed
 assignment against a pure-Python reference of the SAME approximate
-algorithm (not the dense one — the bucketing is the semantics under
+algorithm (not the dense one — the routing is the semantics under
 test)."""
 
 from __future__ import annotations
@@ -138,11 +138,17 @@ def _assign_ann_py(rows, bits=3, nprobe=3):
 
 
 @pytest.mark.parametrize("seed", range(4))
-def test_ann_assignment_matches_pure_python(spark, seed):
+@pytest.mark.parametrize("nprobe", [1, 3])
+def test_ann_assignment_matches_pure_python(spark, seed, nprobe):
     # deterministic pseudo-random integer vector sets (md5-free local
-    # LCG) sweep bucket occupancy, orphan fallback, and argmax ties the
+    # LCG) sweep bucket occupancy, Hamming routing, and argmax ties the
     # constructed example can't; integer values keep every intermediate
-    # bit-identical between the engines and the reference
+    # bit-identical between the engines and the reference.  FOUR labels
+    # (up to 4 occupied buckets) and an nprobe=1 leg keep the routing
+    # stage discriminating — with fewer occupied buckets than nprobe,
+    # every vector probes everything and the sweep would degenerate to
+    # dense argmax, pinning nothing about the routing (r10 second
+    # review)
     state = seed * 2654435761 % (2**32)
 
     def rnd(n):
@@ -150,15 +156,15 @@ def test_ann_assignment_matches_pure_python(spark, seed):
         state = (1103515245 * state + 12345) % (2**31)
         return state % n
 
-    n = 5 + rnd(6)
-    rows = [(i, "ab"[rnd(2)],
+    n = 8 + rnd(5)
+    rows = [(i, "abcd"[rnd(4)],
              [float(1 + rnd(3)), float(rnd(4)), float(rnd(4))])
             for i in range(n)]
     df = spark.createDataFrame(
         rows, "vec_id long, label string, embedding array<float>")
     got = {r["vec_id"]: r["clabel"]
-           for r in assign_nearest_centroid_ann(df).collect()}
-    assert got == _assign_ann_py(rows)
+           for r in assign_nearest_centroid_ann(df, nprobe=nprobe).collect()}
+    assert got == _assign_ann_py(rows, nprobe=nprobe)
 
 
 def test_i59_census_totals_and_plan(spark, sf_dir):

@@ -246,13 +246,18 @@ def amplify_vectors_labeled(emb: DataFrame, k: int) -> DataFrame:
     vectors always share a bucket, which measures the amplifier, not the
     kernel.  The flip pattern spells out the low 16 bits of the replica
     id across dimensions (dim i flips iff bit i%16 of rep is set), so
-    every replica gets a DISTINCT pattern up to K=65536; beyond that two
-    replicas would collide back into verbatim copies, so refuse (r10
-    review — the earlier 4-bit pattern silently collided at K>16)."""
-    if k > 65536:
+    every replica gets a DISTINCT pattern up to K=2^min(16, dim);
+    beyond that two replicas would collide back into verbatim copies,
+    so refuse (r10 review — the earlier 4-bit pattern silently collided
+    at K>16, and a sub-16-dim embedding expresses fewer rep bits than
+    the 16-bit cap suggests)."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    max_k = 1 << min(16, dim)
+    if k > max_k:
         raise ValueError(
-            "amplify_vectors_labeled sign patterns are distinct only up "
-            f"to K=65536; K={k} would re-create verbatim-copy replicas")
+            f"amplify_vectors_labeled sign patterns are distinct only up "
+            f"to K={max_k} for {dim}-dim embeddings; K={k} would "
+            "re-create verbatim-copy replicas")
     out = shard_offset(emb, k, ["vec_id"], ["label", "embedding"],
                        keep_rep=True)
     return out.select(
