@@ -93,6 +93,52 @@ def _stage(name: str, oracle: str | None = None):
     return deco
 
 
+def srp_ball_routing(occupied: DataFrame, bits: int,
+                     nprobe: int = 3) -> DataFrame:
+    """(code, cbucket): every possible b-bit code mapped to its
+    ``nprobe`` Hamming-nearest buckets from the 1-column ``occupied``
+    frame (cbucket), built by BALL EXPANSION — radius r adds the
+    |occupied| × C(bits, r) pairs at distance exactly r (each pair
+    generated once, by its unique XOR mask), stopping as soon as every
+    code holds >= nprobe candidates (no unseen pair can then outrank a
+    held one: anything unseen is at distance > r).
+
+    This is the linear-in-bucket-count builder the 20-bit production
+    sizing needs — the naive ranking enumerates 2^bits × |occupied|
+    pairs, quadratic in bucket count when 2^bits ~ |occupied| (the r10
+    second-review ceiling).  The radius loop is driver-side and bounded
+    by ``bits`` (the i27 connected-components convergence idiom:
+    per-radius accumulate, localCheckpoint to truncate the union
+    lineage, one tiny count action as the stop test); masks per radius
+    are a broadcast literal.  Ranking semantics are identical to the
+    naive form — (ham, cbucket) ascending, row_number <= nprobe — and
+    the i59 oracle PROVES that equality by computing the same table
+    with the cross-product algorithm."""
+    from itertools import combinations
+
+    from pyspark.sql.window import Window as W
+
+    spark = occupied.sparkSession
+    acc = None
+    for r in range(bits + 1):
+        masks = [(sum(1 << p for p in c), r)
+                 for c in combinations(range(bits), r)]
+        mdf = F.broadcast(spark.createDataFrame(masks, "mask int, ham int"))
+        layer = (occupied.crossJoin(mdf)
+                 .select(F.expr("int(cbucket ^ mask)").alias("code"),
+                         "cbucket", "ham"))
+        acc = layer if acc is None else acc.unionByName(layer)
+        acc = acc.localCheckpoint()
+        n_done = (acc.groupBy("code").count()
+                  .filter(F.col("count") >= nprobe).count())
+        if n_done == (1 << bits):
+            break
+    w = W.partitionBy("code").orderBy("ham", "cbucket")
+    return (acc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select("code", "cbucket"))
+
+
 def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
                                 nprobe: int = 3) -> DataFrame:
     """(vec_id, clabel, embedding): approximate nearest-centroid
@@ -130,14 +176,16 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     their true nearest centroid.  The broadcast centroid table is
     megabytes even at million-row k, and the equi-join keys keep AQE
     free to pick a shuffled hash join if it ever outgrows broadcast.
-    Known cost ceiling in THIS formulation (r10 second review): the
-    routing table enumerates all 2^bits codes against all occupied
-    buckets — fine through ~2^10 buckets, but quadratic in bucket count
-    at the 20-bit sizing the asymptotics suggest; a registration at
-    that scale should build the table by expanding each occupied
-    bucket's Hamming ball radius-by-radius until every code is covered
-    (|occupied| × C(bits, <=r) rows — linear in k), kept as the simple
-    cross-product here for oracle expressibility at bits=3."""
+    The routing table builder DISPATCHES on code-space size (the two
+    forms are pinned equal in tests): at <= 2^10 codes the one-shot
+    cross-product ranking is cheapest (a few thousand integer rows, no
+    extra jobs); beyond that — the 20-bit production sizing, where the
+    cross-product is quadratic in bucket count (the r10 second-review
+    ceiling) — ``srp_ball_routing`` expands Hamming balls
+    radius-by-radius, |occupied| × C(bits, <=r) rows, linear in bucket
+    count, at the price of a bounded driver loop with per-radius
+    actions (measured ~4 s of fixed overhead at fixture scale — which
+    is why small code spaces take the one-shot form)."""
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
@@ -145,15 +193,19 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     cbuck = (cenarr.crossJoin(basis)
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
-    codes = (emb.sparkSession.range(1 << bits)
-             .select(F.col("id").cast("int").alias("code")))
-    wr = W.partitionBy("code").orderBy("ham", "cbucket")
-    routing = (
-        codes.crossJoin(F.broadcast(cbuck.select("cbucket").distinct()))
-        .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= nprobe)
-        .select("code", "cbucket"))
+    occupied = cbuck.select("cbucket").distinct()
+    if (1 << bits) <= 1024:
+        codes = (emb.sparkSession.range(1 << bits)
+                 .select(F.col("id").cast("int").alias("code")))
+        wr = W.partitionBy("code").orderBy("ham", "cbucket")
+        routing = (
+            codes.crossJoin(F.broadcast(occupied))
+            .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= nprobe)
+            .select("code", "cbucket"))
+    else:
+        routing = srp_ball_routing(occupied, bits, nprobe)
     vbuck = (emb.crossJoin(basis)
              .select("vec_id", "embedding",
                      srp_code("embedding", bits).alias("code")))

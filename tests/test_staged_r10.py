@@ -393,3 +393,40 @@ def test_i63_plan_shape(spark, sf_dir):
     plan = physical_plan(S10["i63_line_dedup_rewrite"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize("occ", [
+    [0], [5], [0, 7], [1, 2, 4], [0, 3, 5, 6], list(range(8)),
+])
+def test_ball_routing_equals_naive_ranking(spark, occ):
+    # the builder-equality pin: Hamming-ball expansion must produce the
+    # EXACT table the naive 2^bits x occupied ranking produces, for
+    # occupancy shapes from a single bucket (no code can reach nprobe
+    # candidates -> loop runs to full radius) to full occupancy
+    # (converges at radius 0/1)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        srp_ball_routing,
+    )
+
+    bits, nprobe = 3, 3
+    occupied = spark.createDataFrame([(b,) for b in occ], "cbucket int")
+    got = {(r["code"], r["cbucket"])
+           for r in srp_ball_routing(occupied, bits, nprobe).collect()}
+    codes = spark.range(1 << bits).select(F.col("id").cast("int").alias("code"))
+    w = W.partitionBy("code").orderBy("ham", "cbucket")
+    want = {(r["code"], r["cbucket"]) for r in (
+        codes.crossJoin(occupied)
+        .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("code", "cbucket").collect())}
+    assert got == want
+    # coverage: every code routes to min(nprobe, |occ|) buckets
+    per_code = {}
+    for c, b in got:
+        per_code[c] = per_code.get(c, 0) + 1
+    assert set(per_code) == set(range(1 << bits))
+    assert all(v == min(nprobe, len(occ)) for v in per_code.values())

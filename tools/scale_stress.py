@@ -345,12 +345,12 @@ def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     count grows with the corpus (amplify_vectors_labeled), so the SRP
     bit count grows with log2(K) — 3/5/7 bits at K=1/4/16 — keeping the
     expected centroids-per-bucket constant (i18's production knob).
-    Measured r10 at sf0.1 (final nprobe=3 routing design):
-    5.3 / 11.8 / 17.5 s at K=1/4/16 = 0.56x/0.21x vs linear.  (The r9
-    "dense 2.3x at K=4" figure came from the verbatim-copy amplifier,
-    whose tie-break cluster collapse inflated the PAIR stage — see
-    semdedup_census's scale paragraph for the corrected dense-vs-ANN
-    record.)"""
+    Measured r10 at sf0.1 (final nprobe=3 routing design, two quiet
+    runs): 5.3-7.0 / 11.8-13.1 / 17.5-19.3 s at K=1/4/16 =
+    **0.17-0.21x vs linear at K=16**.  (The r9 "dense 2.3x at K=4"
+    figure came from the verbatim-copy amplifier, whose tie-break
+    cluster collapse inflated the PAIR stage — see semdedup_census's
+    scale paragraph for the corrected dense-vs-ANN record.)"""
     import math
 
     from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
