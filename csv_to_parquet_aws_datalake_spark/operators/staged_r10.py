@@ -93,8 +93,21 @@ def _stage(name: str, oracle: str | None = None):
     return deco
 
 
-def srp_ball_routing(occupied: DataFrame, bits: int,
-                     nprobe: int = 3) -> DataFrame:
+def _rank_top_nprobe(cand: DataFrame, nprobe: int) -> DataFrame:
+    """(code, cbucket, ham) -> the nprobe nearest buckets per code:
+    (ham, cbucket) ascending, row_number.  The ONE ranking definition
+    both routing builders share (r10 third review: a tie-break change
+    must hit both, or the dispatched forms silently diverge)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("code").orderBy("ham", "cbucket")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select("code", "cbucket"))
+
+
+def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
+                     max_radius: int = 3) -> DataFrame:
     """(code, cbucket): every possible b-bit code mapped to its
     ``nprobe`` Hamming-nearest buckets from the 1-column ``occupied``
     frame (cbucket), built by BALL EXPANSION — radius r adds the
@@ -106,21 +119,32 @@ def srp_ball_routing(occupied: DataFrame, bits: int,
     This is the linear-in-bucket-count builder the 20-bit production
     sizing needs — the naive ranking enumerates 2^bits × |occupied|
     pairs, quadratic in bucket count when 2^bits ~ |occupied| (the r10
-    second-review ceiling).  The radius loop is driver-side and bounded
-    by ``bits`` (the i27 connected-components convergence idiom:
-    per-radius accumulate, localCheckpoint to truncate the union
-    lineage, one tiny count action as the stop test); masks per radius
-    are a broadcast literal.  Ranking semantics are identical to the
-    naive form — (ham, cbucket) ascending, row_number <= nprobe — and
-    the i59 oracle PROVES that equality by computing the same table
-    with the cross-product algorithm."""
+    second-review ceiling).  The radius loop is driver-side (the i27
+    convergence idiom: per-radius accumulate, localCheckpoint to
+    truncate the union lineage, one tiny count action as the stop
+    test); masks per radius are a broadcast literal.  The loop is
+    CAPPED at ``max_radius`` (r10 third review): under clustered or
+    sparse occupancy — or whenever nprobe > |occupied| — the early
+    stop can be unreachable, and an uncapped loop would enumerate
+    C(bits, ~bits/2) driver-side masks and re-checkpoint the
+    accumulator per radius, strictly worse than the naive form it
+    replaces.  Codes still unconverged at the cap take a RESIDUAL
+    completion instead: their ball rows are dropped and they are
+    cross-ranked against all occupied buckets — identical semantics
+    (verified by the builder-equality pin across occupancy shapes),
+    cost |unconverged| × |occupied|, which only approaches the naive
+    cost in the pathological all-unconverged case where no cheaper
+    exact table exists.  Ranking is the shared ``_rank_top_nprobe``.
+    Note the equality evidence is the parametrized unit pin plus the
+    forced-ball-path assignment test — the i59 ORACLE exercises the
+    small-code-space cross-product branch (bits=3), not this builder;
+    a production-bits registration must measure this path first."""
     from itertools import combinations
-
-    from pyspark.sql.window import Window as W
 
     spark = occupied.sparkSession
     acc = None
-    for r in range(bits + 1):
+    converged = False
+    for r in range(min(bits, max_radius) + 1):
         masks = [(sum(1 << p for p in c), r)
                  for c in combinations(range(bits), r)]
         mdf = F.broadcast(spark.createDataFrame(masks, "mask int, ham int"))
@@ -132,15 +156,25 @@ def srp_ball_routing(occupied: DataFrame, bits: int,
         n_done = (acc.groupBy("code").count()
                   .filter(F.col("count") >= nprobe).count())
         if n_done == (1 << bits):
+            converged = True
             break
-    w = W.partitionBy("code").orderBy("ham", "cbucket")
-    return (acc.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= nprobe)
-            .select("code", "cbucket"))
+    if not converged:
+        done = (acc.groupBy("code").count()
+                .filter(F.col("count") >= nprobe).select("code"))
+        residual_codes = (
+            spark.range(1 << bits)
+            .select(F.col("id").cast("int").alias("code"))
+            .join(done, "code", "left_anti"))
+        residual = (residual_codes.crossJoin(occupied)
+                    .withColumn("ham", F.expr("bit_count(code ^ cbucket)")))
+        acc = (acc.join(residual_codes, "code", "left_anti")
+               .unionByName(residual))
+    return _rank_top_nprobe(acc, nprobe)
 
 
 def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
-                                nprobe: int = 3) -> DataFrame:
+                                nprobe: int = 3,
+                                ball_min_codes: int = 1025) -> DataFrame:
     """(vec_id, clabel, embedding): approximate nearest-centroid
     assignment — each vector scores only the centroids of the ``nprobe``
     buckets its SRP code routes to.
@@ -194,16 +228,16 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
     occupied = cbuck.select("cbucket").distinct()
-    if (1 << bits) <= 1024:
+    # ball_min_codes: the dispatch threshold, a keyword so tests can
+    # force the ball path end-to-end (pass 0) without duplicating the
+    # ranking logic they compare against
+    if (1 << bits) < ball_min_codes:
         codes = (emb.sparkSession.range(1 << bits)
                  .select(F.col("id").cast("int").alias("code")))
-        wr = W.partitionBy("code").orderBy("ham", "cbucket")
-        routing = (
+        routing = _rank_top_nprobe(
             codes.crossJoin(F.broadcast(occupied))
-            .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
-            .withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= nprobe)
-            .select("code", "cbucket"))
+            .withColumn("ham", F.expr("bit_count(code ^ cbucket)")),
+            nprobe)
     else:
         routing = srp_ball_routing(occupied, bits, nprobe)
     vbuck = (emb.crossJoin(basis)

@@ -395,34 +395,38 @@ def test_i63_plan_shape(spark, sf_dir):
     assert "Window" not in plan
 
 
-@pytest.mark.parametrize("occ", [
-    [0], [5], [0, 7], [1, 2, 4], [0, 3, 5, 6], list(range(8)),
+@pytest.mark.parametrize("bits,occ", [
+    (3, [0]), (3, [5]), (3, [0, 7]), (3, [1, 2, 4]),
+    (3, [0, 3, 5, 6]), (3, list(range(8))),
+    # bits=7 legs exercise the max_radius CAP + residual completion
+    # (r10 third review): clustered occupancy leaves far codes
+    # unconverged at radius 3, and the single-bucket case can never
+    # reach nprobe candidates at all
+    (7, [0, 1, 2, 3]), (7, [0, 85, 102, 127]), (7, [64]),
 ])
-def test_ball_routing_equals_naive_ranking(spark, occ):
-    # the builder-equality pin: Hamming-ball expansion must produce the
-    # EXACT table the naive 2^bits x occupied ranking produces, for
-    # occupancy shapes from a single bucket (no code can reach nprobe
-    # candidates -> loop runs to full radius) to full occupancy
-    # (converges at radius 0/1)
+def test_ball_routing_equals_naive_ranking(spark, bits, occ):
+    # the builder-equality pin: ball expansion (+ capped-radius residual
+    # completion) must produce the EXACT table the naive 2^bits x
+    # occupied ranking produces, across occupancy shapes from a single
+    # bucket (early stop unreachable -> pure residual) to full
+    # occupancy (converges at radius 1: radius 0 holds one candidate
+    # per code, < nprobe)
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
 
     from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        _rank_top_nprobe,
         srp_ball_routing,
     )
 
-    bits, nprobe = 3, 3
+    nprobe = 3
     occupied = spark.createDataFrame([(b,) for b in occ], "cbucket int")
     got = {(r["code"], r["cbucket"])
            for r in srp_ball_routing(occupied, bits, nprobe).collect()}
     codes = spark.range(1 << bits).select(F.col("id").cast("int").alias("code"))
-    w = W.partitionBy("code").orderBy("ham", "cbucket")
-    want = {(r["code"], r["cbucket"]) for r in (
+    want = {(r["code"], r["cbucket"]) for r in _rank_top_nprobe(
         codes.crossJoin(occupied)
-        .withColumn("ham", F.expr("bit_count(code ^ cbucket)"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("code", "cbucket").collect())}
+        .withColumn("ham", F.expr("bit_count(code ^ cbucket)")),
+        nprobe).collect()}
     assert got == want
     # coverage: every code routes to min(nprobe, |occ|) buckets
     per_code = {}
@@ -430,3 +434,20 @@ def test_ball_routing_equals_naive_ranking(spark, occ):
         per_code[c] = per_code.get(c, 0) + 1
     assert set(per_code) == set(range(1 << bits))
     assert all(v == min(nprobe, len(occ)) for v in per_code.values())
+
+
+def test_assignment_identical_through_ball_path(spark):
+    # end-to-end pin through the OTHER dispatch branch: forcing the
+    # ball builder (ball_min_codes=0) must reproduce the default
+    # (cross-product) assignment exactly on the fixture embeddings —
+    # the two routing builders are interchangeable inside the kernel,
+    # not just equal in isolation
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    default = {(r["vec_id"], r["clabel"])
+               for r in assign_nearest_centroid_ann(emb).collect()}
+    forced = {(r["vec_id"], r["clabel"])
+              for r in assign_nearest_centroid_ann(
+                  emb, ball_min_codes=0).collect()}
+    assert default == forced and default
