@@ -388,3 +388,54 @@ def test_semdedup_kernel_matches_bruteforce(spark, vecs, tau):
     got = {r["cluster"]: (r["n_vectors"], r["n_dup"])
            for r in semdedup_census(df, tau=tau).collect()}
     assert got == _semdedup_py(rows, tau)
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_census / line_dedup_rewrite (staged_r10.py, the i62/i63
+# kernels) vs a pure-Python reference: random tiny-vocabulary corpora at
+# block=3 sweep multi-line docs, within-doc repeats, cross-doc keep-first
+# chains, and the empty-text edge the fixed corpus can't.
+
+
+def _line_dedup_py(rows, block):
+    # rows: (doc_id, text); mirrors _doc_lines + census + rewrite exactly
+    lines: dict[str, list] = {}
+    per_doc: dict[int, list] = {}
+    for did, text in rows:
+        t = text.split(" ")
+        n = (len(t) + block - 1) // block
+        dl = [" ".join(t[i * block:(i + 1) * block]) for i in range(n)]
+        per_doc[did] = dl
+        for ln in dl:
+            lines.setdefault(ln, []).append(did)
+    census = {}
+    for ln, occ in lines.items():
+        docs = set(occ)
+        if len(docs) > 1:
+            census[ln] = (len(docs), len(occ), min(docs))
+    rewrite = {}
+    for did, dl in per_doc.items():
+        kept = [ln for ln in dl if ln not in census or census[ln][2] == did]
+        rewrite[did] = (len(kept), len(dl) - len(kept), " ".join(kept))
+    return census, rewrite
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), max_size=12).map(" ".join),
+    min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_line_dedup_kernels_match_pure_python(spark, texts):
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        line_dedup_census,
+        line_dedup_rewrite,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want_census, want_rewrite = _line_dedup_py(rows, block=3)
+    got_census = {r["line"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
+                  for r in line_dedup_census(df, block=3).collect()}
+    assert got_census == want_census
+    got_rewrite = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
+                   for r in line_dedup_rewrite(df, block=3).collect()}
+    assert got_rewrite == want_rewrite
