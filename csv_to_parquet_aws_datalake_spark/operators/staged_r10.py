@@ -58,6 +58,10 @@ reference:
   (keep-first representative retains them), clean text rebuilt by a
   doc-keyed sorted-struct fold, with the untouched-document
   byte-identity round-trip pinned.
+- k17 phash band near-dup — Hamming<=1 neighbor pairs over the k16
+  aHash codes via 2x4-bit banding (the pigeonhole guarantee makes the
+  band equi-join EXACT for radius 1), the i34 shape applied to the
+  multimodal family.
 """
 
 from __future__ import annotations
@@ -76,6 +80,7 @@ from .llm_vectors import (
     srp_code,
 )
 from .staged_r9 import (
+    _PHASH_CTES_SQL,
     _SEMDEDUP_CENSUS_TAIL_SQL,
     _SEMDEDUP_TAU,
     semdedup_census,
@@ -484,11 +489,16 @@ def i61_bm25_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (9-token IN-filter before the aggregation, so the (doc, term) frame
     stays |terms|-bounded per doc); the query map, df table, and corpus
     stats are broadcast 9-row/1-row frames; the pivot groupBy keys on
-    (query_id, doc_id) and the top-k window partitions by query_id —
-    |queries| partitions, each tie-broken and bounded, never a global
-    sort.  Doc lengths pin once (i08/i57's rationale)."""
-    from pyspark.sql.window import Window as W
-
+    (query_id, doc_id).  The per-query top-5 is a UNION of per-query
+    TakeOrderedAndProject branches over the pinned scored frame, NOT a
+    query_id-partitioned row_number window: with |queries| partitions
+    each holding every matching document, such a window is an
+    unsplittable-partition hazard at corpus scale — the exact class the
+    r9 span fix removed (a first draft of this query had it; caught by
+    the same scale lens in-round).  Each branch is a distributed
+    partial top-k; the pin stops the |queries| branches from
+    re-deriving the scores.  Doc lengths pin once (i08/i57's
+    rationale)."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()))
     dl = (d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
@@ -519,10 +529,16 @@ def i61_bm25_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id",
         F.round(F.expr("coalesce(w1, 0D) + coalesce(w2, 0D)"
                        " + coalesce(w3, 0D)"), 6).alias("bm25"))
-    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-            .select("query_id", "doc_id", "bm25"))
+    scored = scored.localCheckpoint()  # pin: one branch per query below
+    branches = [
+        scored.filter(F.col("query_id") == q)
+        .orderBy(F.desc("bm25"), "doc_id").limit(5)
+        for q, _ in _BM25_QUERY_SETS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 @_stage(
@@ -667,4 +683,67 @@ def line_dedup_rewrite(d: DataFrame, block: int = 10) -> DataFrame:
         F.concat_ws(" ", F.expr(
             "transform(array_sort(collect_list(CASE WHEN kept THEN"
             " struct(idx, line) END)), x -> x.line)")).alias("clean_text"),
+    )
+
+
+@_stage(
+    "k17_phash_band_neardup",
+    oracle=f"""
+        WITH {_PHASH_CTES_SQL}, bands AS (
+            SELECT doc_id, phash, 0 AS band, phash // 16 AS bval FROM hashed
+            UNION ALL
+            SELECT doc_id, phash, 1 AS band, phash % 16 AS bval FROM hashed
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+        )
+        SELECT da, db, hamming FROM cand WHERE hamming <= 1
+    """,
+)
+def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate media pairs at Hamming distance <= 1 over the k16
+    aHash codes — the banded extension k16's docstring promises,
+    completing the multimodal dedup story (k16 finds exact-code groups;
+    this finds off-by-one-bit neighbors, the perceptual near-miss an
+    8-bit aHash maps small image edits to).
+
+    EXACT by the i34 band guarantee: the 8-bit code splits into two
+    4-bit bands, and a pair at Hamming <= 1 differs in at most one bit,
+    so at least one band matches (pigeonhole) — the band equi-join
+    enumerates every qualifying pair, never all-pairs; candidates
+    sharing a band but differing by > 1 bit are dropped by the exact
+    integer bit_count(xor) verify.  Identical-code pairs match on both
+    bands, hence the DISTINCT.  Scale shape: map-side Arrow hashing
+    (phash_codes, pinned — both join sides consume it), one band-keyed
+    equi-join exactly like i34's MinHash bands, integer verify, no
+    window.  Output size is inherently quadratic in duplicate-GROUP
+    size (pair enumeration, the i34/i17 contract); production layers
+    k16's keep-first census over exact groups first and reserves this
+    for the near-miss tail, and a 64-bit production hash would band
+    into 4x16-bit chunks with the identical plan."""
+    from .staged_r9 import phash_codes
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = widen_if_narrow(
+        d.filter(F.length("text") >= 8)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    codes = phash_codes(binary).localCheckpoint()  # pin: both join sides
+    bands = codes.selectExpr(
+        "doc_id", "phash",
+        "stack(2, 0, phash div 16, 1, pmod(phash, 16)) AS (band, bval)")
+    a = bands.select(F.col("doc_id").alias("da"),
+                     F.col("phash").alias("pa"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("db"),
+                     F.col("phash").alias("pb"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db",
+                F.expr("CAST(bit_count(pa ^ pb) AS LONG)").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .distinct()
     )

@@ -456,10 +456,10 @@ def phash_codes(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(hash_batches, "doc_id long, phash long")
 
 
-@_stage(
-    "k16_phash_dedup",
-    oracle="""
-        WITH base AS (
+# the aHash computation of the k16 oracle, shared with staged_r10's k17
+# banding oracle (single-source discipline); binds hashed(doc_id, phash)
+_PHASH_CTES_SQL = """
+        base AS (
             SELECT doc_id, text, length(text) AS L, length(text) // 8 AS W,
                    list_sum(list_transform(range(1, length(text) + 1),
                             i -> ord(substr(text, i, 1)))) AS tot
@@ -477,6 +477,13 @@ def phash_codes(binary_df: DataFrame) -> DataFrame:
                                  ELSE 0 END) AS BIGINT) AS phash
             FROM blocks GROUP BY doc_id
         )
+"""
+
+
+@_stage(
+    "k16_phash_dedup",
+    oracle=f"""
+        WITH {_PHASH_CTES_SQL}
         SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(doc_id) AS BIGINT) AS keep_doc
         FROM hashed GROUP BY phash HAVING count(*) > 1
