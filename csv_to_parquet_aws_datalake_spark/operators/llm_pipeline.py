@@ -101,18 +101,34 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank within each stratum by md5 of the content (salted), tie-broken by
     doc_id, keep the top k: deterministic across reruns and independent of
     ingestion order, unlike ``sampleBy`` (probabilistic fractions) or
-    ``limit`` (partitioning-dependent).  One hash-partition shuffle on the
-    stratum key; per-stratum top-k is sort-truncated inside each
-    partition.  Skewed strata are AQE's skew-join/partition problem, not a
-    correctness one — the rank is total within the stratum regardless.
-    """
+    ``limit`` (partitioning-dependent).
+
+    TWO-PHASE rank (r10 bounded-key-window audit): the stratum key is
+    dimension-BOUNDED (~5 languages), so a single lang-partitioned
+    window would sort corpus/5 rows in one unsplittable task at scale.
+    Phase 1 ranks within (lang, spark_partition_id()) — a key that
+    GROWS with the corpus, so the wide shuffle stays splittable — and
+    keeps each partition's local top-k, which provably contains the
+    global per-stratum top-k (any globally-top row is top within its
+    own partition).  Phase 2 re-ranks the pruned k×partitions rows per
+    lang — the only lang-partitioned window runs over a frame ~5000x
+    smaller than the corpus.  Output is identical to the one-phase form
+    (same (md5, doc_id) total order; partition placement only affects
+    which SUPERSET phase 2 sees), proven by the unchanged oracle."""
     d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))), "doc_id")
-    )
+    keyed = d.select(
+        "lang", "doc_id",
+        F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))).alias("skey"))
+    w_local = (Window.partitionBy("lang", "part")
+               .orderBy("skey", "doc_id"))
+    pruned = (
+        keyed.withColumn("part", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= 20)
+        .drop("part", "lrk"))
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
     return (
-        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        pruned.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 20)
     )
 
@@ -170,12 +186,20 @@ def packing_bins(d: DataFrame, bin_tokens: int = 512) -> DataFrame:
     i48/i54 and _SHINGLES_SPARK for i03/i04).
 
     Packing is per-shard ON PURPOSE: the window partitions by ``lang``,
-    so at 100 TB the cumulative sum runs independently per shard after
-    one hash shuffle, and HashPartitioning(lang) also satisfies the
-    (lang, bin) aggregate — one exchange total.  A global (unkeyed)
-    running sum would force a 1-task sort, the exact anti-pattern the
-    window linter rejects; training pipelines only need intra-shard
-    sequential placement.
+    so the cumulative sum runs independently per shard after one hash
+    shuffle, and HashPartitioning(lang) also satisfies the (lang, bin)
+    aggregate — one exchange total.  A global (unkeyed) running sum
+    would force a 1-task sort, the exact anti-pattern the window linter
+    rejects; training pipelines only need intra-shard sequential
+    placement.  Honest 100 TB caveat (r10 bounded-key-window audit):
+    ``lang`` is dimension-bounded (~5 values), so each per-lang
+    partition is still corpus/5 rows in one sort task at full scale —
+    a production packing run shards FINER ((lang, sub-shard) with
+    sub-shard ∝ corpus, placement staying sequential within each
+    sub-shard), or computes per-chunk token partials and broadcasts
+    prefix offsets (two-phase prefix sum).  The per-lang form is this
+    query's CONTRACT (bins numbered within the whole language), kept
+    because the oracle must agree on bin identity.
     """
     toks = d.select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("n_toks"))

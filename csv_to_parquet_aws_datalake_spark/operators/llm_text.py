@@ -57,12 +57,19 @@ def i01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic representative per key — bare dropDuplicates(subset)
-    # keeps an ARBITRARY row (§7.3/4), so rank on the unique doc_id instead
+    # keeps an ARBITRARY row (§7.3/4), so take the min-doc_id row instead.
+    # As a HASH AGGREGATE (min + min_by on the unique doc_id), not a
+    # (lang, source)-partitioned row_number window: the key space is
+    # dimension-BOUNDED (~|langs|x|sources|), so at corpus scale each
+    # window partition would hold corpus/100 rows in ONE unsplittable
+    # sort task, while the aggregate form combines map-side and lets AQE
+    # split a hot key (the r10 bounded-key-window audit; same result,
+    # proven by the unchanged oracle).
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang", "source").orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min_by("n_chars", "doc_id").alias("n_chars"))
         .select("doc_id", "lang", "source", "n_chars")
     )
 

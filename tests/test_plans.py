@@ -219,13 +219,18 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
-def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
-    # i37: exactly one hash shuffle, keyed on the stratum (lang) — the
-    # per-stratum top-k sorts inside each partition, never globally
+def test_stratified_sample_two_phase_rank(spark, sf_dir):
+    # i37 (r10 bounded-key-window audit): TWO hash shuffles — the wide
+    # one keyed on (lang, spark_partition_id()), a key that grows with
+    # the corpus so the shuffle stays splittable, and the lang-keyed one
+    # over the k-per-partition PRUNED frame only; never a global sort
     plan = physical_plan(registry.QUERIES["i37_stratified_sample"](spark, sf_dir))
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
-    assert len(exchanges) == 1, f"expected 1 stratum shuffle, got: {exchanges}"
-    assert "lang#" in exchanges[0]
+    assert len(exchanges) == 2, f"expected 2 rank shuffles, got: {exchanges}"
+    wide = [e for e in exchanges if "SPARK_PARTITION_ID" in e.upper()
+            or "part#" in e]
+    assert len(wide) == 1, exchanges  # phase 1 keys on (lang, part)
+    assert all("lang#" in e for e in exchanges)
     assert "Exchange rangepartitioning" not in plan  # no global sort
 
 
