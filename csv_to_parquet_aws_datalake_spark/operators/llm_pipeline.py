@@ -115,6 +115,12 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus.  Output is identical to the one-phase form
     (same (md5, doc_id) total order; partition placement only affects
     which SUPERSET phase 2 sees), proven by the unchanged oracle."""
+    # ONE binding for k: phase 1 must prune to AT LEAST the final k or
+    # phase 2 ranks a frame missing true top-k rows (r10 fourth review —
+    # two independently-edited literals were a silent-wrong-output trap;
+    # the oracle's literal 20 is the contract's third copy, caught by
+    # the differential if either side drifts)
+    k = 20
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "lang", "doc_id",
@@ -124,12 +130,12 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         keyed.withColumn("part", F.spark_partition_id())
         .withColumn("lrk", F.row_number().over(w_local))
-        .filter(F.col("lrk") <= 20)
+        .filter(F.col("lrk") <= k)
         .drop("part", "lrk"))
     w = Window.partitionBy("lang").orderBy("skey", "doc_id")
     return (
         pruned.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
+        .filter(F.col("rk") <= k)
     )
 
 

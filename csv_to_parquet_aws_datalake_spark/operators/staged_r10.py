@@ -83,6 +83,7 @@ from .staged_r9 import (
     _PHASH_CTES_SQL,
     _SEMDEDUP_CENSUS_TAIL_SQL,
     _SEMDEDUP_TAU,
+    phash_codes,
     semdedup_census,
 )
 
@@ -498,7 +499,27 @@ def i61_bm25_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scale lens in-round).  Each branch is a distributed
     partial top-k; the pin stops the |queries| branches from
     re-deriving the scores.  Doc lengths pin once (i08/i57's
-    rationale)."""
+    rationale).  The scored frame is factored out UNPINNED
+    (``bm25_query_scores``) so plan lints can see the join/broadcast
+    lineage the pin hides from this query's own plan (the i58/i59
+    lesson — r10 fourth review: the earlier inline form left the
+    upstream entirely unlinted)."""
+    scored = bm25_query_scores(spark, sf_dir).localCheckpoint()
+    branches = [
+        scored.filter(F.col("query_id") == q)
+        .orderBy(F.desc("bm25"), "doc_id").limit(5)
+        for q, _ in _BM25_QUERY_SETS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPINNED (query_id, doc_id, bm25) frame behind i61 — every
+    nonzero-scoring document for each query set; see the staged query's
+    docstring for the determinism and scale design."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()))
     dl = (d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
@@ -525,20 +546,10 @@ def i61_bm25_query_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr("CASE WHEN pos = 1 THEN w END")).alias("w1"),
         F.max(F.expr("CASE WHEN pos = 2 THEN w END")).alias("w2"),
         F.max(F.expr("CASE WHEN pos = 3 THEN w END")).alias("w3"))
-    scored = piv.select(
+    return piv.select(
         "query_id", "doc_id",
         F.round(F.expr("coalesce(w1, 0D) + coalesce(w2, 0D)"
                        " + coalesce(w3, 0D)"), 6).alias("bm25"))
-    scored = scored.localCheckpoint()  # pin: one branch per query below
-    branches = [
-        scored.filter(F.col("query_id") == q)
-        .orderBy(F.desc("bm25"), "doc_id").limit(5)
-        for q, _ in _BM25_QUERY_SETS
-    ]
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
 
 
 @_stage(
@@ -725,8 +736,6 @@ def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k16's keep-first census over exact groups first and reserves this
     for the near-miss tail, and a 64-bit production hash would band
     into 4x16-bit chunks with the identical plan."""
-    from .staged_r9 import phash_codes
-
     d = load_table(spark, sf_dir, "documents")
     binary = widen_if_narrow(
         d.filter(F.length("text") >= 8)

@@ -277,15 +277,27 @@ def test_i61_plan_shape(spark, sf_dir):
     # per-query top-5 must be TakeOrderedAndProject branches (a
     # query_id-partitioned window would put EVERY matching doc in one
     # of |queries| unsplittable partitions — the i48 hazard class);
-    # no window, no cartesian.  The broadcast joins sit upstream of the
-    # localCheckpoint pin, so they are linted on the unpinned scored
-    # frame via the shared oracle-differential run, not here.
+    # no window, no cartesian
     fn, _ = STAGED["i61_bm25_query_sets"]
     df = fn(spark, sf_dir)
     plan = physical_plan(df)
     assert plan.count("TakeOrderedAndProject") == 3
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+    # the localCheckpoint pin hides the scoring lineage from the plan
+    # above (r10 fourth review: the earlier inline form left it
+    # entirely unlinted) — lint the UNPINNED scored frame separately,
+    # the i58/i59 discipline: broadcast joins for the query-map/df/
+    # stats sides, no cartesian, no window anywhere upstream either
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        bm25_query_scores,
+    )
+
+    splan = physical_plan(bm25_query_scores(spark, sf_dir))
+    assert splan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in splan
+    assert "Window" not in splan
 
 
 def test_i62_census_on_constructed_docs(spark):
