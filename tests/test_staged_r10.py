@@ -503,3 +503,61 @@ def test_k17_plan_shape(spark, sf_dir):
     plan = physical_plan(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_i64_consistent_with_i61_and_python(spark, sf_dir):
+    # two independent references: (1) each probe's top candidate must
+    # equal i61's rank-1 row whenever that row clears the threshold
+    # (shared scoring, different tails); (2) the candidate counts and
+    # top rows recomputed from the pure-Python BM25 of the i61 test
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        _BM25_ALL_TERMS,
+        _BM25_QUERY_SETS,
+        _DECON_TAU,
+    )
+
+    def round6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-6"),
+                                         rounding=ROUND_HALF_UP))
+
+    got = {r["query_id"]: (r["n_candidates"], r["top_doc"], r["top_bm25"])
+           for r in STAGED["i64_bm25_decontamination"][0](
+               spark, sf_dir).collect()}
+    topk = {}
+    for r in STAGED["i61_bm25_query_sets"][0](spark, sf_dir).collect():
+        topk.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    for q, rows in topk.items():
+        best_doc, best_score = rows[0]
+        if best_score >= _DECON_TAU:
+            assert got[q][1] == best_doc and got[q][2] == best_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs
+            if r["text"] is not None}
+    nd = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / nd
+    df_t = {t: sum(1 for tk in toks.values() if t in tk)
+            for t in _BM25_ALL_TERMS}
+    want = {}
+    for qid, terms in _BM25_QUERY_SETS:
+        cand = []
+        for doc_id, t in toks.items():
+            s = 0.0
+            for q in terms:
+                c = t.count(q)
+                if c:
+                    idf = math.log(
+                        1.0 + (nd - df_t[q] + 0.5) / (df_t[q] + 0.5))
+                    s += (idf * (c * 2.2)
+                          / (c + 1.2 * (0.25 + 0.75 * len(t) / avgdl)))
+            s = round6(s)
+            if s >= _DECON_TAU:
+                cand.append((doc_id, s))
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        assert cand, qid  # tau calibrated: never an empty probe
+        want[qid] = (len(cand), cand[0][0], cand[0][1])
+    assert got == want
