@@ -77,8 +77,12 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 #: Extensions whose files Spark cannot split by byte range: the whole
 #: file is one task regardless of size, so the byte-derived estimate
-#: below would over-report their parallelism (ADVICE r9a).
-_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".bz2", ".deflate", ".lz4", ".xz")
+#: below would over-report their parallelism (ADVICE r9a; ``.snappy``
+#: added r10 ADVICE — Hadoop's SnappyCodec is equally non-splittable
+#: for text sources, unlike snappy-in-parquet which compresses per
+#: page and never reaches this path).
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".bz2", ".deflate", ".lz4", ".xz",
+                        ".snappy")
 
 
 def _scan_split_estimate(df: DataFrame) -> int:
@@ -95,9 +99,18 @@ def _scan_split_estimate(df: DataFrame) -> int:
     caught).  When any input file carries a non-splittable-codec
     extension (gzip CSV/JSON etc.), byte-range splittability no longer
     holds — each such file executes as ONE task however large — so the
-    estimate is capped at ``len(files)``, the effective per-file
-    parallelism bound (ADVICE r9a; an all-gzip scan of few huge files now
-    reads as narrow instead of spuriously healthy).  Codec assumption:
+    estimate is computed PER FILE CLASS (ADVICE r9a, refined per r10
+    ADVICE for mixed directories): every oversized (> maxPartitionBytes)
+    non-splittable file is exactly one task; everything else — small
+    non-splittable files, which Spark still PACKS multiple-per-task, plus
+    all splittable bytes — contributes one shared ``ceil(bytes /
+    maxPartitionBytes)`` term (shared, not summed per class, so two
+    half-full remainders can't round up to a count bin-packing would
+    achieve in one task — the lower-bound contract survives).  An
+    all-gzip scan of few huge files reads as narrow, and a directory
+    mixing one huge gzip with many splittable parquet files no longer
+    charges the parquet side the gzip side's per-file cap.  Codec
+    assumption:
     a large single-ROW-GROUP parquet file is equally unsplittable in
     practice but is undetectable without footer reads; callers get the
     documented lower-bound contract only for multi-row-group parquet
@@ -124,12 +137,12 @@ def _scan_split_estimate(df: DataFrame) -> int:
                 "partitioning — treating as healthy per the scan-rooted "
                 "call-site contract (widen_if_narrow docstring)")
         return n
-    total = 0
+    sized = []
     for f in files:
         if not f.startswith("file:"):
             return len(files)
         try:
-            total += os.path.getsize(unquote(urlparse(f).path))
+            sized.append((f, os.path.getsize(unquote(urlparse(f).path))))
         except OSError:
             return len(files)
     conf = df.sparkSession.conf.get(
@@ -140,10 +153,16 @@ def _scan_split_estimate(df: DataFrame) -> int:
                      .byteStringAsBytes(conf))
     except Exception:
         max_pb = 128 * 1024 * 1024
-    est = max(1, math.ceil(total / max_pb))
-    if any(f.lower().endswith(_NON_SPLITTABLE_EXTS) for f in files):
-        est = min(est, len(files))
-    return est
+    whole_file_tasks = 0
+    packable_bytes = 0
+    for f, size in sized:
+        if f.lower().endswith(_NON_SPLITTABLE_EXTS) and size > max_pb:
+            whole_file_tasks += 1  # one task exactly, however large
+        else:
+            packable_bytes += size
+    est = whole_file_tasks + (
+        math.ceil(packable_bytes / max_pb) if packable_bytes else 0)
+    return max(1, est)
 
 
 def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:

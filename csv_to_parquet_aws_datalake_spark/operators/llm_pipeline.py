@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..loader import load_table
+from ..loader import _scan_split_estimate, load_table
 from ..registry import query
 
 # md5-hex digit -> 0..15, the cross-engine idiom established by i16_simhash
@@ -106,15 +106,23 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO-PHASE rank (r10 bounded-key-window audit): the stratum key is
     dimension-BOUNDED (~5 languages), so a single lang-partitioned
     window would sort corpus/5 rows in one unsplittable task at scale.
-    Phase 1 ranks within (lang, spark_partition_id()) — a key that
-    GROWS with the corpus, so the wide shuffle stays splittable — and
-    keeps each partition's local top-k, which provably contains the
-    global per-stratum top-k (any globally-top row is top within its
-    own partition).  Phase 2 re-ranks the pruned k×partitions rows per
-    lang — the only lang-partitioned window runs over a frame ~5000x
-    smaller than the corpus.  Output is identical to the one-phase form
-    (same (md5, doc_id) total order; partition placement only affects
-    which SUPERSET phase 2 sees), proven by the unchanged oracle."""
+    Phase 1 ranks within (lang, salt) — a key that GROWS with the
+    corpus, so the wide shuffle stays splittable — and keeps each
+    group's local top-k, which provably contains the global per-stratum
+    top-k (any globally-top row is top within its own group, for ANY
+    assignment of rows to groups).  Phase 2 re-ranks the pruned
+    k×groups rows per lang — the only lang-partitioned window runs over
+    a frame thousands of times smaller than the corpus.  The salt is
+    ``pmod(xxhash64(doc_id), n_salt)`` with ``n_salt`` sized from the
+    scan-split estimate — DETERMINISTIC, unlike the r10 form's
+    ``spark_partition_id()`` (r10 ADVICE: a nondeterministic prune key
+    is output-identical here but can re-evaluate differently during
+    partial stage recomputation after executor loss, forcing wider
+    recompute, and blocks some Catalyst pushdown/reorder moves that
+    refuse to cross nondeterministic expressions).  Output is identical
+    to the one-phase form (same (md5, doc_id) total order; the salt
+    only affects which SUPERSET phase 2 sees), proven by the unchanged
+    oracle."""
     # ONE binding for k: phase 1 must prune to AT LEAST the final k or
     # phase 2 ranks a frame missing true top-k rows (r10 fourth review —
     # two independently-edited literals were a silent-wrong-output trap;
@@ -122,13 +130,17 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the differential if either side drifts)
     k = 20
     d = load_table(spark, sf_dir, "documents")
+    # salt modulus grows with the corpus (scan-split estimate, floored at
+    # the local core count) so per-(lang, salt) groups stay task-sized
+    n_salt = max(32, _scan_split_estimate(d))
     keyed = d.select(
         "lang", "doc_id",
         F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))).alias("skey"))
     w_local = (Window.partitionBy("lang", "part")
                .orderBy("skey", "doc_id"))
     pruned = (
-        keyed.withColumn("part", F.spark_partition_id())
+        keyed.withColumn(
+            "part", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
         .withColumn("lrk", F.row_number().over(w_local))
         .filter(F.col("lrk") <= k)
         .drop("part", "lrk"))

@@ -823,7 +823,13 @@ def funnel_census(ev: DataFrame) -> DataFrame:
     rollup is a single broadcast-sized row.  The ratio divisor is
     nullif-guarded: a corpus with zero view events yields NULL on both
     engines (ADVICE r9c — under ANSI mode a bare division would instead
-    raise DIVIDE_BY_ZERO)."""
+    raise DIVIDE_BY_ZERO).  NULL user_ids are excluded up front (r10
+    ADVICE: the driver fixture is non-null, but on a corpus with
+    anonymous events a groupBy would fold them into ONE phantom user
+    while the oracle's count(DISTINCT user_id) ignores NULLs — a latent
+    cross-engine divergence; a funnel is only meaningful for
+    identifiABLE users, so both engines now scope to them
+    explicitly)."""
     fold = """
         aggregate(
             array_sort(evs),
@@ -839,7 +845,8 @@ def funnel_census(ev: DataFrame) -> DataFrame:
             acc -> acc.stage) AS stage
     """
     per_user = (
-        ev.groupBy("user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .agg(F.collect_list(F.struct(
             F.col("ts"), F.col("event_id").alias("eid"),
             F.col("event_type").alias("et"))).alias("evs"))
@@ -864,7 +871,7 @@ def funnel_census(ev: DataFrame) -> DataFrame:
     oracle="""
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY 1
+            WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
         ), c AS (
             SELECT e.user_id, min(e.ts) AS t2
             FROM events e JOIN v USING (user_id)

@@ -77,6 +77,24 @@ def test_e19_empty_funnel_yields_null(spark):
     assert row["view_to_purchase"] is None
 
 
+def test_e19_null_users_excluded(spark):
+    # ADVICE r10a: anonymous (NULL-user) events must not form a phantom
+    # funnel user — groupBy keeps a NULL group, count(DISTINCT) doesn't,
+    # so both engines now filter them up front; this pins the Spark side
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (None, t0, 1, "view"),
+        (None, t0 + dt.timedelta(minutes=1), 2, "click"),
+        (None, t0 + dt.timedelta(minutes=2), 3, "purchase"),
+        (7, t0, 10, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    row = funnel_census(ev).collect()[0]
+    assert (row["users_total"], row["reached_view"], row["reached_click"],
+            row["reached_purchase"]) == (1, 1, 0, 0)
+
+
 def test_e19_strict_order_and_ties(spark):
     # the state machine's strict ts increase: a click AT the view's
     # timestamp must not advance the funnel; a later full chain does

@@ -1071,3 +1071,43 @@ def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
         else:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_scan_split_estimate_mixed_directory(spark, tmp_path):
+    # ADVICE r10b: in a directory mixing one oversized gzip file with
+    # many splittable CSV bytes, the estimate must charge the gzip file
+    # exactly one task and the splittable remainder its byte-derived
+    # share — the old whole-directory file-count cap under-reported the
+    # splittable side's parallelism
+    import math
+
+    from csv_to_parquet_aws_datalake_spark.loader import _scan_split_estimate
+
+    mixed = tmp_path / "mixed"
+    (spark.range(0, 50_000)
+     .selectExpr("id", "repeat('x', 64) AS pad")
+     .coalesce(1).write.option("compression", "gzip").csv(str(mixed)))
+    (spark.range(0, 50_000)
+     .selectExpr("id", "repeat('y', 64) AS pad")
+     .coalesce(1).write.mode("append").csv(str(mixed)))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+    try:
+        df = spark.read.csv(str(mixed))
+        import os
+        from urllib.parse import unquote, urlparse
+        gz = [f for f in df.inputFiles() if f.endswith(".gz")]
+        plain = [f for f in df.inputFiles() if not f.endswith(".gz")]
+        assert len(gz) == 1 and plain
+        plain_bytes = sum(
+            os.path.getsize(unquote(urlparse(f).path)) for f in plain)
+        # one task for the oversized gzip + byte share for the rest; the
+        # old cap would have returned len(files) == 2 here
+        expect = 1 + math.ceil(plain_bytes / 4096)
+        assert expect > 2
+        assert _scan_split_estimate(df) == expect
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
