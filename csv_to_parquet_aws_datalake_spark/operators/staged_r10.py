@@ -3,44 +3,18 @@ registered (the staged_r9 discipline: full implementations with DuckDB
 oracles through the driver's own comparator, plan pins, and an
 independent reference, banked so a future registration is mechanical).
 
-The headline candidate closes VERDICT r9 item 2 — and corrects its
-premise.  Re-measuring under a FIXED amplifier (see
-``semdedup_census``'s scale paragraph: the r9 "2.3× vs linear" was
-substantially a verbatim-copy artifact that collapsed all replicas into
-one replica's clusters and inflated the PAIR stage) shows the dense
-census sublinear at fixture scale; but the dense assignment's O(n·k)
-term is real and emergent — assignment-only timing grows 4.3× per 4×
-data on the K=4→16 step.  (An intermediate orphan-fallback variant of
-the bucketed assignment measured 2.15× on that same step before being
-replaced by the Hamming routing below; its numbers are historical.)
-With k ∝ corpus, as SemDeDup sizes it, the dense term is quadratic and
-must dominate; the remedy, as in IVF practice, is APPROXIMATE
-assignment:
+The round's headline candidate — i59 SemDeDup census over SRP-bucketed
+ANN centroid assignment, closing VERDICT r9 item 2 and correcting its
+amplifier-artifact premise — GRADUATED in round 11: after the 20-bit
+routing-table measurement VERDICT r10 item 3 demanded, the whole ANN
+assignment stack (``assign_nearest_centroid_ann``, ``srp_ball_routing``,
+the shared ``semdedup_census`` kernel) moved to its registered home in
+``llm_vectors.py`` and i59 is a registry row.  The dense i58 baseline
+(staged_r9) now imports the shared kernel from there.
 
-- ``assign_nearest_centroid_ann`` — sign-random-projection-bucket the
-  CENTROIDS (i18's machinery, one family over): vectors and centroids
-  get a b-bit SRP code from a data-derived basis, an n-independent
-  routing table maps every code to its nprobe nearest occupied centroid
-  buckets by Hamming distance, and each vector scores ONLY the probed
-  buckets' centroids (two broadcast equi-joins, never the full k).
-  With bits ≈ log2(k / target-per-bucket) the per-vector work is
-  O(nprobe·target) and total assignment cost O(n·nprobe·target +
-  k²/target) — the production knob i18's docstring derives.  Two
-  measured dead-ends are recorded in the kernel docstring: a dense
-  orphan fallback re-grew O(n·k) (36-46% orphan share), and
-  single-probe routing funneled half the corpus into one cluster —
-  nprobe is the recall AND balance knob.
-- i59 SemDeDup census over ANN assignment — ``semdedup_census`` with the
-  assignment swapped: the exact i06<->i18 relationship applied one stage
-  earlier (dense i58 stays the exact-contract baseline; i59 is the form
-  a 100 TB corpus runs).  Differential oracle mirrors the SAME bucketed
-  algorithm in DuckDB (basis, codes, Hamming routing, bucket equi-join,
-  then the SHARED census tail from staged_r9 — single-sourced so the two
-  oracles cannot diverge by transcription).
-
-Plus the three follow-on compositions the r9 plan named (VERDICT r9
-item 7), each with tri-SF oracle parity, plan pins, and an independent
-reference:
+The remaining bank, each with tri-SF oracle parity, plan pins, and an
+independent reference (the follow-on compositions the r9 plan named,
+VERDICT r9 item 7):
 
 - i60 span-length histogram — i55's census widened to per-source
   power-of-two length bands (integer CASE ranges, no float log2), the
@@ -74,23 +48,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE
-from .llm_vectors import (
-    _CENTROID_CTES_SQL,
-    _centroid_table,
-    srp_basis,
-    srp_code,
-)
-from .staged_r9 import (
-    _PHASH_CTES_SQL,
-    _SEMDEDUP_CENSUS_TAIL_SQL,
-    _SEMDEDUP_TAU,
-    phash_codes,
-    semdedup_census,
-)
+from .staged_r9 import _PHASH_CTES_SQL, phash_codes
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -102,272 +63,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-def _rank_top_nprobe(cand: DataFrame, nprobe: int) -> DataFrame:
-    """(code, cbucket, ham) -> the nprobe nearest buckets per code:
-    (ham, cbucket) ascending, row_number.  The ONE ranking definition
-    both routing builders share (r10 third review: a tie-break change
-    must hit both, or the dispatched forms silently diverge)."""
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("code").orderBy("ham", "cbucket")
-    return (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= nprobe)
-            .select("code", "cbucket"))
-
-
-def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
-                     max_radius: int = 3) -> DataFrame:
-    """(code, cbucket): every possible b-bit code mapped to its
-    ``nprobe`` Hamming-nearest buckets from the 1-column ``occupied``
-    frame (cbucket), built by BALL EXPANSION — radius r adds the
-    |occupied| × C(bits, r) pairs at distance exactly r (each pair
-    generated once, by its unique XOR mask), stopping as soon as every
-    code holds >= nprobe candidates (no unseen pair can then outrank a
-    held one: anything unseen is at distance > r).
-
-    This is the linear-in-bucket-count builder the 20-bit production
-    sizing needs — the naive ranking enumerates 2^bits × |occupied|
-    pairs, quadratic in bucket count when 2^bits ~ |occupied| (the r10
-    second-review ceiling).  The radius loop is driver-side (the i27
-    convergence idiom: per-radius accumulate, localCheckpoint to
-    truncate the union lineage, one tiny count action as the stop
-    test); masks per radius are a broadcast literal.  The loop is
-    CAPPED at ``max_radius`` (r10 third review): under clustered or
-    sparse occupancy — or whenever nprobe > |occupied| — the early
-    stop can be unreachable, and an uncapped loop would enumerate
-    C(bits, ~bits/2) driver-side masks and re-checkpoint the
-    accumulator per radius, strictly worse than the naive form it
-    replaces.  Codes still unconverged at the cap take a RESIDUAL
-    completion instead: their ball rows are dropped and they are
-    cross-ranked against all occupied buckets — identical semantics
-    (verified by the builder-equality pin across occupancy shapes),
-    cost |unconverged| × |occupied|, which only approaches the naive
-    cost in the pathological all-unconverged case where no cheaper
-    exact table exists.  Ranking is the shared ``_rank_top_nprobe``.
-    Note the equality evidence is the parametrized unit pin plus the
-    forced-ball-path assignment test — the i59 ORACLE exercises the
-    small-code-space cross-product branch (bits=3), not this builder.
-
-    MEASURED at production sizing (r11, tools/ball_routing_bench.py:
-    bits=20, nprobe=3, local[32]/24g, synthetic occupancy — the builder
-    sees only distinct codes, so synthetic codes exercise exactly this
-    path; every row verified rows == nprobe*2^20 full coverage and 0
-    brute-force argmin mismatches on 200 sampled codes):
-    |occ|=10k r<=3 45.8 s; |occ|=100k r<=3 79.5 s; |occ|=500k r<=2
-    745.9 s; sparse 1k at r<=4 27.1 s; clustered-ball8 (forced
-    residual completion, 2^20-256 unconverged codes) 24.0 s.  Reading:
-    the HEALTHY production shapes (occupancy 1-10% of the code space,
-    which is what bits ~ log2(k/target) produces) build in under 80 s;
-    the worst measured shape is NEAR-SATURATED occupancy (500k of 2^20
-    — bits sized too small for k), where the per-radius accumulator
-    re-checkpoint dominates (~105M rows) — still ~600x cheaper than
-    the naive 2^20 x 500k cross-rank, and the build is n-INDEPENDENT,
-    amortized over scoring the whole corpus.  The capped-loop residual
-    path is CHEAP (24-27 s), not the hazard: the cost center is ball
-    volume x occupancy, exactly as derived."""
-    from itertools import combinations
-
-    spark = occupied.sparkSession
-    acc = None
-    converged = False
-    for r in range(min(bits, max_radius) + 1):
-        masks = [(sum(1 << p for p in c), r)
-                 for c in combinations(range(bits), r)]
-        mdf = F.broadcast(spark.createDataFrame(masks, "mask int, ham int"))
-        layer = (occupied.crossJoin(mdf)
-                 .select(F.expr("int(cbucket ^ mask)").alias("code"),
-                         "cbucket", "ham"))
-        acc = layer if acc is None else acc.unionByName(layer)
-        acc = acc.localCheckpoint()
-        n_done = (acc.groupBy("code").count()
-                  .filter(F.col("count") >= nprobe).count())
-        if n_done == (1 << bits):
-            converged = True
-            break
-    if not converged:
-        done = (acc.groupBy("code").count()
-                .filter(F.col("count") >= nprobe).select("code"))
-        residual_codes = (
-            spark.range(1 << bits)
-            .select(F.col("id").cast("int").alias("code"))
-            .join(done, "code", "left_anti"))
-        residual = (residual_codes.crossJoin(occupied)
-                    .withColumn("ham", F.expr("bit_count(code ^ cbucket)")))
-        acc = (acc.join(residual_codes, "code", "left_anti")
-               .unionByName(residual))
-    return _rank_top_nprobe(acc, nprobe)
-
-
-def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
-                                nprobe: int = 3,
-                                ball_min_codes: int = 1025) -> DataFrame:
-    """(vec_id, clabel, embedding): approximate nearest-centroid
-    assignment — each vector scores only the centroids of the ``nprobe``
-    buckets its SRP code routes to.
-
-    Basis = embeddings ``vec_id 1..bits`` (data-derived, deterministic —
-    i18's convention, so the oracle can reproduce it; a missing basis id
-    leaves that bit constantly 0 on BOTH engines, since NULL > 0 is
-    false-y in the CASE on each, degrading resolution, never diverging).
-    Centroids (k rows, broadcast) and vectors get the b-bit sign code;
-    a ROUTING TABLE maps every possible code to its ``nprobe`` nearest
-    OCCUPIED centroid buckets by Hamming distance (integer
-    bit_count(xor), exact on both engines; lowest-bucket tie-break) —
-    an occupied code routes to itself first at distance 0, so one table
-    subsumes the same-bucket case and the empty-bucket fallback in a
-    single code path.  Scoring is then two broadcast equi-joins (code ->
-    probed buckets -> their centroids) and the dense argmax semantics:
-    rounded cosine desc, clabel tie-break, vec_id-partitioned
-    row_number.
-
-    Scale story (the fix for the dense assignment's O(n·k) term —
-    measured 4.3× per 4× data on the K=4→16 assignment-only step):
-    with k ∝ corpus and bits ≈ log2(k / target-per-bucket), each vector
-    scores ~nprobe·target centroids and the routing table costs
-    2^bits × |occupied| integer ops — INDEPENDENT of n — so total
-    assignment is O(n·nprobe·target + k²/target).  Two measured
-    dead-ends shaped this design (r10 staging): a DENSE fallback for
-    centroid-less-bucket vectors re-grew an O(n·k) term (orphan share
-    36-46%, not a corner), and SINGLE-probe routing under sparse
-    occupancy funneled half the corpus into one cluster (978/2000 at
-    the fixture — 2.7× the pair work and a downstream skew hazard).
-    nprobe is i29's recall knob doing double duty as the BALANCE knob:
-    more probed buckets per code spreads borderline vectors toward
-    their true nearest centroid.  The broadcast centroid table is
-    megabytes even at million-row k, and the equi-join keys keep AQE
-    free to pick a shuffled hash join if it ever outgrows broadcast.
-    The routing table builder DISPATCHES on code-space size (the two
-    forms are pinned equal in tests): at <= 2^10 codes the one-shot
-    cross-product ranking is cheapest (a few thousand integer rows, no
-    extra jobs); beyond that — the 20-bit production sizing, where the
-    cross-product is quadratic in bucket count (the r10 second-review
-    ceiling) — ``srp_ball_routing`` expands Hamming balls
-    radius-by-radius, |occupied| × C(bits, <=r) rows, linear in bucket
-    count, at the price of a bounded driver loop with per-radius
-    actions (measured ~4 s of fixed overhead at fixture scale — which
-    is why small code spaces take the one-shot form)."""
-    from pyspark.sql.window import Window as W
-
-    cenarr = _centroid_table(emb)
-    basis = F.broadcast(srp_basis(emb, bits))
-    cbuck = (cenarr.crossJoin(basis)
-             .select("clabel", "carr",
-                     srp_code("carr", bits).alias("cbucket")))
-    occupied = cbuck.select("cbucket").distinct()
-    # ball_min_codes: the dispatch threshold, a keyword so tests can
-    # force the ball path end-to-end (pass 0) without duplicating the
-    # ranking logic they compare against
-    if (1 << bits) < ball_min_codes:
-        codes = (emb.sparkSession.range(1 << bits)
-                 .select(F.col("id").cast("int").alias("code")))
-        routing = _rank_top_nprobe(
-            codes.crossJoin(F.broadcast(occupied))
-            .withColumn("ham", F.expr("bit_count(code ^ cbucket)")),
-            nprobe)
-    else:
-        routing = srp_ball_routing(occupied, bits, nprobe)
-    vbuck = (emb.crossJoin(basis)
-             .select("vec_id", "embedding",
-                     srp_code("embedding", bits).alias("code")))
-    w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
-    return (
-        vbuck.join(F.broadcast(routing), "code")
-        .join(F.broadcast(cbuck), "cbucket")
-        .select("vec_id", "clabel", "embedding",
-                F.round(cosine("embedding", "carr"), 6).alias("acos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel", "embedding"))
-
-
-# oracle twin of assign_nearest_centroid_ann at bits=3; expects cenarr in
-# scope (_CENTROID_CTES_SQL) and binds assigned(vec_id, clabel, emb)
-_ANN_ASSIGNED_CTES_SQL = """
-        basis AS (
-            SELECT max(CASE WHEN vec_id = 1
-                            THEN CAST(embedding AS DOUBLE[]) END) AS b1,
-                   max(CASE WHEN vec_id = 2
-                            THEN CAST(embedding AS DOUBLE[]) END) AS b2,
-                   max(CASE WHEN vec_id = 3
-                            THEN CAST(embedding AS DOUBLE[]) END) AS b3
-            FROM embeddings WHERE vec_id IN (1, 2, 3)
-        ), cbuck AS (
-            SELECT clabel, carr,
-                   (CASE WHEN list_dot_product(carr, b1) > 0
-                         THEN 4 ELSE 0 END
-                  + CASE WHEN list_dot_product(carr, b2) > 0
-                         THEN 2 ELSE 0 END
-                  + CASE WHEN list_dot_product(carr, b3) > 0
-                         THEN 1 ELSE 0 END) AS cbucket
-            FROM cenarr CROSS JOIN basis
-        ), routing AS (
-            SELECT code, cbucket FROM (
-                SELECT c.code, b.cbucket,
-                       bit_count(xor(c.code, b.cbucket)) AS ham
-                FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS code) c
-                CROSS JOIN (SELECT DISTINCT cbucket FROM cbuck) b
-            )
-            QUALIFY row_number() OVER (PARTITION BY code
-                                       ORDER BY ham, cbucket) <= 3
-        ), vbuck AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                   (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               b1) > 0 THEN 4 ELSE 0 END
-                  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               b2) > 0 THEN 2 ELSE 0 END
-                  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-                                               b3) > 0 THEN 1 ELSE 0 END)
-                       AS code
-            FROM embeddings CROSS JOIN basis
-        ), assigned AS (
-            SELECT v.vec_id, cb.clabel, v.emb
-            FROM vbuck v
-            JOIN routing r ON v.code = r.code
-            JOIN cbuck cb ON r.cbucket = cb.cbucket
-            QUALIFY row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY round(list_cosine_similarity(v.emb, cb.carr),
-                                    6) DESC, cb.clabel) = 1
-        )
-"""
-
-
-def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
-                        bits: int = 3) -> DataFrame:
-    """The i59 kernel: staged_r9's ``semdedup_census`` with the dense
-    assignment swapped for the SRP-bucketed one — the pair stage, the
-    keep-first rule, the census rollup, and the localCheckpoint pin are
-    all the SHARED code path, so the only semantic difference between
-    i58 and i59 is which centroid a borderline vector lands on."""
-    return semdedup_census(
-        emb, tau=tau,
-        assign=lambda e: assign_nearest_centroid_ann(e, bits=bits))
-
-
-@_stage(
-    "i59_semdedup_census_ann",
-    oracle=f"""
-        WITH {_CENTROID_CTES_SQL}, {_ANN_ASSIGNED_CTES_SQL},
-        {_SEMDEDUP_CENSUS_TAIL_SQL}
-    """,
-)
-def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup census with SRP-bucketed (approximate) centroid
-    assignment — the 100 TB form of i58 (VERDICT r9 item 2), removing
-    the dense assignment's O(n·k) term (measured emergent, not yet
-    dominant, at fixture scale — see the module docstring for the
-    corrected r9-vs-r10 record).  Stress row
-    ``semdedup-ann[i59-kernel]``, final nprobe=3 routing design:
-    0.21× vs linear at K=16 under the honest k ∝ corpus model, with
-    cluster balance within 3% of dense (single-probe had funneled half
-    the corpus into one cluster).  Same cluster-bucketed pair stage and
-    keep-first census; only the assignment is approximate (see
-    assign_nearest_centroid_ann).  The dense i58 remains the
-    exact-contract baseline, mirroring the registry's i06 (exact pairs)
-    <-> i18 (SRP buckets) relationship."""
-    emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
-    return semdedup_census_ann(emb)
 
 
 @_stage(

@@ -57,14 +57,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot, norm
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE, span_dedup_spans
 from .llm_vectors import (
     _ASSIGNED_CTE_SQL,
     _CENTROID_CTES_SQL,
-    assign_nearest_centroid,
+    _SEMDEDUP_CENSUS_TAIL_SQL,
+    semdedup_census,
 )
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
@@ -299,110 +299,6 @@ def i57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMDEDUP_TAU = 0.35  # between within-cluster pair-cosine p99 and p99.9
-#                       at sf0.001/0.01/0.1 (measured), so every SF yields
-#                       a small but non-empty duplicate set
-
-
-def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
-                    assign=assign_nearest_centroid) -> DataFrame:
-    """The i58 kernel over any (vec_id, label, embedding) frame — factored
-    out so constructed-frame tests drive the registered formulation.
-    ``assign`` swaps the centroid-assignment step: the default is the
-    DENSE exact scorer; ``staged_r10.assign_nearest_centroid_ann`` is the
-    SRP-bucketed scale path (r10, the i06<->i18 relationship applied to
-    assignment — see the scale-tension paragraph below).
-
-    SemDeDup (Abbas et al. 2023): assign every vector to its nearest
-    centroid (here i23's per-label exact-decimal centroids stand in for
-    the paper's k-means step, which at production scale sizes k so
-    clusters stay bounded), then within each cluster mark every vector
-    whose rounded cosine to a LOWER-vec_id cluster-mate reaches ``tau``
-    as a duplicate (the i02 keep-first rule, the paper's keep-one
-    policy).  Reported per cluster: membership, duplicates, share.
-
-    Scale shape: the assignment is the shared
-    ``llm_vectors.assign_nearest_centroid`` (broadcast k-row centroids,
-    map-side scoring, vec_id argmax window — single-sourced with i29, r9
-    review); the pair stage is an EQUI-join on the assigned cluster —
-    candidates never cross clusters, the bucketing that separates this
-    from i06's all-pairs baseline.  MEASURED scale tension, r10
-    correction of the r9 record: the r9 stress read "2.3x vs linear at
-    K=4" and blamed the dense O(n·k) assignment, but that measurement
-    was substantially an AMPLIFIER ARTIFACT — verbatim vector copies
-    make every replica's centroids identical, so the clabel tie-break
-    funnels ALL replicas into the lexicographically-first replica's
-    clusters (measured at K=4: 10 of 40 clusters non-empty, max size
-    920 vs 225) and the PAIR stage, not the assignment, grows ∝ K².
-    Under r10's corrected isometric sign-flip amplifier
-    (tools/scale_stress.py amplify_vectors_labeled — per-replica
-    workload exactly preserved, replicas separable) the dense census is
-    sublinear at this absolute scale (11.1 s at K=16 vs ANN's 10.7 s).
-    The dense assignment's O(n·k) term is still real — assignment-only
-    timing grows 4.3x per 4x data on the K=4->16 step (vs 2.15x for
-    the SRP-bucketed variant, already 1.4x faster at K=16) — it is
-    just emergent, not dominant, at 32k vectors x 160 centroids.  The
-    scale path is therefore still staged_r10's
-    ``assign_nearest_centroid_ann`` (SRP-bucket the CENTROIDS, i18's
-    machinery), with this dense form as the exact contract baseline
-    (the i06/i18 relationship, one family over).  Norms hoist out of
-    the pair join (i06's discipline: n folds, not n²).  The assignment is pinned: three
-    consumers (membership census, both pair sides) would otherwise
-    re-run the centroid scoring; a multi-session 100 TB pipeline would
-    persist assignments to storage instead, as llm_text.py:16's
-    pin-policy note already prescribes.  (The pin also hides the
-    scoring join from the census plan — tests lint the unpinned
-    assignment plan separately.)"""
-    assigned = assign(emb).localCheckpoint()
-    a = assigned.select(
-        F.col("clabel").alias("cl"), F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"), norm("embedding").alias("na"))
-    b = assigned.select(
-        F.col("clabel").alias("cl"), F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"), norm("embedding").alias("nb"))
-    cosp = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
-    dups = (
-        a.join(b.withColumnRenamed("cl", "clb"),
-               (F.col("cl") == F.col("clb")) & (F.col("va") < F.col("vb")))
-        .filter(cosp >= tau)
-        .select("cl", "vb").distinct()
-    )
-    dc = dups.groupBy("cl").agg(F.count(F.lit(1)).alias("n_dup"))
-    return (
-        assigned.groupBy(F.col("clabel").alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .join(dc, F.col("cluster") == F.col("cl"), "left")
-        .select(
-            "cluster", "n_vectors",
-            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
-            F.round(F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
-                    / F.col("n_vectors"), 6).alias("dup_share"))
-    )
-
-
-# the census stage of the i58 oracle, shared with the r10 ANN-assignment
-# variant (staged_r10) so the two oracles cannot diverge by transcription
-# (the r9-review single-source lesson); expects an ``assigned`` CTE
-# binding (vec_id, clabel, emb)
-_SEMDEDUP_CENSUS_TAIL_SQL = f"""
-        dups AS (
-            SELECT DISTINCT a.clabel, b.vec_id AS vb
-            FROM assigned a JOIN assigned b
-              ON a.clabel = b.clabel AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.emb, b.emb), 6)
-                  >= {_SEMDEDUP_TAU}
-        ), dc AS (
-            SELECT clabel, CAST(count(*) AS BIGINT) AS n_dup
-            FROM dups GROUP BY 1
-        )
-        SELECT a.clabel AS cluster,
-               CAST(count(*) AS BIGINT) AS n_vectors,
-               CAST(coalesce(max(dc.n_dup), 0) AS BIGINT) AS n_dup,
-               round(CAST(coalesce(max(dc.n_dup), 0) AS DOUBLE) / count(*),
-                     6) AS dup_share
-        FROM assigned a LEFT JOIN dc ON a.clabel = dc.clabel
-        GROUP BY a.clabel
-"""
 
 
 @_stage(

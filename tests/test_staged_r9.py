@@ -175,7 +175,7 @@ def test_i58_keep_first_on_constructed_clusters(spark):
     # drop the two higher vec_ids of the triple, and the orthogonal
     # vector must MIGRATE to c1 (nearest centroid, not label) where it
     # becomes the kept representative of the identical pair there
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         semdedup_census,
     )
 

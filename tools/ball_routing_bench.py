@@ -73,7 +73,7 @@ def occupied_clustered(spark, ball_bits: int):
 
 def run_shape(spark, label: str, occ, bits: int, nprobe: int,
               max_radius: int) -> dict:
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         srp_ball_routing,
     )
 

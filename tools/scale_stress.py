@@ -353,7 +353,7 @@ def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     scale paragraph for the corrected dense-vs-ANN record.)"""
     import math
 
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         semdedup_census_ann,
     )
 
