@@ -130,9 +130,12 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the differential if either side drifts)
     k = 20
     d = load_table(spark, sf_dir, "documents")
-    # salt modulus grows with the corpus (scan-split estimate, floored at
-    # the local core count) so per-(lang, salt) groups stay task-sized
-    n_salt = max(32, _scan_split_estimate(d))
+    # salt modulus grows with the corpus (scan-split estimate), floored
+    # at the session's parallelism so a single-file local fixture still
+    # fans phase 1 out across every core (r11 review: a hardcoded floor
+    # tracked neither the rig nor a bigger cluster)
+    n_salt = max(spark.sparkContext.defaultParallelism,
+                 _scan_split_estimate(d))
     keyed = d.select(
         "lang", "doc_id",
         F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))).alias("skey"))

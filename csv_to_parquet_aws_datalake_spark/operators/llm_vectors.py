@@ -529,9 +529,9 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
     timing grows 4.3x per 4x data on the K=4->16 step (vs 2.15x for
     the SRP-bucketed variant, already 1.4x faster at K=16) — it is
     just emergent, not dominant, at 32k vectors x 160 centroids.  The
-    scale path is therefore still staged_r10's
-    ``assign_nearest_centroid_ann`` (SRP-bucket the CENTROIDS, i18's
-    machinery), with this dense form as the exact contract baseline
+    scale path is therefore ``assign_nearest_centroid_ann`` below
+    (SRP-bucket the CENTROIDS, i18's machinery; registered as i59,
+    round 11), with this dense form as the exact contract baseline
     (the i06/i18 relationship, one family over).  Norms hoist out of
     the pair join (i06's discipline: n folds, not n²).  The assignment is pinned: three
     consumers (membership census, both pair sides) would otherwise

@@ -852,14 +852,18 @@ def funnel_census(ev: DataFrame) -> DataFrame:
             F.col("event_type").alias("et"))).alias("evs"))
         .selectExpr("user_id", fold)
     )
+    # sums coalesce to 0: over an EMPTY per_user frame (all-anonymous or
+    # empty corpus) a global sum is NULL on Spark while the oracle's
+    # count(*) over empty CTEs is 0 (r11 review — the residual case of
+    # the NULL-user scoping above)
     return per_user.agg(
         F.count(F.lit(1)).alias("users_total"),
-        F.sum(F.expr("CASE WHEN stage >= 1 THEN 1 ELSE 0 END"))
-         .alias("reached_view"),
-        F.sum(F.expr("CASE WHEN stage >= 2 THEN 1 ELSE 0 END"))
-         .alias("reached_click"),
-        F.sum(F.expr("CASE WHEN stage >= 3 THEN 1 ELSE 0 END"))
-         .alias("reached_purchase"),
+        F.coalesce(F.sum(F.expr("CASE WHEN stage >= 1 THEN 1 ELSE 0 END")),
+                   F.lit(0).cast("long")).alias("reached_view"),
+        F.coalesce(F.sum(F.expr("CASE WHEN stage >= 2 THEN 1 ELSE 0 END")),
+                   F.lit(0).cast("long")).alias("reached_click"),
+        F.coalesce(F.sum(F.expr("CASE WHEN stage >= 3 THEN 1 ELSE 0 END")),
+                   F.lit(0).cast("long")).alias("reached_purchase"),
     ).withColumn(
         "view_to_purchase",
         F.round(F.col("reached_purchase").cast("double")

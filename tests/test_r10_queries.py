@@ -95,6 +95,21 @@ def test_e19_null_users_excluded(spark):
             row["reached_purchase"]) == (1, 1, 0, 0)
 
 
+def test_e19_all_anonymous_yields_zeros(spark):
+    # r11 review: with EVERY user_id NULL the per-user frame is empty and
+    # a bare global sum would be NULL while the oracle's count(*) over
+    # empty CTEs is 0 — the coalesce must pin all three counts to 0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(None, t0, 1, "view"), (None, t0 + dt.timedelta(minutes=1),
+             2, "click")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    row = funnel_census(ev).collect()[0]
+    assert (row["users_total"], row["reached_view"], row["reached_click"],
+            row["reached_purchase"]) == (0, 0, 0, 0)
+    assert row["view_to_purchase"] is None
+
+
 def test_e19_strict_order_and_ties(spark):
     # the state machine's strict ts increase: a click AT the view's
     # timestamp must not advance the funnel; a later full chain does

@@ -160,10 +160,11 @@ def test_i59_census_totals_and_plan(spark, sf_dir):
     # EQUI join (BroadcastHashJoin on the SRP code), never an
     # unbroadcast cartesian, and every window is vec_id-partitioned
     emb = load_table(spark, sf_dir, "embeddings")
-    aplan = physical_plan(assign_nearest_centroid_ann(emb))
+    assigned = assign_nearest_centroid_ann(emb)
+    aplan = physical_plan(assigned)
     assert "BroadcastHashJoin" in aplan
     assert "CartesianProduct" not in aplan
-    assert not unpartitioned_window_nodes(assign_nearest_centroid_ann(emb))
+    assert not unpartitioned_window_nodes(assigned)
 
 
 @pytest.mark.parametrize("bits,occ", [
@@ -207,7 +208,7 @@ def test_ball_routing_equals_naive_ranking(spark, bits, occ):
     assert all(v == min(nprobe, len(occ)) for v in per_code.values())
 
 
-def test_assignment_identical_through_ball_path(spark):
+def test_assignment_identical_through_ball_path(spark, sf_dir):
     # end-to-end pin through the OTHER dispatch branch: forcing the
     # ball builder (ball_min_codes=0) must reproduce the default
     # (cross-product) assignment exactly on the fixture embeddings —
@@ -215,7 +216,7 @@ def test_assignment_identical_through_ball_path(spark):
     # not just equal in isolation
     from csv_to_parquet_aws_datalake_spark.loader import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     default = {(r["vec_id"], r["clabel"])
                for r in assign_nearest_centroid_ann(emb).collect()}
     forced = {(r["vec_id"], r["clabel"])

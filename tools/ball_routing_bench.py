@@ -51,14 +51,23 @@ from csv_to_parquet_aws_datalake_spark.session import build_session
 
 def occupied_uniform(spark, bits: int, n: int, seed_tag: str):
     """n pseudo-random distinct codes in [0, 2^bits): md5-uniform (the
-    repo's determinism convention — no RNG state), dense ids hashed."""
+    repo's determinism convention — no RNG state), dense ids hashed.
+    The subset of the ~4n distinct candidates is taken in md5-of-code
+    order — itself uniform over the code space — so the SAME n codes
+    come back on every rig (r11 review: a bare ``limit`` after the
+    hash shuffle was partition-order-dependent, and ordering by the
+    code VALUE would cluster the subset at the low end)."""
     return (
         spark.range(4 * n)
         .select(F.expr(
             f"int(pmod(cast(conv(substr(md5(concat('{seed_tag}', "
             f"string(id))), 1, 15), 16, 10) as bigint), {1 << bits}))"
         ).alias("cbucket"))
-        .distinct().limit(n)
+        .distinct()
+        .orderBy(F.md5(F.concat(F.lit("pick:"),
+                                F.col("cbucket").cast("string"))),
+                 "cbucket")
+        .limit(n)
     )
 
 
