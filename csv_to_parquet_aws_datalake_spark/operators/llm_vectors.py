@@ -639,22 +639,24 @@ def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
     small-code-space cross-product branch (bits=3), not this builder.
 
     MEASURED at production sizing (r11, tools/ball_routing_bench.py:
-    bits=20, nprobe=3, local[32]/24g, synthetic occupancy — the builder
-    sees only distinct codes, so synthetic codes exercise exactly this
-    path; every row verified rows == nprobe*2^20 full coverage and 0
-    brute-force argmin mismatches on 200 sampled codes):
-    |occ|=10k r<=3 45.8 s; |occ|=100k r<=3 79.5 s; |occ|=500k r<=2
-    745.9 s; sparse 1k at r<=4 27.1 s; clustered-ball8 (forced
-    residual completion, 2^20-256 unconverged codes) 24.0 s.  Reading:
+    bits=20, nprobe=3, local[32]/24g, deterministic md5-uniform
+    occupancy — the builder sees only distinct codes, so synthetic
+    codes exercise exactly this path; every row verified rows ==
+    nprobe*2^20 full coverage and 0 brute-force argmin mismatches on
+    200 sampled codes; two runs, the reproducible-subset run first):
+    |occ|=10k r<=3 25.5 s (45.8); |occ|=100k r<=3 69.2 s (79.5);
+    |occ|=500k r<=2 398.9 s (745.9); sparse 1k at r<=4 70.7 s (27.1);
+    clustered-ball8 (forced residual completion, 2^20-256 unconverged
+    codes) 24.2 s (24.0).  Reading:
     the HEALTHY production shapes (occupancy 1-10% of the code space,
     which is what bits ~ log2(k/target) produces) build in under 80 s;
     the worst measured shape is NEAR-SATURATED occupancy (500k of 2^20
     — bits sized too small for k), where the per-radius accumulator
-    re-checkpoint dominates (~105M rows) — still ~600x cheaper than
-    the naive 2^20 x 500k cross-rank, and the build is n-INDEPENDENT,
-    amortized over scoring the whole corpus.  The capped-loop residual
-    path is CHEAP (24-27 s), not the hazard: the cost center is ball
-    volume x occupancy, exactly as derived."""
+    re-checkpoint dominates (~105M rows) — still orders of magnitude
+    cheaper than the naive 2^20 x 500k cross-rank, and the build is
+    n-INDEPENDENT, amortized over scoring the whole corpus.  The
+    capped-loop residual path is CHEAP (~24 s), not the hazard: the
+    cost center is ball volume x occupancy, exactly as derived."""
     from itertools import combinations
 
     spark = occupied.sparkSession
