@@ -656,10 +656,20 @@ def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
     cheaper than the naive 2^20 x 500k cross-rank, and the build is
     n-INDEPENDENT, amortized over scoring the whole corpus.  The
     capped-loop residual path is CHEAP (~24 s), not the hazard: the
-    cost center is ball volume x occupancy, exactly as derived."""
+    cost center is ball volume x occupancy, exactly as derived.
+
+    ``occupied`` is pinned on entry: the per-radius localCheckpoint,
+    the stop-test count, and the residual cross-rank each materialize
+    a plan containing ``occupied`` — unpinned, every one of those
+    actions would re-run its full upstream lineage (for the i59
+    caller: a full-corpus centroid aggregation per radius), which is
+    exactly the cost the n-independent claim above excludes.  The
+    bench pinned its input before timing; this makes the shipped path
+    match what was measured (r11 second review)."""
     from itertools import combinations
 
     spark = occupied.sparkSession
+    occupied = occupied.localCheckpoint()
     acc = None
     converged = False
     for r in range(min(bits, max_radius) + 1):
@@ -725,9 +735,16 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     the fixture — 2.7× the pair work and a downstream skew hazard).
     nprobe is i29's recall knob doing double duty as the BALANCE knob:
     more probed buckets per code spreads borderline vectors toward
-    their true nearest centroid.  The broadcast centroid table is
-    megabytes even at million-row k, and the equi-join keys keep AQE
-    free to pick a shuffled hash join if it ever outgrows broadcast.
+    their true nearest centroid.  Join sizing (r11 second review): the
+    ROUTING table is explicitly broadcast — its size is bounded by
+    nprobe x 2^bits two-int rows (~25 MB at the 20-bit production
+    sizing), independent of both n and k, a bound the designer sets
+    via ``bits``.  The CENTROID table is NOT hinted: it is k rows
+    carrying full embedding arrays — gigabytes at million-row k and
+    wide dims — so its join is left to size-based planning, and the
+    equi-join key keeps AQE free to pick a shuffled hash join when it
+    outgrows broadcast (a forced hint would deny the planner exactly
+    that escape hatch).
     The routing table builder DISPATCHES on code-space size (the two
     forms are pinned equal in tests): at <= 2^10 codes the one-shot
     cross-product ranking is cheapest (a few thousand integer rows, no
@@ -764,7 +781,7 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
     return (
         vbuck.join(F.broadcast(routing), "code")
-        .join(F.broadcast(cbuck), "cbucket")
+        .join(cbuck, "cbucket")
         .select("vec_id", "clabel", "embedding",
                 F.round(cosine("embedding", "carr"), 6).alias("acos"))
         .withColumn("rn", F.row_number().over(w))

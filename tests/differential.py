@@ -12,6 +12,17 @@ import duckdb
 from csv_to_parquet_aws_datalake_spark.loader import TABLES
 
 
+def round6_half_up(x: float) -> float:
+    # the ONE reference implementation of the engines' shared round(x, 6)
+    # contract (Spark's F.round and DuckDB's round are both half-up);
+    # pure-Python mirrors in test_property.py and test_r11_queries.py
+    # import it so the rounding contract cannot silently fork
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"),
+                                     rounding=ROUND_HALF_UP))
+
+
 def make_oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -16,6 +16,8 @@ import pandas as pd
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from tests.differential import round6_half_up as _round6_half_up
+
 ROWS = 60
 PDF = pd.DataFrame({
     "i": [(x * 7919) % 100 - 50 for x in range(ROWS)],          # ints incl. negatives
@@ -326,13 +328,6 @@ def test_phash_kernel_matches_pure_python(spark, texts):
 # that the fixed constructed-cluster example can't.  Integer-valued
 # vectors keep every intermediate (decimal centroid sums, left-fold
 # dots) bit-identical between engines and the reference.
-
-
-def _round6_half_up(x: float) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(x).quantize(Decimal("1e-6"),
-                                     rounding=ROUND_HALF_UP))
 
 
 def _semdedup_py(rows, tau):

@@ -20,6 +20,7 @@ from csv_to_parquet_aws_datalake_spark.plans.checks import (
     physical_plan,
     unpartitioned_window_nodes,
 )
+from tests.differential import round6_half_up as _round6_half_up
 
 registry.load_all()
 
@@ -51,13 +52,6 @@ def test_ann_assignment_routing_and_nprobe(spark):
     got3 = {r["vec_id"]: r["clabel"]
             for r in assign_nearest_centroid_ann(df).collect()}
     assert got3 == {1: "c0", 2: "c0", 3: "c0", 4: "c1", 5: "c0"}
-
-
-def _round6_half_up(x: float) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(x).quantize(Decimal("1e-6"),
-                                     rounding=ROUND_HALF_UP))
 
 
 def _assign_ann_py(rows, bits=3, nprobe=3):

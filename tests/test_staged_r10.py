@@ -15,7 +15,6 @@ from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import STAGED
 from csv_to_parquet_aws_datalake_spark.plans.checks import (
     assert_no_antipatterns,
     physical_plan,
-    unpartitioned_window_nodes,
 )
 from tests.differential import compare, make_oracle_con
 

@@ -142,6 +142,13 @@ def main() -> int:
         spark, "clustered-ball8", occ, args.bits, args.nprobe, 3))
     print(json.dumps({"bench": "ball_routing", "rows": rows}), flush=True)
     spark.stop()
+    # a registration-gate tool must not exit green over a broken builder
+    # (r11 second review): fail on any coverage or argmin violation
+    bad = [r["shape"] for r in rows
+           if not r["rows_ok"] or r["argmin_mismatches"]]
+    if bad:
+        print(f"INVARIANT FAILURES: {bad}", flush=True)
+        return 1
     return 0
 
 
