@@ -735,16 +735,27 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     the fixture — 2.7× the pair work and a downstream skew hazard).
     nprobe is i29's recall knob doing double duty as the BALANCE knob:
     more probed buckets per code spreads borderline vectors toward
-    their true nearest centroid.  Join sizing (r11 second review): the
-    ROUTING table is explicitly broadcast — its size is bounded by
-    nprobe x 2^bits two-int rows (~25 MB at the 20-bit production
-    sizing), independent of both n and k, a bound the designer sets
-    via ``bits``.  The CENTROID table is NOT hinted: it is k rows
-    carrying full embedding arrays — gigabytes at million-row k and
-    wide dims — so its join is left to size-based planning, and the
-    equi-join key keeps AQE free to pick a shuffled hash join when it
-    outgrows broadcast (a forced hint would deny the planner exactly
-    that escape hatch).
+    their true nearest centroid.  Join sizing (r11 second review —
+    both hints are DELIBERATE, with measured justification): the
+    ROUTING table broadcast is bounded by nprobe x 2^bits two-int
+    rows (~25 MB at the 20-bit production sizing), independent of
+    both n and k.  The CENTROID table broadcast is bounded by k x dim
+    — the designer's cluster budget — and is FORCED because Spark
+    cannot estimate a post-aggregate dimension table's size: hint-free,
+    the static planner picks a sort-merge join that shuffle-writes the
+    ENTIRE n-row vector side onto the <=2^bits-cardinality bucket key
+    (AQE's runtime broadcast conversion still pays the map-side write,
+    and if k ever genuinely exceeded the broadcast budget the fallback
+    would be that same low-cardinality skewed shuffle — strictly worse
+    than either broadcast form).  Measured: the hint-free form
+    worsened the K=16 stress ratio from ~0.19x to 0.32x vs linear.
+    If k x dim outgrows the broadcast budget (k in the tens of
+    millions or very wide dims), the named remedy is probe SHARDING,
+    which keeps the broadcast shape at any k: split the centroid
+    table into m broadcast-sized shards, per-shard argmax (n x m
+    rows, no skewed shuffle), union, final per-vec_id argmax — the
+    two-phase pattern e02's remedy already names, applied to the
+    probe side.
     The routing table builder DISPATCHES on code-space size (the two
     forms are pinned equal in tests): at <= 2^10 codes the one-shot
     cross-product ranking is cheapest (a few thousand integer rows, no
@@ -781,7 +792,7 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
     return (
         vbuck.join(F.broadcast(routing), "code")
-        .join(cbuck, "cbucket")
+        .join(F.broadcast(cbuck), "cbucket")
         .select("vec_id", "clabel", "embedding",
                 F.round(cosine("embedding", "carr"), 6).alias("acos"))
         .withColumn("rn", F.row_number().over(w))
