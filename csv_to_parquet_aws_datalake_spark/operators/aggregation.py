@@ -539,10 +539,14 @@ def d23_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curated-layer constraint audit: referential integrity via anti-joins
     plus declarative range checks, one (check, violation-count) row each —
     the validation gate a lake runs between raw ingestion and publishing.
-    Scale shapes: orders→customer anti-join broadcasts the dimension;
-    lineitem→orders anti-join shuffles on the key (both sides fact-sized,
-    the standard shape); range checks are map-side partial counts.  All
-    four checks run in parallel as independent branches of one union."""
+    Scale shapes (r11 broadcast-bound audit): BOTH anti-joins are
+    fact-to-fact at TPC-H proportions — customer is SF-proportional
+    (150k rows per SF), not a bounded dimension — so neither side is
+    hinted; the planner auto-broadcasts customer at fixture scale off
+    its scan size and key-shuffles both anti-joins at corpus scale,
+    the standard shape.  Range checks are map-side partial counts.
+    All four checks run in parallel as independent branches of one
+    union."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -551,8 +555,7 @@ def d23_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cnt_df.select(F.lit(name).alias("chk"),
                              F.count(F.lit(1)).alias("n_bad"))
 
-    orphan_orders = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
     orphan_items = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
     neg_bal = c.filter(F.col("c_acctbal") < 0)
     bad_disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))

@@ -295,9 +295,13 @@ def c13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c12_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO / SCD-style upsert emulated without a lakehouse format:
-    left-join the update set, coalesce per column, flag provenance.  At
-    scale the update side is broadcast when small (as here) or the target
-    is bucketed on the merge key so the join is exchange-free (a07)."""
+    left-join the update set, coalesce per column, flag provenance.  The
+    update side here is 10% OF THE TARGET — corpus-proportional, not a
+    bounded dimension — so it carries no broadcast hint (r11
+    broadcast-bound audit): the planner sizes it off the scan and
+    auto-broadcasts at fixture scale, while a real 100 TB merge either
+    shuffles on the key or, better, buckets the target on the merge key
+    so the join is exchange-free (a07)."""
     c = load_table(spark, sf_dir, "customer")
     updates = (
         c.filter(F.col("c_custkey") % 10 == 0)
@@ -305,7 +309,7 @@ def c12_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c_acctbal") + 1000).alias("new_bal"))
     )
     return (
-        c.join(F.broadcast(updates), c.c_custkey == updates.u_key, "left")
+        c.join(updates, c.c_custkey == updates.u_key, "left")
         .select(
             "c_custkey",
             F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("bal"),
@@ -329,21 +333,26 @@ def c12_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c11_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q5-shaped 5-way star join.  The dimension chain
-    # (region -> nation -> customer) is broadcast so the two fact tables
-    # only shuffle for their own equi-join.
+    # TPC-H Q5-shaped 5-way star join.  region and nation are BOUNDED
+    # dimensions (5 / 25 rows) and carry forced broadcasts; customer is
+    # SF-PROPORTIONAL (150k rows per SF — billions at the 100 TB north
+    # star), so the customer-bearing chain is deliberately NOT hinted
+    # (r11 broadcast-bound audit): its size comes straight off the
+    # parquet scan, so the planner auto-broadcasts it at fixture scale
+    # and falls back to the standard Q5 key-shuffled customer<->orders
+    # join beyond the broadcast budget — a forced hint would pin the
+    # fixture plan onto a 100 TB OOM.
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     dims = (
-        F.broadcast(r)
-        .join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
-        .join(c, n.n_nationkey == c.c_nationkey)
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
     )
     return (
-        o.join(F.broadcast(dims.select("r_name", "n_name", "c_custkey")),
+        o.join(dims.select("r_name", "n_name", "c_custkey"),
                F.col("c_custkey") == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("r_name", "n_name")

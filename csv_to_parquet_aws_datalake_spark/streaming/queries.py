@@ -364,15 +364,20 @@ def j09_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich a stream with a batch dimension (the
     single most common streaming-ETL shape — events against a user/device
-    table).  The static side is re-planned per micro-batch, so a broadcast
-    hint keeps every batch shuffle-free on the stream side; state is only
-    needed for the downstream aggregate, not the join itself (unlike j08's
-    stream-stream case).  availableNow drains everything in one batch, so
-    the batch join+groupBy is the oracle."""
+    table).  The static side is re-planned per micro-batch; it carries NO
+    broadcast hint (r11 broadcast-bound audit) because customer is
+    SF-PROPORTIONAL, not a bounded dimension: the planner sizes it off
+    the parquet scan each micro-batch, auto-broadcasting while it fits
+    (keeping the stream side shuffle-free) and key-shuffling beyond the
+    broadcast budget — a forced hint would pin every micro-batch onto a
+    100 TB OOM.  State is only needed for the downstream aggregate, not
+    the join itself (unlike j08's stream-stream case).  availableNow
+    drains everything in one batch, so the batch join+groupBy is the
+    oracle."""
     ev = _events_stream(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = (joined.groupBy("c_mktsegment")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("sv")))

@@ -266,8 +266,11 @@ def test_multimodal_frame_ops_are_shuffle_free_arrow(spark, sf_dir):
 
 
 def test_integrity_audit_join_strategies(spark, sf_dir):
-    # d23: the dimension-side referential check must broadcast (customer
-    # is dim-sized); no cartesian anywhere in the four-branch union
+    # d23: customer is SF-proportional, so the anti-joins carry no
+    # forced hint (r11 broadcast-bound audit); at fixture scale the
+    # planner must still pick broadcast off the scan-size estimate
+    # (this pin proves the hint was redundant where sizes are visible);
+    # no cartesian anywhere in the four-branch union
     plan = physical_plan(registry.QUERIES["d23_integrity_audit"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
