@@ -137,8 +137,13 @@ def c06_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c07_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same logical result as c01, physical plan pinned to broadcast-hash:
-    # on a 1000-executor cluster this ships the dimension once instead of
-    # shuffling the fact table (tests assert BroadcastHashJoin in the plan).
+    # the forced hint IS this row's contract — the §2 operator being
+    # demonstrated is the broadcast join itself (tests assert
+    # BroadcastHashJoin; the i06-cartesian precedent).  r11
+    # broadcast-bound audit caveat: customer is SF-proportional, so at
+    # corpus scale this row's technique applies to genuinely bounded
+    # dimensions (region/nation-sized) — c01 is the unhinted form whose
+    # strategy the planner sizes, and c11 shows the mixed star shape.
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (

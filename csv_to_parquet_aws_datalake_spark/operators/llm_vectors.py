@@ -773,11 +773,11 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     cbuck = (cenarr.crossJoin(basis)
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
-    occupied = cbuck.select("cbucket").distinct()
     # ball_min_codes: the dispatch threshold, a keyword so tests can
     # force the ball path end-to-end (pass 0) without duplicating the
     # ranking logic they compare against
     if (1 << bits) < ball_min_codes:
+        occupied = cbuck.select("cbucket").distinct()
         codes = (emb.sparkSession.range(1 << bits)
                  .select(F.col("id").cast("int").alias("code")))
         routing = _rank_top_nprobe(
@@ -785,6 +785,14 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
             .withColumn("ham", F.expr("bit_count(code ^ cbucket)")),
             nprobe)
     else:
+        # the ball path takes its own actions (per-radius pins, stop-test
+        # counts), so pin the centroid table HERE and derive occupied from
+        # the pinned frame: the full-corpus centroid aggregation runs once
+        # total — otherwise the scoring join's cbuck subtree would re-run
+        # it on top of srp_ball_routing's internal materializations (r11
+        # third review)
+        cbuck = cbuck.localCheckpoint()
+        occupied = cbuck.select("cbucket").distinct()
         routing = srp_ball_routing(occupied, bits, nprobe)
     vbuck = (emb.crossJoin(basis)
              .select("vec_id", "embedding",

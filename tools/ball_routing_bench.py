@@ -147,7 +147,9 @@ def main() -> int:
     bad = [r["shape"] for r in rows
            if not r["rows_ok"] or r["argmin_mismatches"]]
     if bad:
-        print(f"INVARIANT FAILURES: {bad}", flush=True)
+        # stderr: stdout's last line must stay the JSON result even on
+        # failure (the trailing-JSON contract consumers parse)
+        print(f"INVARIANT FAILURES: {bad}", file=sys.stderr, flush=True)
         return 1
     return 0
 
