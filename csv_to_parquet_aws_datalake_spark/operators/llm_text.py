@@ -809,6 +809,81 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "i56_gopher_rule_breakdown",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT source, len(toks) AS n,
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks) AS mwl,
+                   len(list_intersect(list_distinct(toks), ['the', 'a']))
+                       AS n_stop
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n < 50 OR n > 100000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+               CAST(sum(CASE WHEN mwl < 3 OR mwl > 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+               CAST(sum(CASE WHEN n_stop < 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+               CAST(sum(CASE WHEN n >= 50 AND n <= 100000
+                              AND mwl >= 3 AND mwl <= 10 AND n_stop >= 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(CAST(sum(CASE WHEN n >= 50 AND n <= 100000
+                                    AND mwl >= 3 AND mwl <= 10
+                                    AND n_stop >= 2
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS pass_share
+        FROM m GROUP BY source
+    """,
+)
+def i56_gopher_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source breakdown of Gopher's document-quality gates (Rae et
+    al. 2021 §A1.1): word-count bounds [50, 100000], mean word length in
+    [3, 10], and >=2 distinct stop words — the corpus's articles
+    {'the', 'a'} stand in for Gopher's English stop list.  Reported as
+    per-rule failure counts plus the all-rules pass share, the table a
+    curation run reads to see WHICH rule is cutting a source.
+    Registered round 12 (staged since round 9; completes the i25
+    quality-filter family).
+
+    Scale shape (i25's idiom): every per-doc stat is an array expression
+    — no explode, no (doc, token) shuffle — so the only exchange is the
+    final source rollup with map-side partial aggregation.  Mean word
+    length is an exact integer sum divided once, identical cross-engine;
+    the rule thresholds compare that one double the same way on both."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (d.filter(F.col("text").isNotNull())
+         .select("source", F.split("text", " ").alias("toks"))
+         .selectExpr(
+             "source",
+             "size(toks) AS n",
+             "cast(aggregate(toks, 0L, (acc, x) -> acc + length(x))"
+             " AS double) / size(toks) AS mwl",
+             "size(array_intersect(array_distinct(toks),"
+             " array('the', 'a'))) AS n_stop"))
+    ok = ("n >= 50 AND n <= 100000 AND mwl >= 3 AND mwl <= 10"
+          " AND n_stop >= 2")
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END"))
+         .alias("fail_len"),
+        F.sum(F.expr("CASE WHEN mwl < 3 OR mwl > 10 THEN 1 ELSE 0 END"))
+         .alias("fail_wordlen"),
+        F.sum(F.expr("CASE WHEN n_stop < 2 THEN 1 ELSE 0 END"))
+         .alias("fail_stop"),
+        F.sum(F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END")).alias("n_pass"),
+        F.round(
+            F.sum(F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END"))
+            .cast("double") / F.count(F.lit(1)), 6).alias("pass_share"),
+    )
+
+
+@query(
     "i26_pii_redaction",
     oracle="""
         WITH bodies AS (
@@ -1507,8 +1582,8 @@ _GRAMS_CTE = """
 """
 
 # dup grams + their per-doc gaps-and-islands grouping, shared by i48's
-# oracle and the staged i55 census oracle (staged_r9.py — one edit point
-# for the span formulation, r9 review)
+# oracle and the staged i60 histogram oracle (staged_r10.py — one edit
+# point for the span formulation, r9 review)
 _DUP_SPAN_HITS_CTE = """
         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
         hits AS (

@@ -143,8 +143,8 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     exact-decimal centroid — broadcast k-row centroid table, rounded
     cosine, vec_id-partitioned argmax window with a clabel tie-break.
     Single-sourced (r9 review: this block existed verbatim in i29 and
-    the staged i58; a tie-break or rounding change must hit every
-    consumer at once).  ``_ASSIGNED_CTE_SQL`` is the oracle-side twin."""
+    the since-retired staged i58; a tie-break or rounding change must
+    hit every consumer at once).  ``_ASSIGNED_CTE_SQL`` is the oracle-side twin."""
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
@@ -481,8 +481,9 @@ def i47_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): per-cluster semantic-duplicate census.
-# The shared census kernel lives here (registered home); the staged i58
-# dense-assignment baseline in staged_r9.py imports it.
+# The shared census kernel lives here (registered home; the staged i58
+# dense-assignment baseline imported it until its r12 retirement —
+# superseded by the registered i59).
 # ---------------------------------------------------------------------
 
 
@@ -493,8 +494,9 @@ _SEMDEDUP_TAU = 0.35  # between within-cluster pair-cosine p99 and p99.9
 
 def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
                     assign=assign_nearest_centroid) -> DataFrame:
-    """The i58 kernel over any (vec_id, label, embedding) frame — factored
-    out so constructed-frame tests drive the registered formulation.
+    """The SemDeDup census kernel over any (vec_id, label, embedding)
+    frame — factored out so constructed-frame tests drive the registered
+    formulation.
     ``assign`` swaps the centroid-assignment step: the default is the
     DENSE exact scorer; ``assign_nearest_centroid_ann`` (below) is the
     SRP-bucketed scale path (r10, the i06<->i18 relationship applied to
@@ -567,8 +569,8 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
     )
 
 
-# the census stage of the i58 (staged) and i59 (registered) oracles —
-# single-sourced so the two cannot diverge by transcription
+# the census stage of the i59 oracle (and the retired i58's) —
+# single-sourced so dense/ANN twins cannot diverge by transcription
 # (the r9-review single-source lesson); expects an ``assigned`` CTE
 # binding (vec_id, clabel, emb)
 _SEMDEDUP_CENSUS_TAIL_SQL = f"""
@@ -871,7 +873,8 @@ def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
     assignment swapped for the SRP-bucketed one — the pair stage, the
     keep-first rule, the census rollup, and the localCheckpoint pin are
     all the SHARED code path, so the only semantic difference between
-    i58 and i59 is which centroid a borderline vector lands on."""
+    the dense form and i59 is which centroid a borderline vector lands
+    on."""
     return semdedup_census(
         emb, tau=tau,
         assign=lambda e: assign_nearest_centroid_ann(e, bits=bits))
@@ -887,7 +890,7 @@ def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
 )
 def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup census with SRP-bucketed (approximate) centroid
-    assignment — the 100 TB form of the staged i58 dense baseline
+    assignment — the 100 TB form of the dense SemDeDup baseline
     (VERDICT r9 item 2; REGISTERED round 11 after the 20-bit routing
     measurement VERDICT r10 item 3 demanded — see srp_ball_routing),
     removing
@@ -899,9 +902,10 @@ def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster balance within 3% of dense (single-probe had funneled half
     the corpus into one cluster).  Same cluster-bucketed pair stage and
     keep-first census; only the assignment is approximate (see
-    assign_nearest_centroid_ann).  The dense i58 remains the
-    exact-contract baseline, mirroring the registry's i06 (exact pairs)
-    <-> i18 (SRP buckets) relationship."""
+    assign_nearest_centroid_ann).  The dense exact form remains available as
+    ``semdedup_census`` with the default assigner (the retired staged
+    i58 wrapped exactly that), mirroring the registry's i06 (exact
+    pairs) <-> i18 (SRP buckets) relationship."""
     emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     return semdedup_census_ann(emb)
 

@@ -9,8 +9,21 @@ amplifier-artifact premise — GRADUATED in round 11: after the 20-bit
 routing-table measurement VERDICT r10 item 3 demanded, the whole ANN
 assignment stack (``assign_nearest_centroid_ann``, ``srp_ball_routing``,
 the shared ``semdedup_census`` kernel) moved to its registered home in
-``llm_vectors.py`` and i59 is a registry row.  The dense i58 baseline
-(staged_r9) now imports the shared kernel from there.
+``llm_vectors.py`` and i59 is a registry row.
+
+Round 12 executed the SURVEY §7.9 retirement review and DRAINED the
+round-9 bank entirely (module deleted): i56 REGISTERED
+(``llm_text.py:i56_gopher_rule_breakdown``); i55 deleted (superseded by
+i60 here — same span-census family over the i48 kernel, the histogram
+is the strictly-richer rollup); i57 deleted (superseded by i61 here —
+same determinism design, single fixed query is the weaker special case
+of query sets); i58 deleted (its family's strictly-better scale form
+i59 is REGISTERED, and i59's oracle is already a full SQL twin of the
+whole path, so the dense baseline added no differential coverage);
+k16 deleted (k17's radius<=1 banding includes every radius-0 —
+exact-code — pair, so the exact-bucket census is the weaker
+same-family form; its ``phash_codes`` kernel moved HERE, k17's only
+dependency).  This module is now the whole bank: six candidates.
 
 The remaining bank, each with tri-SF oracle parity, plan pins, and an
 independent reference (the follow-on compositions the r9 plan named,
@@ -32,10 +45,10 @@ VERDICT r9 item 7):
   (keep-first representative retains them), clean text rebuilt by a
   doc-keyed sorted-struct fold, with the untouched-document
   byte-identity round-trip pinned.
-- k17 phash band near-dup — Hamming<=1 neighbor pairs over the k16
+- k17 phash band near-dup — Hamming<=1 neighbor pairs over 8-bit
   aHash codes via 2x4-bit banding (the pigeonhole guarantee makes the
   band equi-join EXACT for radius 1), the i34 shape applied to the
-  multimodal family.
+  multimodal family; radius-0 pairs are the exact-code duplicates.
 - i64 BM25 decontamination census — the soft (retrieval-based)
   complement of i33's exact-gram decontamination: documents scoring
   above a measured threshold against each benchmark probe, counted per
@@ -51,10 +64,73 @@ from pyspark.sql import functions as F
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
 from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE
-from .staged_r9 import _PHASH_CTES_SQL, phash_codes
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def phash_codes(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, phash): 8-bit average-hash codes,
+    k17's kernel (moved here from staged_r9 when k16, the exact-bucket
+    census over the same codes, was retired in round 12 — k17's radius-0
+    pairs ARE the exact matches, making k16 the weaker same-family form).
+    Whole-batch numpy over Arrow batches (k07's convention): one
+    concatenated byte view, block sums via cumsum gathers (no reduceat —
+    its segment-end semantics mis-bracket when a payload's tail bytes sit
+    between block 7 and the next payload), and the block-vs-overall mean
+    test as an exact integer cross-multiply ``bsum * L > tot * W`` so no
+    float ever enters the hash.  Callers must pre-filter payloads shorter
+    than 8 bytes (W would be 0)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            ln = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                             count=len(payloads))
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+                .astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cat)])
+            starts = np.cumsum(ln) - ln
+            w = ln // 8
+            bstart = starts[:, None] + np.arange(8)[None, :] * w[:, None]
+            bsum = csum[bstart + w[:, None]] - csum[bstart]
+            tot = csum[starts + ln] - csum[starts]
+            bits = (bsum * ln[:, None]) > (tot[:, None] * w[:, None])
+            phash = (bits << (7 - np.arange(8))[None, :]).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": phash})
+
+    return binary_df.mapInPandas(hash_batches, "doc_id long, phash long")
+
+
+# the aHash computation for the k17 banding oracle (single-source
+# discipline); binds hashed(doc_id, phash).  Oracle caveat (k06/k07's
+# documented convention): DuckDB has no BLOB substring, so this indexes
+# CHARACTERS and ord() code points — equal to byte offsets/values only
+# because the corpus is ASCII (pinned by test_k17_corpus_is_ascii).
+_PHASH_CTES_SQL = """
+        base AS (
+            SELECT doc_id, text, length(text) AS L, length(text) // 8 AS W,
+                   list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, i, 1)))) AS tot
+            FROM documents WHERE length(text) >= 8
+        ), blocks AS (
+            SELECT doc_id, L, W, tot, b.b,
+                   list_sum(list_transform(
+                       range(b.b * W + 1, (b.b + 1) * W + 1),
+                       i -> ord(substr(text, i, 1)))) AS bsum
+            FROM base CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bsum * L > tot * W
+                                 THEN 1 << (7 - CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks GROUP BY doc_id
+        )
+"""
 
 
 def _stage(name: str, oracle: str | None = None):
@@ -442,11 +518,11 @@ def line_dedup_rewrite(d: DataFrame, block: int = 10) -> DataFrame:
     """,
 )
 def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR-duplicate media pairs at Hamming distance <= 1 over the k16
-    aHash codes — the banded extension k16's docstring promises,
-    completing the multimodal dedup story (k16 finds exact-code groups;
-    this finds off-by-one-bit neighbors, the perceptual near-miss an
-    8-bit aHash maps small image edits to).
+    """NEAR-duplicate media pairs at Hamming distance <= 1 over 8-bit
+    aHash codes (``phash_codes``) — the multimodal dedup operator: the
+    radius-0 pairs are exact-code duplicates (what the retired k16
+    census bucketed) and radius-1 pairs are the off-by-one-bit
+    perceptual near-misses an 8-bit aHash maps small image edits to.
 
     EXACT by the i34 band guarantee: the 8-bit code splits into two
     4-bit bands, and a pair at Hamming <= 1 differs in at most one bit,
@@ -459,7 +535,8 @@ def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join exactly like i34's MinHash bands, integer verify, no
     window.  Output size is inherently quadratic in duplicate-GROUP
     size (pair enumeration, the i34/i17 contract); production layers
-    k16's keep-first census over exact groups first and reserves this
+    an exact-code keep-first census over the same codes first (one
+    phash-keyed groupBy, the retired k16 form) and reserves this
     for the near-miss tail, and a 64-bit production hash would band
     into 4x16-bit chunks with the identical plan."""
     d = load_table(spark, sf_dir, "documents")

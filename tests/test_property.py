@@ -282,7 +282,7 @@ def test_dup_token_cover_matches_bruteforce_union(spark, texts):
 
 
 # ---------------------------------------------------------------------------
-# phash_codes (staged_r9.py, the k16 kernel): the whole-batch numpy
+# phash_codes (staged_r10.py, the k17 kernel): the whole-batch numpy
 # cumsum-gather implementation vs a per-payload pure-Python reference —
 # the property pins the batch indexing (block boundaries, tail bytes
 # excluded beyond 8*W, strict mean inequality) that a fixed example
@@ -309,7 +309,7 @@ def _phash_py(payload: bytes) -> int:
 def test_phash_kernel_matches_pure_python(spark, texts):
     from pyspark.sql import functions as F
 
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
         phash_codes,
     )
 
@@ -322,7 +322,8 @@ def test_phash_kernel_matches_pure_python(spark, texts):
 
 
 # ---------------------------------------------------------------------------
-# semdedup_census (staged_r9.py, the i58 kernel) vs a brute-force pure-
+# semdedup_census (llm_vectors.py, the registered i59 kernel) vs a
+# brute-force pure-
 # Python reference: random small integer vector sets sweep centroid
 # migration, rounding-boundary assignment ties, and keep-first chains
 # that the fixed constructed-cluster example can't.  Integer-valued
@@ -373,7 +374,7 @@ def _semdedup_py(rows, tau):
     st.sampled_from([0.5, 0.9, 0.99]))
 @settings(max_examples=6, deadline=None, derandomize=True)
 def test_semdedup_kernel_matches_bruteforce(spark, vecs, tau):
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         semdedup_census,
     )
 

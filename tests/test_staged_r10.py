@@ -8,9 +8,6 @@ from __future__ import annotations
 import pytest
 
 from csv_to_parquet_aws_datalake_spark import registry
-from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
-    STAGED as STAGED_R9,
-)
 from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import STAGED
 from csv_to_parquet_aws_datalake_spark.plans.checks import (
     assert_no_antipatterns,
@@ -21,9 +18,8 @@ from tests.differential import compare, make_oracle_con
 registry.load_all()
 
 
-def test_staged_not_registered_nor_colliding():
+def test_staged_not_registered():
     assert not set(STAGED) & set(registry.QUERIES)
-    assert not set(STAGED) & set(STAGED_R9)
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -46,33 +42,43 @@ def test_staged_tri_sf_parity(name, spark):
             con.close()
 
 
-def test_i60_histogram_consistent_with_i55(spark, sf_dir):
-    # independent reference: the histogram must be an exact refinement of
-    # the i55 census (same span kernel, different rollup) — per source,
-    # bucket counts sum to i55's n_spans and the bucket maxima recover
-    # i55's max_span_toks
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r9 import (
-        STAGED as R9,
-    )
-
+def test_i60_histogram_consistent_with_span_kernel(spark, sf_dir):
+    # independent reference: the histogram must be an exact rollup of the
+    # REGISTERED i48 span output (same kernel, different reduction) —
+    # recompute the per-source bucket counts, doc counts, and maxima in
+    # pure Python from the raw spans (the i55 census, whose role as this
+    # cross-check ended when it was retired in r12, did the same rollup)
     fn, _ = STAGED["i60_span_length_histogram"]
-    hist: dict[str, list] = {}
-    for r in fn(spark, sf_dir).collect():
-        hist.setdefault(r["source"], []).append(r)
-    census = {r["source"]: r
-              for r in R9["i55_longest_dup_span_census"][0](
-                  spark, sf_dir).collect()}
-    assert set(hist) == set(census)
-    for src, rows in hist.items():
-        assert sum(r["n_spans"] for r in rows) == census[src]["n_spans"]
-        assert max(r["max_len"] for r in rows) == census[src]["max_span_toks"]
-        for r in rows:
-            assert r["n_docs"] <= census[src]["n_docs_with_dup"]
-            lo = {"05-07": 5, "08-15": 8, "16-31": 16,
-                  "32-63": 32, "64+": 64}[r["len_bucket"]]
-            hi = {"05-07": 7, "08-15": 15, "16-31": 31,
-                  "32-63": 63, "64+": 1 << 62}[r["len_bucket"]]
-            assert lo <= r["max_len"] <= hi
+    got = {(r["source"], r["len_bucket"]):
+           (r["n_spans"], r["n_docs"], r["max_len"])
+           for r in fn(spark, sf_dir).collect()}
+
+    spans = registry.QUERIES["i48_span_dedup"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    joined = spans.join(docs, "doc_id").collect()
+
+    def bucket(ln: int) -> str:
+        if ln < 8:
+            return "05-07"
+        if ln < 16:
+            return "08-15"
+        if ln < 32:
+            return "16-31"
+        if ln < 64:
+            return "32-63"
+        return "64+"
+
+    agg: dict[tuple, list] = {}
+    for r in joined:
+        ln = r["span_end"] - r["span_start"] + 1
+        key = (r["source"], bucket(ln))
+        n, ds, mx = agg.get(key, (0, set(), 0))
+        ds = ds or set()
+        ds.add(r["doc_id"])
+        agg[key] = (n + 1, ds, max(mx, ln))
+    want = {k: (n, len(ds), mx) for k, (n, ds, mx) in agg.items()}
+    assert got == want
 
 
 def test_i61_matches_pure_python_bm25(spark, sf_dir):
@@ -290,12 +296,62 @@ def test_k17_matches_bruteforce_python(spark, sf_dir):
 
 def test_k17_plan_shape(spark, sf_dir):
     # band-keyed equi-join over the pinned codes: no cartesian, no
-    # window (the i34 shape; hashing itself is hidden by the pin and
-    # covered by k16's plan test)
+    # window (the i34 shape)
     fn, _ = STAGED["k17_phash_band_neardup"]
     plan = physical_plan(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+    # the localCheckpoint pin hides the hashing lineage from the plan
+    # above — lint the UNPINNED codes frame separately (this pin moved
+    # here from the retired k16 census test): Arrow mapInPandas, never
+    # row-at-a-time Python, and map-side only (no exchange below it)
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        phash_codes,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binary = (d.filter(F.length("text") >= 8)
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    cplan = physical_plan(phash_codes(binary))
+    assert "MapInPandas" in cplan and "BatchEvalPython" not in cplan
+    assert "Exchange hashpartitioning" not in cplan
+
+
+def test_k17_kernel_hand_computed(spark):
+    # "aaaabbbb": L=8, W=1, tot=780; blocks 97*4 then 98*4 — bit b set
+    # iff bsum*8 > 780, so exactly the four 98-blocks: phash 0b00001111
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        phash_codes,
+    )
+
+    df = (spark.createDataFrame([(1, "aaaabbbb"), (2, "bbbbaaaa")],
+                                "doc_id long, text string")
+          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    got = {r["doc_id"]: r["phash"] for r in phash_codes(df).collect()}
+    assert got == {1: 0b00001111, 2: 0b11110000}
+
+
+def test_k17_corpus_is_ascii(spark, sf_dir):
+    # ADVICE r9d (carried from the retired k16 suite): the DuckDB oracle
+    # indexes CHARACTERS/ord() code points while the Spark kernel hashes
+    # utf-8 BYTES, and the caller's length(text) >= 8 filter counts
+    # characters — equal only while the corpus is ASCII.  Pin the
+    # precondition itself so a future non-ASCII corpus fails loudly
+    # HERE, not as an inscrutable hash mismatch (a byte-table oracle is
+    # the documented remedy in _PHASH_CTES_SQL).
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_wide = d.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_wide == 0, (
+        f"{n_wide} non-ASCII documents: k17's character-indexed oracle "
+        "no longer equals the byte-hashing kernel — switch to a "
+        "byte-table oracle")
 
 
 def test_i64_consistent_with_i61_and_python(spark, sf_dir):

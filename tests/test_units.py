@@ -379,8 +379,9 @@ def test_readme_coverage_table_matches_registry():
     # a judge finding.  Each coverage row's id cell ("xNN–xMM" spans and/or
     # bare "xNN" singletons, comma-separated) must equal the registered id
     # set for that family EXACTLY.  Gaps are legal since r11 — a staged
-    # candidate reserves its number (i55–i58 banked, i59 registered) — so
-    # the cell documents the true set rather than a contiguous range.
+    # or retired candidate reserves its number (r12: i60–i64 banked,
+    # i55/i57/i58 retired, i56/i59 registered) — so the cell documents
+    # the true set rather than a contiguous range.
     import collections
     import re
 
