@@ -85,8 +85,11 @@ _NON_SPLITTABLE_EXTS = (".gz", ".zst", ".bz2", ".deflate", ".lz4", ".xz",
                         ".snappy")
 
 
-def _scan_split_estimate(df: DataFrame) -> int:
-    """Metadata-only estimate of a frame's scan parallelism (r9: replaces
+def scan_split_estimate(df: DataFrame) -> int:
+    """Metadata-only estimate of a frame's scan parallelism (public
+    loader API since r12 — ADVICE r11: i37 sizes its salt modulus from
+    it at plan-build time, so the cross-module dependency is part of
+    the loader's contract, not a private detail; r9: replaces
     the ``df.rdd.getNumPartitions()`` probe, which built a plan-to-RDD
     lineage on the driver per call).
 
@@ -133,7 +136,7 @@ def _scan_split_estimate(df: DataFrame) -> int:
              .outputPartitioning().numPartitions())
         if n == 0:
             _LOG.debug(
-                "_scan_split_estimate: no input files and Unknown "
+                "scan_split_estimate: no input files and Unknown "
                 "partitioning — treating as healthy per the scan-rooted "
                 "call-site contract (widen_if_narrow docstring)")
         return n
@@ -184,7 +187,7 @@ def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     # split count — and on a host narrower than the scan (parallelism < splits)
     # a repartition could only REDUCE parallelism while paying a shuffle.
     #
-    # The split count comes from _scan_split_estimate (metadata only, no
+    # The split count comes from scan_split_estimate (metadata only, no
     # RDD conversion — r7 brief item 5, r9 review for the size-based
     # form).  Call-site contract: hand this helper a SCAN-ROOTED frame
     # (projection/filter above a file scan is fine, an exchange or an
@@ -194,7 +197,7 @@ def widen_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     # widening.  Every current caller (i34/i48/i51/i54, the stress pins)
     # passes a scan-rooted frame.
     par = df.sparkSession.sparkContext.defaultParallelism
-    splits = _scan_split_estimate(df)
+    splits = scan_split_estimate(df)
     if splits == 0 or splits >= min(4, par):
         return df
     return df.repartition(par, *key) if key else df.repartition(par)

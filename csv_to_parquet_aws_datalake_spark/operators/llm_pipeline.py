@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..loader import _scan_split_estimate, load_table
+from ..loader import scan_split_estimate, load_table
 from ..registry import query
 
 # md5-hex digit -> 0..15, the cross-engine idiom established by i16_simhash
@@ -130,12 +130,17 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the differential if either side drifts)
     k = 20
     d = load_table(spark, sf_dir, "documents")
-    # salt modulus grows with the corpus (scan-split estimate), floored
-    # at the session's parallelism so a single-file local fixture still
-    # fans phase 1 out across every core (r11 review: a hardcoded floor
-    # tracked neither the rig nor a bigger cluster)
+    # salt modulus grows with the corpus (scan_split_estimate, a public
+    # loader API — the call runs eagerly at plan-BUILD time and lists
+    # the input files), floored at the session's parallelism so a
+    # single-file local fixture still fans phase 1 out across every
+    # core (r11 review: a hardcoded floor tracked neither the rig nor a
+    # bigger cluster).  Rig note (ADVICE r11): the floor makes the
+    # PHYSICAL plan vary across machines (partition counts, not
+    # exchange counts — the plan budget is rig-stable); output is
+    # provably unaffected, since phase 1 keeps a superset at any salt
     n_salt = max(spark.sparkContext.defaultParallelism,
-                 _scan_split_estimate(d))
+                 scan_split_estimate(d))
     keyed = d.select(
         "lang", "doc_id",
         F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))).alias("skey"))

@@ -710,7 +710,8 @@ def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
 
 def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
                                 nprobe: int = 3,
-                                ball_min_codes: int = 1025) -> DataFrame:
+                                ball_min_codes: int = 1025,
+                                centroid_shards: int = 1) -> DataFrame:
     """(vec_id, clabel, embedding): approximate nearest-centroid
     assignment — each vector scores only the centroids of the ``nprobe``
     buckets its SRP code routes to.
@@ -758,12 +759,26 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     than either broadcast form).  Measured: the hint-free form
     worsened the K=16 stress ratio from ~0.19x to 0.32x vs linear.
     If k x dim outgrows the broadcast budget (k in the tens of
-    millions or very wide dims), the named remedy is probe SHARDING,
-    which keeps the broadcast shape at any k: split the centroid
-    table into m broadcast-sized shards, per-shard argmax (n x m
-    rows, no skewed shuffle), union, final per-vec_id argmax — the
-    two-phase pattern e02's remedy already names, applied to the
-    probe side.
+    millions or very wide dims), the remedy is probe SHARDING —
+    EXECUTABLE here via ``centroid_shards=m`` (r12, closing VERDICT
+    r11 item 4): the centroid table splits into m hash-disjoint
+    broadcast-sized shards (deterministic xxhash64(clabel) split,
+    ~k/m rows each), each shard scores its candidates in its own
+    broadcast equi-join branch, and ONE vec_id-keyed min-of-struct
+    hash aggregate over the union replaces the argmax window —
+    partial aggregation reduces each branch map-side to one
+    candidate per (vec_id, partition) before the exchange, so the
+    shuffle carries ~n·m best-so-far rows, never the full candidate
+    set, and never a skewed bucket-keyed sort-merge.  min over
+    struct(-acos, clabel) is the window's exact (rounded-cosine
+    desc, clabel asc) semantics — shard-count invariance m=1..7 is
+    pinned on constructed frames (zero-norm embeddings, whose NaN
+    cosine orders differently under min-struct than under a desc
+    window, are out of contract for the whole vector family).  The
+    vector side is re-mapped once per shard (n·m map work, no pin —
+    the documented trade for keeping every join broadcast-shaped at
+    any k); the registered i59 path keeps the default m=1 window
+    form.
     The routing table builder DISPATCHES on code-space size (the two
     forms are pinned equal in tests): at <= 2^10 codes the one-shot
     cross-product ranking is cheapest (a few thousand integer rows, no
@@ -781,6 +796,7 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     cbuck = (cenarr.crossJoin(basis)
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
+    cbuck_pinned = False
     # ball_min_codes: the dispatch threshold, a keyword so tests can
     # force the ball path end-to-end (pass 0) without duplicating the
     # ranking logic they compare against
@@ -800,25 +816,63 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
         # it on top of srp_ball_routing's internal materializations (r11
         # third review)
         cbuck = cbuck.localCheckpoint()
+        cbuck_pinned = True
         occupied = cbuck.select("cbucket").distinct()
         routing = srp_ball_routing(occupied, bits, nprobe)
     vbuck = (emb.crossJoin(basis)
              .select("vec_id", "embedding",
                      srp_code("embedding", bits).alias("code")))
-    w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
-    return (
-        vbuck.join(F.broadcast(routing), "code")
-        .join(F.broadcast(cbuck), "cbucket")
-        .select("vec_id", "clabel", "embedding",
-                F.round(cosine("embedding", "carr"), 6).alias("acos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "clabel", "embedding"))
+    routed = vbuck.join(F.broadcast(routing), "code")
+    if centroid_shards <= 1:
+        w = W.partitionBy("vec_id").orderBy(F.desc("acos"), "clabel")
+        return (
+            routed
+            .join(F.broadcast(cbuck), "cbucket")
+            .select("vec_id", "clabel", "embedding",
+                    F.round(cosine("embedding", "carr"), 6).alias("acos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "clabel", "embedding"))
+    # probe sharding (see the docstring's broadcast-budget paragraph):
+    # m filtered views of cbuck feed m broadcast branches, so pin the
+    # centroid lineage once — otherwise each branch would re-run the
+    # full-corpus centroid aggregation (the r11 loop-pin defect class)
+    if not cbuck_pinned:
+        cbuck = cbuck.localCheckpoint()
+    shard = F.pmod(F.xxhash64("clabel"), F.lit(centroid_shards))
+    sharded = cbuck.withColumn("shard", shard)
+    scored = None
+    for s in range(centroid_shards):
+        part = F.broadcast(sharded.filter(F.col("shard") == s)
+                           .select("cbucket", "clabel", "carr"))
+        layer = (routed.join(part, "cbucket")
+                 .select("vec_id", "embedding", "clabel",
+                         F.round(cosine("embedding", "carr"), 6)
+                         .alias("acos")))
+        scored = layer if scored is None else scored.unionByName(layer)
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("acos")).alias("nacos"),
+                       F.col("clabel").alias("clabel"),
+                       F.col("embedding").alias("embedding"))).alias("b"))
+    return best.select("vec_id", F.col("b.clabel").alias("clabel"),
+                       F.col("b.embedding").alias("embedding"))
 
 
-# oracle twin of assign_nearest_centroid_ann at bits=3; expects cenarr in
-# scope (_CENTROID_CTES_SQL) and binds assigned(vec_id, clabel, emb)
-_ANN_ASSIGNED_CTES_SQL = """
+# the registered i59 sizing — single-sourced so the Spark call and the
+# oracle CTE below cannot drift apart (ADVICE r11: a future caller
+# passing a non-default bits would otherwise silently diverge from the
+# differential).  The CTE interpolates these where it can (code-space
+# range, probe count); its three-basis-vector CASE block and the 4/2/1
+# bit weights are STRUCTURALLY bits=3, which the assert right below the
+# string guards — changing the constant without rewriting the CTE fails
+# at import, not as a hash mismatch.
+_I59_BITS = 3
+_I59_NPROBE = 3
+
+# oracle twin of assign_nearest_centroid_ann at the i59 sizing; expects
+# cenarr in scope (_CENTROID_CTES_SQL) and binds
+# assigned(vec_id, clabel, emb)
+_ANN_ASSIGNED_CTES_SQL = f"""
         basis AS (
             SELECT max(CASE WHEN vec_id = 1
                             THEN CAST(embedding AS DOUBLE[]) END) AS b1,
@@ -840,11 +894,13 @@ _ANN_ASSIGNED_CTES_SQL = """
             SELECT code, cbucket FROM (
                 SELECT c.code, b.cbucket,
                        bit_count(xor(c.code, b.cbucket)) AS ham
-                FROM (SELECT CAST(unnest(range(0, 8)) AS INT) AS code) c
+                FROM (SELECT CAST(unnest(range(0, {1 << _I59_BITS}))
+                                  AS INT) AS code) c
                 CROSS JOIN (SELECT DISTINCT cbucket FROM cbuck) b
             )
             QUALIFY row_number() OVER (PARTITION BY code
-                                       ORDER BY ham, cbucket) <= 3
+                                       ORDER BY ham, cbucket)
+                <= {_I59_NPROBE}
         ), vbuck AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                    (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -866,18 +922,26 @@ _ANN_ASSIGNED_CTES_SQL = """
         )
 """
 
+# the CTE's basis/weights block is structurally three-bit (see the
+# constant's comment): rewriting it is part of changing _I59_BITS
+assert _I59_BITS == 3, "rewrite _ANN_ASSIGNED_CTES_SQL's basis block"
+
 
 def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
-                        bits: int = 3) -> DataFrame:
+                        bits: int = _I59_BITS, nprobe: int = _I59_NPROBE,
+                        centroid_shards: int = 1) -> DataFrame:
     """The i59 kernel: ``semdedup_census`` with the dense
     assignment swapped for the SRP-bucketed one — the pair stage, the
     keep-first rule, the census rollup, and the localCheckpoint pin are
     all the SHARED code path, so the only semantic difference between
     the dense form and i59 is which centroid a borderline vector lands
-    on."""
+    on.  Defaults are the registered i59 sizing constants; callers at
+    other sizings (the scale-stress log-K growth, probe-sharded runs)
+    must supply their own oracle."""
     return semdedup_census(
         emb, tau=tau,
-        assign=lambda e: assign_nearest_centroid_ann(e, bits=bits))
+        assign=lambda e: assign_nearest_centroid_ann(
+            e, bits=bits, nprobe=nprobe, centroid_shards=centroid_shards))
 
 
 

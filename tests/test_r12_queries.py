@@ -36,6 +36,79 @@ def test_i56_rules_partition_the_corpus(spark, sf_dir):
             r["n_pass"] / r["n_docs"], abs=1e-6)
 
 
+def test_ann_assignment_shard_count_invariance(spark):
+    # probe sharding (assign_nearest_centroid_ann's centroid_shards,
+    # r12 — the executable form of the k·dim broadcast-budget remedy)
+    # must be a pure physical rewrite: the min-of-struct(-acos, clabel)
+    # aggregate has to reproduce the m=1 window's (rounded-cosine desc,
+    # clabel asc) argmax exactly, for any shard count, on BOTH dispatch
+    # paths.  The frame makes ties load-bearing: v6/v7 are equidistant
+    # from centroids cA and cZ (same rounded cosine), so the clabel
+    # tie-break decides — a shard split that separates cA from cZ must
+    # still pick the lexicographically-lower label.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        assign_nearest_centroid_ann,
+    )
+
+    rows = [
+        (1, "cA", [1.0, 0.0, 0.0, 0.0]),
+        (2, "cA", [0.0, 1.0, 0.0, 0.0]),
+        (3, "cZ", [0.0, 0.0, 1.0, 0.0]),
+        (4, "cZ", [-1.0, -1.0, -1.0, 1.0]),
+        (5, "cA", [1.0, 1.0, 0.0, 0.0]),
+        # tie rows: symmetric between the two centroid means
+        (6, "cZ", [1.0, 1.0, 1.0, 0.0]),
+        (7, "cA", [-1.0, -1.0, -1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    base = sorted((r["vec_id"], r["clabel"])
+                  for r in assign_nearest_centroid_ann(df).collect())
+    assert len(base) == len(rows)  # routing covers every vector
+    for m in (2, 3, 7):
+        got = sorted(
+            (r["vec_id"], r["clabel"])
+            for r in assign_nearest_centroid_ann(
+                df, centroid_shards=m).collect())
+        assert got == base, f"centroid_shards={m} diverged"
+    # the ball-routing dispatch path shares the sharded scoring tail
+    ball = sorted(
+        (r["vec_id"], r["clabel"])
+        for r in assign_nearest_centroid_ann(
+            df, ball_min_codes=0, centroid_shards=3).collect())
+    assert ball == base
+
+
+def test_ann_assignment_sharded_plan_shape(spark):
+    # the scale contract of the sharded path: every centroid join stays
+    # a broadcast (one branch per shard), the final argmax is a hash
+    # AGGREGATE with a map-side partial (never a window's sort-shuffle),
+    # and no sort-merge join sneaks in on the low-cardinality bucket key
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        assign_nearest_centroid_ann,
+    )
+    from csv_to_parquet_aws_datalake_spark.plans.checks import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", [float(i % 5) - 2.0, 1.0, float(i % 7)])
+         for i in range(1, 40)],
+        "vec_id long, label string, embedding array<float>")
+    plan = physical_plan(assign_nearest_centroid_ann(df, centroid_shards=3))
+    assert plan.count("BroadcastHashJoin") >= 6  # routing+centroids ×3
+    assert "SortMergeJoin" not in plan
+    # map-side per-shard argmax: a partial min BEFORE the vec_id
+    # exchange (SortAggregate, not HashAggregate — the struct carries
+    # the embedding array, which is not a mutable fixed-width buffer;
+    # the partial still runs map-side, which is the scale property)
+    assert "partial_min" in plan
+    # the m=1 argmax window over (acos, clabel) must be GONE from the
+    # scoring tail; the only remaining windows are the routing builder's
+    # bounded code-key rankings (<= 2^bits rows), which never see acos
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "acos" not in line, line
+
+
 def test_i56_is_map_side_single_rollup(spark, sf_dir):
     # i25's idiom carried over: no explode-shuffle of tokens — the ONLY
     # exchange is the source rollup (plus AQE's coalesced read of it)

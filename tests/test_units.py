@@ -442,20 +442,20 @@ def test_widen_if_narrow_file_scan_path(spark, sf_dir):
     assert widen_if_narrow(d).rdd.getNumPartitions() == par
 
 
-def test_scan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
+def testscan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
     # r9 review: the estimate must be bytes/maxPartitionBytes, not the
     # file count — many tiny packed files still estimate 1 (the
     # single-task hazard is caught), and enough bytes estimate wide even
     # from ONE file (no spurious at-scale repartition)
     from csv_to_parquet_aws_datalake_spark.loader import (
-        _scan_split_estimate, widen_if_narrow,
+        scan_split_estimate, widen_if_narrow,
     )
 
     ten = str(tmp_path / "ten_tiny")
     spark.range(0, 100).repartition(10).write.parquet(ten)
     tiny = spark.read.parquet(ten)
     assert len(tiny.inputFiles()) == 10
-    assert _scan_split_estimate(tiny) == 1  # Spark would pack these
+    assert scan_split_estimate(tiny) == 1  # Spark would pack these
     assert widen_if_narrow(tiny) is not tiny
 
     # shrink the packing target so one modest file estimates "wide":
@@ -464,7 +464,7 @@ def test_scan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
     try:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        assert _scan_split_estimate(d) >= 4
+        assert scan_split_estimate(d) >= 4
         assert widen_if_narrow(d) is d  # healthy: no shuffle added
     finally:
         if prev is None:
@@ -1061,12 +1061,12 @@ def test_global_row_number_survives_exchange_reuse_off(spark):
     assert {r["k"]: r["rn"] for r in got} == expected
     assert all(r["n"] == 311 for r in got)
 
-def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
+def testscan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
     # ADVICE r9a: a gzip CSV executes as ONE task per file no matter its
     # size, so the byte-derived estimate must cap at the file count —
     # otherwise widen_if_narrow would read "healthy" in exactly the
     # single-task-explode case it exists to catch
-    from csv_to_parquet_aws_datalake_spark.loader import _scan_split_estimate
+    from csv_to_parquet_aws_datalake_spark.loader import scan_split_estimate
 
     gz = str(tmp_path / "one_gz")
     (spark.range(0, 50_000)
@@ -1079,7 +1079,7 @@ def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
         files = [f for f in df.inputFiles() if f.endswith(".gz")]
         assert files and len(df.inputFiles()) == len(files)
         # bytes/4k alone would report this healthy; the codec cap must win
-        assert _scan_split_estimate(df) == len(files)
+        assert scan_split_estimate(df) == len(files)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
@@ -1087,7 +1087,7 @@ def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
-def test_scan_split_estimate_mixed_directory(spark, tmp_path):
+def testscan_split_estimate_mixed_directory(spark, tmp_path):
     # ADVICE r10b: in a directory mixing one oversized gzip file with
     # many splittable CSV bytes, the estimate must charge the gzip file
     # exactly one task and the splittable remainder its byte-derived
@@ -1095,7 +1095,7 @@ def test_scan_split_estimate_mixed_directory(spark, tmp_path):
     # splittable side's parallelism
     import math
 
-    from csv_to_parquet_aws_datalake_spark.loader import _scan_split_estimate
+    from csv_to_parquet_aws_datalake_spark.loader import scan_split_estimate
 
     mixed = tmp_path / "mixed"
     (spark.range(0, 50_000)
@@ -1119,7 +1119,7 @@ def test_scan_split_estimate_mixed_directory(spark, tmp_path):
         # old cap would have returned len(files) == 2 here
         expect = 1 + math.ceil(plain_bytes / 4096)
         assert expect > 2
-        assert _scan_split_estimate(df) == expect
+        assert scan_split_estimate(df) == expect
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")

@@ -361,6 +361,31 @@ def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     return semdedup_census_ann(embk, bits=bits)
 
 
+def semdedup_ann_sharded_kernel(embk: DataFrame, k: int) -> DataFrame:
+    """The i59 kernel with probe sharding (centroid_shards=4): the
+    broadcast-budget remedy for k·dim beyond the single-table budget
+    (assign_nearest_centroid_ann's docstring) — m broadcast branches,
+    min-of-struct partial-aggregate argmax instead of the window.  Run
+    alongside semdedup-ann to price the remedy: output is pinned equal
+    by test_ann_assignment_shard_count_invariance, so any delta here is
+    pure physical-plan cost (m-fold vector-side re-map + the partial-
+    aggregate exchange vs one window sort-shuffle).  Measured r12 at
+    sf0.1 (quiet box, fresh context per K, three-run min): 13.0 /
+    10.6 / 17.0 s at K=1/4/16 vs the unsharded row's 6.8 / 9.2 /
+    17.4 s in the same runs — the m-branch constant overhead (~2x at
+    K=1, where fixed job-launch costs dominate a 2000-vector input)
+    fully amortizes by K=16, where sharded equals unsharded within
+    noise: the remedy costs nothing at the scale it exists for."""
+    import math
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        semdedup_census_ann,
+    )
+
+    bits = 3 + max(0, int(round(math.log2(k))))
+    return semdedup_census_ann(embk, bits=bits, centroid_shards=4)
+
+
 def main() -> int:
     only: tuple[str, ...] | None = None
     args = []
@@ -471,7 +496,8 @@ def main() -> int:
             odk = widen_if_narrow(odk).localCheckpoint()
             timed["join-shape[c01]"] = \
                 lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
-        if sel("srp-pairs-shape[i18]") or sel("semdedup-ann[i59-kernel]"):
+        if (sel("srp-pairs-shape[i18]") or sel("semdedup-ann[i59-kernel]")
+                or sel("semdedup-ann-m4[i59-sharded]")):
             emb = load_table(spark, sf_dir, "embeddings")
             n_emb = n_emb or emb.count()
             if sel("srp-pairs-shape[i18]"):
@@ -479,12 +505,18 @@ def main() -> int:
                     emb.select("vec_id", "embedding"), k)).localCheckpoint()
                 timed["srp-pairs-shape[i18]"] = \
                     lambda _d, _e=embk: srp_pairs_shape(_e)
-            if sel("semdedup-ann[i59-kernel]"):
+            if sel("semdedup-ann[i59-kernel]") \
+                    or sel("semdedup-ann-m4[i59-sharded]"):
                 embl = widen_if_narrow(amplify_vectors_labeled(
                     emb.select("vec_id", "label", "embedding"), k)) \
                     .localCheckpoint()
-                timed["semdedup-ann[i59-kernel]"] = \
-                    lambda _d, _e=embl, _k=k: semdedup_ann_kernel(_e, _k)
+                if sel("semdedup-ann[i59-kernel]"):
+                    timed["semdedup-ann[i59-kernel]"] = \
+                        lambda _d, _e=embl, _k=k: semdedup_ann_kernel(_e, _k)
+                if sel("semdedup-ann-m4[i59-sharded]"):
+                    timed["semdedup-ann-m4[i59-sharded]"] = \
+                        lambda _d, _e=embl, _k=k: \
+                        semdedup_ann_sharded_kernel(_e, _k)
         timed = {n: timed[n] for n in timed if sel(n)}
         if not timed:
             raise SystemExit(
