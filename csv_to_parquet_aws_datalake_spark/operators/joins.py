@@ -185,13 +185,31 @@ def asof_join_last_prior(left: DataFrame, right: DataFrame,
 
     Scale-safe plan: union + last(ignorenulls) over one (key) window — a
     single shuffle, no join, no per-row probe.  Unit-tested on literal
-    frames in tests/test_units.py; c09 runs it over the events table."""
-    base = left.select(
+    frames in tests/test_units.py; c09 runs it over the events table.
+
+    NULL keys take SQL equi-join semantics (r12 — found by the
+    null-bearing differential fixture, which the fixture corpus could
+    never exercise): a NULL-key left row matches NOTHING (out_col NULL)
+    and a NULL-key right row matches nothing, exactly like the oracle's
+    ``ON e.user_id = p.user_id`` — the previous form let Spark's
+    partitionBy group every NULL key into ONE window partition,
+    silently implementing IS-NOT-DISTINCT-FROM matching AND funneling
+    an anonymous-heavy corpus's whole NULL stripe into a single task
+    (the skew shape the e10 sessionize docstring already warns about).
+    Both NULL sides are routed AROUND the window: NULL-key rights are
+    filtered (they can never match), NULL-key lefts union back with a
+    literal-NULL out_col — so the window never sees a NULL partition at
+    any scale."""
+    null_left = (
+        left.filter(F.col(key).isNull())
+        .select(F.col(left_id),
+                F.lit(None).cast("timestamp").alias(out_col)))
+    base = left.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("k"), F.col(left_ts).alias("t"),
         F.lit(None).cast("timestamp").alias("pts"),
         F.col(left_id).alias("lid"), F.lit(1).alias("tag"),
     )
-    rights = right.select(
+    rights = right.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("k"), F.col(right_ts).alias("t"),
     ).distinct().select(
         "k", "t", F.col("t").alias("pts"),
@@ -208,6 +226,7 @@ def asof_join_last_prior(left: DataFrame, right: DataFrame,
         .withColumn(out_col, F.last("pts", ignorenulls=True).over(w))
         .filter(F.col("tag") == 1)
         .select(F.col("lid").alias(left_id), out_col)
+        .unionByName(null_left)
     )
 
 

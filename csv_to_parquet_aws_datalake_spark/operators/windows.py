@@ -409,7 +409,17 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed 6-hour grid, carrying the last observation forward (LOCF) —
     NULL before the first event.  Same scale-safe shape as the as-of join
     (c09): union grid + events, one window pass over (user_id), no join —
-    the standard downsampling plan for feature snapshots at 100 TB."""
+    the standard downsampling plan for feature snapshots at 100 TB.
+
+    NULL user_ids (r12, the null-bearing differential fixture): the
+    grid KEEPS the NULL user (both engines' DISTINCT emits it, so both
+    emit its 29 grid rows), but NULL-user observations fill NOTHING —
+    the oracle's ASOF ``grid.user_id = e.user_id`` never matches a
+    NULL, while the unfiltered window form LOCF'd anonymous events into
+    the anonymous grid (IS-NOT-DISTINCT-FROM semantics, silently).
+    Filtering the obs side leaves the NULL window partition holding
+    exactly the 29 grid rows — bounded, so no skew hazard here (unlike
+    c09's left side, which scales with the corpus and routes around)."""
     ev = load_table(spark, sf_dir, "events")
     grid_ts = F.expr(
         "sequence(to_timestamp('2024-01-01'), to_timestamp('2024-01-08'),"
@@ -420,8 +430,9 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("gts").alias("ts"),
                 F.lit(None).cast("double").alias("v"), F.lit(1).alias("tag"))
     )
-    obs = ev.select("user_id", "ts", F.col("value").alias("v"),
-                    F.lit(0).alias("tag"))
+    obs = (ev.filter(F.col("user_id").isNotNull())
+           .select("user_id", "ts", F.col("value").alias("v"),
+                   F.lit(0).alias("tag")))
     w = (W.partitionBy("user_id").orderBy("ts", "tag")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (

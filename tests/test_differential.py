@@ -22,3 +22,69 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
         assert df.count() >= 0
         return
     compare(df, oracle, sql)
+
+
+# ---------------------------------------------------------------------------
+# Null-bearing corpus variant (VERDICT r11 item 5): the fixture tables
+# carry no NULLs, so NULL-key semantics in the events family were pinned
+# only by constructed-frame unit tests — a blind-spot CLASS, not a gap in
+# one query.  This builds an events variant with ~10% NULL user_id
+# (deterministic: event_id % 10 == 3) through the scratch machinery and
+# re-runs every BATCH events-consuming oracle query differentially over
+# it.  First run of this sweep (r12) found and fixed two real latent
+# divergences: asof_join_last_prior (c09) and e12_resample_locf both let
+# Spark's partitionBy group NULL keys into one window partition —
+# IS-NOT-DISTINCT-FROM matching where the SQL oracle's equi-join matches
+# nothing, plus a corpus-scale skew stripe.  The j-family is excluded
+# (streaming file-replay fixtures, exercised by its own suite).
+
+
+def _null_events_dir(sf_dir: str) -> str:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
+
+    d = scratch_dir("null_events_fixture", sf_dir)
+    done = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        mask = (eid % 10) == 3
+        assert mask.any(), "variant must actually contain NULL user_ids"
+        uid_null = pa.array(np.where(mask, 0, uid), mask=mask,
+                            type=pa.int64())
+        cols = {n: (uid_null if n == "user_id" else t[n])
+                for n in t.schema.names}
+        pq.write_table(pa.table(cols), f"{d}/events.parquet")
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet") and name != "events.parquet":
+                dst = os.path.join(d, name)
+                if not os.path.lexists(dst):
+                    os.symlink(os.path.join(sf_dir, name), dst)
+        open(done, "w").close()
+    return d
+
+
+def _batch_events_queries() -> list[str]:
+    # every oracle that reads the events view, minus the streaming family
+    return sorted(
+        n for n, sql in registry.ORACLES.items()
+        if "events" in sql and not n.startswith("j"))
+
+
+@pytest.mark.parametrize("name", _batch_events_queries())
+def test_events_queries_match_oracle_with_null_users(name, spark, sf_dir):
+    from tests.differential import make_oracle_con
+
+    d = _null_events_dir(sf_dir)
+    con = make_oracle_con(d)
+    try:
+        compare(registry.QUERIES[name](spark, d), con,
+                registry.ORACLES[name])
+    finally:
+        con.close()
