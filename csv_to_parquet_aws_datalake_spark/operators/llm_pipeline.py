@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..loader import scan_split_estimate, load_table
+from ..loader import load_table, scan_split_estimate
 from ..registry import query
 
 # md5-hex digit -> 0..15, the cross-engine idiom established by i16_simhash

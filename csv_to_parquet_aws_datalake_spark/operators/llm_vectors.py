@@ -765,7 +765,9 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     broadcast-sized shards (deterministic xxhash64(clabel) split,
     ~k/m rows each), each shard scores its candidates in its own
     broadcast equi-join branch, and ONE vec_id-keyed min-of-struct
-    hash aggregate over the union replaces the argmax window —
+    aggregate over the union replaces the argmax window (SortAggregate
+    physically: the struct carries the embedding array, which is not a
+    mutable fixed-width buffer — the partial still runs map-side) —
     partial aggregation reduces each branch map-side to one
     candidate per (vec_id, partition) before the exchange, so the
     shuffle carries ~n·m best-so-far rows, never the full candidate
@@ -796,7 +798,18 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     cbuck = (cenarr.crossJoin(basis)
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
-    cbuck_pinned = False
+    # Pin the centroid lineage ONCE, up front, whenever more than one
+    # downstream consumer would otherwise re-run the full-corpus
+    # centroid aggregation (the r11 loop-pin defect class): the ball
+    # path takes its own actions over `occupied`, and the sharded path
+    # reads cbuck through m filtered broadcast branches — on the
+    # one-shot path the ROUTING broadcast subtree also hangs off cbuck,
+    # so pinning after routing is built would still re-run the
+    # aggregation inside that broadcast (this round's review).  The
+    # registered m=1 one-shot path stays pin-free: it is a single
+    # action over one lineage.
+    if centroid_shards > 1 or (1 << bits) >= ball_min_codes:
+        cbuck = cbuck.localCheckpoint()
     # ball_min_codes: the dispatch threshold, a keyword so tests can
     # force the ball path end-to-end (pass 0) without duplicating the
     # ranking logic they compare against
@@ -809,14 +822,10 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
             .withColumn("ham", F.expr("bit_count(code ^ cbucket)")),
             nprobe)
     else:
-        # the ball path takes its own actions (per-radius pins, stop-test
-        # counts), so pin the centroid table HERE and derive occupied from
-        # the pinned frame: the full-corpus centroid aggregation runs once
-        # total — otherwise the scoring join's cbuck subtree would re-run
-        # it on top of srp_ball_routing's internal materializations (r11
-        # third review)
-        cbuck = cbuck.localCheckpoint()
-        cbuck_pinned = True
+        # occupied derives from the ALREADY-pinned frame (the up-front
+        # pin covers this branch): srp_ball_routing's per-radius pins,
+        # stop-test counts, and the scoring join's cbuck subtree all
+        # read the one materialization (r11 third review)
         occupied = cbuck.select("cbucket").distinct()
         routing = srp_ball_routing(occupied, bits, nprobe)
     vbuck = (emb.crossJoin(basis)
@@ -833,12 +842,9 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "clabel", "embedding"))
-    # probe sharding (see the docstring's broadcast-budget paragraph):
-    # m filtered views of cbuck feed m broadcast branches, so pin the
-    # centroid lineage once — otherwise each branch would re-run the
-    # full-corpus centroid aggregation (the r11 loop-pin defect class)
-    if not cbuck_pinned:
-        cbuck = cbuck.localCheckpoint()
+    # probe sharding (see the docstring's broadcast-budget paragraph);
+    # cbuck was pinned up front, so the m filtered broadcast branches
+    # all read the one materialization
     shard = F.pmod(F.xxhash64("clabel"), F.lit(centroid_shards))
     sharded = cbuck.withColumn("shard", shard)
     scored = None

@@ -69,12 +69,11 @@ def test_i60_histogram_consistent_with_span_kernel(spark, sf_dir):
             return "32-63"
         return "64+"
 
-    agg: dict[tuple, list] = {}
+    agg: dict[tuple, tuple] = {}
     for r in joined:
         ln = r["span_end"] - r["span_start"] + 1
         key = (r["source"], bucket(ln))
         n, ds, mx = agg.get(key, (0, set(), 0))
-        ds = ds or set()
         ds.add(r["doc_id"])
         agg[key] = (n + 1, ds, max(mx, ln))
     want = {k: (n, len(ds), mx) for k, (n, ds, mx) in agg.items()}
