@@ -36,7 +36,11 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 # Spark's partitionBy group NULL keys into one window partition —
 # IS-NOT-DISTINCT-FROM matching where the SQL oracle's equi-join matches
 # nothing, plus a corpus-scale skew stripe.  The j-family is excluded
-# (streaming file-replay fixtures, exercised by its own suite).
+# from the PER-RUN sweep only for suite-time (each row replays real
+# streaming fixtures, ~2 min for the family); all nine oracled j rows
+# were swept once over the same variant in r12 and were green — their
+# null semantics ride on GROUP BY / window-partition constructs whose
+# NULL grouping matches SQL on both engines by construction.
 
 
 def _null_events_dir(sf_dir: str) -> str:
