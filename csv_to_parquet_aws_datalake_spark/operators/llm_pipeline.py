@@ -90,7 +90,7 @@ def i36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT lang, doc_id,
                    row_number() OVER (PARTITION BY lang
                        ORDER BY md5(concat('samp-seed-1:', text)), doc_id) AS rk
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT lang, doc_id, rk FROM ranked WHERE rk <= 20
     """,
@@ -141,6 +141,11 @@ def i37_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provably unaffected, since phase 1 keeps a superset at any salt
     n_salt = max(spark.sparkContext.defaultParallelism,
                  scan_split_estimate(d))
+    # NULL-text docs are excluded by contract on both engines (r12
+    # null-docs sweep — unfiltered, DuckDB's concat SKIPS the NULL and
+    # ranks the doc by md5('samp-seed-1:') while Spark's concat
+    # propagates NULL, reordering the sample)
+    d = d.filter(F.col("text").isNotNull())
     keyed = d.select(
         "lang", "doc_id",
         F.md5(F.concat(F.lit("samp-seed-1:"), F.col("text"))).alias("skey"))

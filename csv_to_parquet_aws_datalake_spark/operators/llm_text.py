@@ -550,7 +550,7 @@ def i15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(concat(text, ' v', CAST(doc_id AS VARCHAR), '.txt'),
                                       '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
                (n_chars + 3) // 4 AS n_approx
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def i20_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,9 +560,12 @@ def i20_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure lowercase+spaces, which would leave the digit/punctuation
     regex branches untested — so the BPE count runs over the text plus a
     synthetic ' v<doc_id>.txt' suffix, forcing every branch to match on
-    every row (identical construction on both sides)."""
+    every row (identical construction on both sides).  NULL-text docs are
+    excluded by contract on both engines (the i25/i56 convention; r12
+    null-docs sweep — unfiltered, DuckDB's NULL-skipping concat() and
+    Spark's NULL-propagating concat() diverge on the BPE count)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws"),
         F.expr("size(regexp_extract_all("
@@ -587,7 +590,8 @@ _ROLLING_TOKEN_VALUE_DUCK = (
 @query(
     "i21_rolling_hash",
     oracle=f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE text IS NOT NULL)
         SELECT doc_id,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
@@ -607,10 +611,13 @@ def i21_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-token value uses codepoint-indexed substring for first/last chars,
     NOT reverse(): DuckDB reverses grapheme clusters while Spark reverses
     codepoints, and DuckDB ord('') is -1 where Spark ascii('') is 0 — both
-    divergences guarded here (empty tokens score length-only)."""
+    divergences guarded here (empty tokens score length-only).  NULL-text
+    docs are excluded by contract on both engines (r12 null-docs sweep —
+    unfiltered, DuckDB's list_prepend(0, NULL) folds to 0 while Spark's
+    aggregate(NULL) is NULL)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.withColumn("toks", F.split("text", " "))
+        d.filter(F.col("text").isNotNull()).withColumn("toks", F.split("text", " "))
         .select(
             "doc_id",
             F.expr(
@@ -1371,7 +1378,8 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
 @query(
     "i35_incremental_dedup",
     oracle="""
-        WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        WITH fp AS (SELECT doc_id, source, md5(text) AS fp
+                    FROM documents WHERE text IS NOT NULL),
         existing AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
         batch AS (SELECT doc_id, fp FROM fp WHERE source = 'src19')
         SELECT fp, min(doc_id) AS doc_id
@@ -1389,9 +1397,14 @@ def i35_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the existing-corpus side is a pre-built fingerprint index
     (bucketed on fp), so daily ingestion touches the index, never the
     corpus text.  The md5 fingerprint is engine-identical, making the
-    whole path oracle-checkable."""
+    whole path oracle-checkable.  NULL-text docs are excluded by contract
+    on both engines (r12 null-docs sweep — unfiltered, a single NULL
+    fingerprint in the existing corpus turns the oracle's NOT IN into
+    UNKNOWN for every row, the classic three-valued-logic trap, while
+    Spark's anti-join lets NULL-fp batch rows through)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", "source", F.md5("text").alias("fp"))
+    fp = (d.filter(F.col("text").isNotNull())
+          .select("doc_id", "source", F.md5("text").alias("fp")))
     existing = (fp.filter(F.col("source") != "src19")
                 .select("fp").distinct())
     batch = fp.filter(F.col("source") == "src19").select("doc_id", "fp")

@@ -57,7 +57,7 @@ def k06_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                    octet_length(encode(text)) AS n_bytes,
                    list_sum(list_transform(range(1, length(text) + 1),
                             i -> ord(substr(text, i, 1)))) AS bsum
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id, n_bytes,
                CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE bsum // n_bytes END
@@ -101,7 +101,12 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # NULL payloads (missing media) are DROPPED by contract, explicitly on
+    # both engines (r12 null-docs sweep: the kernel's whole-batch byte
+    # join crashes on None, and a production pipeline quarantines
+    # undecodable rows before the decode stage anyway)
+    binary = (d.filter(F.col("text").isNotNull())
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return binary.mapInPandas(
         decode_batches,
         "doc_id long, n_bytes long, mean_byte long, decode_status string",
@@ -158,7 +163,10 @@ def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "frame_mean": frames.sum(axis=1)[keep] // 32})
 
     d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # NULL payloads dropped by contract (the oracle's range(length(NULL))
+    # already emits no frames for them; r12 null-docs sweep)
+    binary = (d.filter(F.col("text").isNotNull())
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return binary.mapInPandas(
         sample_batches, "doc_id long, frame_id long, frame_mean long")
 
@@ -168,7 +176,7 @@ def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH px AS (
             SELECT doc_id, text, unnest(range(0, 4)) AS py FROM documents
-            WHERE n_chars >= 64
+            WHERE n_chars >= 64 AND text IS NOT NULL
         ), cells AS (
             SELECT doc_id, text, py, unnest(range(0, 4)) AS px FROM px
         )
@@ -221,7 +229,10 @@ def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    binary = (d.filter(F.col("n_chars") >= 64)
+    # text IS NOT NULL: n_chars is a SEPARATE column, so a NULL-text row
+    # with n_chars >= 64 would reach the kernel as a None payload and
+    # crash the whole-batch byte join (r12 null-docs sweep)
+    binary = (d.filter((F.col("n_chars") >= 64) & F.col("text").isNotNull())
               .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return binary.mapInPandas(
         pool_batches, "doc_id long, py long, px long, pool long")
@@ -282,7 +293,10 @@ def k15_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # NULL payloads dropped by contract (the oracle's range(length(NULL))
+    # already emits no frames for them; r12 null-docs sweep)
+    binary = (d.filter(F.col("text").isNotNull())
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     frames = binary.mapInPandas(
         frame_batches, "doc_id long, frame_id long, rms double")
     return frames.groupBy("doc_id").agg(

@@ -165,6 +165,11 @@ def k05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="tok string")
     class Tokenize:
         def eval(self, text: str):
+            # NULL text emits no rows — exactly the oracle's
+            # unnest(string_split(NULL)) (r12 null-docs sweep: the
+            # unguarded split crashed the Python worker)
+            if text is None:
+                return
             for t in text.split(" "):
                 yield (t,)
 
@@ -235,7 +240,9 @@ def k10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing."""
     @F.udf(returnType=T.LongType(), useArrow=True)
     def n_vowels(s: str) -> int:
-        return sum(s.count(v) for v in "aeiou")
+        # NULL in, NULL out — the oracle's length(NULL) arithmetic
+        # (r12 null-docs sweep: the unguarded count crashed the worker)
+        return None if s is None else sum(s.count(v) for v in "aeiou")
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_vowels("text").alias("n_vowels"))
@@ -263,7 +270,12 @@ def k11_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re
         pat = re.compile(r"[aeiou]+")  # once per task, amortized over batches
         for s in it:
-            yield s.map(lambda t: len(pat.findall(t))).astype("int64")
+            # NULL in, NULL out via the pandas nullable Int64 dtype — the
+            # oracle's len(regexp_extract_all(NULL)) (r12 null-docs sweep:
+            # the unguarded findall crashed the worker)
+            yield pd.Series(
+                [None if t is None else len(pat.findall(t)) for t in s],
+                dtype="Int64")
 
     # module-level `from __future__ import annotations` stringifies inline
     # hints, which pyspark's signature inference cannot evaluate — attach

@@ -92,3 +92,68 @@ def test_events_queries_match_oracle_with_null_users(name, spark, sf_dir):
                 registry.ORACLES[name])
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Null-bearing DOCUMENTS variant (r12, the i/k-family analog of the
+# events sweep): ~5% NULL text (deterministic doc_id % 20 == 7).  First
+# sweep found 11 real gaps — 7 Python-worker CRASHES (k05/k07/k10/k11/
+# k13/k14/k15 fed None payloads into unguarded kernels; a 100 TB corpus
+# will have nulls) and 4 value divergences from cross-engine NULL
+# semantics (DuckDB's concat skips NULLs where Spark propagates — i20,
+# i37; list_prepend(0, NULL) folds to 0 — i21; NOT IN over a NULL
+# fingerprint goes UNKNOWN for every row — i35).  Contract applied:
+# text-analysis and multimodal operators exclude NULL-text docs
+# explicitly on BOTH engines (the i25/i56 convention; a no-op on the
+# pristine corpus, so driver records stay valid), and the k05/k10/k11
+# UDFs are NULL-tolerant, mirroring their oracles' NULL propagation.
+# Runs at sf0.001: NULL semantics need no scale, and 57 queries at the
+# suite's default SF would add minutes.
+
+
+def _null_docs_dir() -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
+
+    src = "/root/testdata/sf0.001"
+    d = scratch_dir("null_docs_fixture", src)
+    done = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(f"{src}/documents.parquet")
+        did = t["doc_id"].to_numpy()
+        mask = (did % 20) == 7
+        assert mask.any(), "variant must actually contain NULL texts"
+        txt = [None if m else v
+               for v, m in zip(t["text"].to_pylist(), mask)]
+        cols = {n: (pa.array(txt, type=pa.string()) if n == "text" else t[n])
+                for n in t.schema.names}
+        pq.write_table(pa.table(cols), f"{d}/documents.parquet")
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name != "documents.parquet":
+                dst = os.path.join(d, name)
+                if not os.path.lexists(dst):
+                    os.symlink(os.path.join(src, name), dst)
+        open(done, "w").close()
+    return d
+
+
+def _documents_queries() -> list[str]:
+    return sorted(
+        n for n, sql in registry.ORACLES.items() if "documents" in sql)
+
+
+@pytest.mark.parametrize("name", _documents_queries())
+def test_documents_queries_match_oracle_with_null_text(name, spark):
+    from tests.differential import make_oracle_con
+
+    d = _null_docs_dir()
+    con = make_oracle_con(d)
+    try:
+        compare(registry.QUERIES[name](spark, d), con,
+                registry.ORACLES[name])
+    finally:
+        con.close()
