@@ -127,7 +127,16 @@ def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _centroid_table(emb: DataFrame) -> DataFrame:
     """Per-label mean centroids as (clabel, carr) — exact DECIMAL(18,6)
     dimension sums (fold-order-proof, cf. e06) so both engines derive
-    byte-identical centroids.  Shared by i23 and i29."""
+    byte-identical centroids.  Shared by i23 and i29.
+
+    Training rows need BOTH a label and an embedding (r12 null-emb
+    sweep): a NULL label would mint a phantom centroid, and a NULL
+    embedding silently skews the mean divisor cross-engine (Spark's
+    posexplode emits no rows for it while the oracle's fixed range
+    join counts it in count(*)) — excluded explicitly on both engines
+    (_CENTROID_CTES_SQL carries the same WHERE)."""
+    emb = emb.filter(F.col("label").isNotNull()
+                     & F.col("embedding").isNotNull())
     pos = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     cen = pos.groupBy("label", "pos").agg(
@@ -148,8 +157,11 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
+    # assignment needs only an embedding (label-less vectors still get a
+    # cluster); NULL embeddings are out of contract on both engines
     return (
-        emb.crossJoin(F.broadcast(cenarr))
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(cenarr))
         .select("vec_id", "clabel", "embedding",
                 F.round(cosine("embedding", "carr"), 6).alias("acos"))
         .withColumn("rn", F.row_number().over(
@@ -165,6 +177,7 @@ _ASSIGNED_CTE_SQL = """
         assigned AS (
             SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
             FROM embeddings e CROSS JOIN cenarr c
+            WHERE e.embedding IS NOT NULL
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY round(list_cosine_similarity(
                          CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
@@ -178,6 +191,7 @@ _CENTROID_CTES_SQL = """
         pos AS (
             SELECT vec_id, label, p.pos, embedding[p.pos] AS v
             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
         ), cen AS (
             SELECT label, pos,
                    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
@@ -197,6 +211,7 @@ _CENTROID_CTES_SQL = """
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                 carr), 6) AS cos
             FROM embeddings e CROSS JOIN cenarr c
+            WHERE e.embedding IS NOT NULL
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                                        ORDER BY cos DESC, c.clabel) = 1
         )
@@ -216,8 +231,12 @@ def i23_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cenarr = _centroid_table(emb)
     from pyspark.sql.window import Window as W
+    # assignment side: NULL embeddings out of contract (label may be
+    # NULL — a label-less vector still classifies, and GROUP BY groups
+    # the NULL identically on both engines)
     scored = (
-        emb.crossJoin(F.broadcast(cenarr))
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(cenarr))
         .select("vec_id", "label", "clabel",
                 F.round(cosine("embedding", "carr"), 6).alias("cos"))
     )
@@ -241,10 +260,15 @@ def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pin the vector conversion: the fit and BOTH join sides consume it,
     # and unpinned each re-scans and re-converts (same fix as i04; output
-    # identical under the fixed seed)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
-        .alias("features")).localCheckpoint()
+    # identical under the fixed seed).  NULL embeddings are out of
+    # contract for the vector family (r12 null-emb sweep:
+    # array_to_vector's UDF fails outright on NULL input)
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull())
+           .select("vec_id",
+                   array_to_vector(F.col("embedding").cast("array<double>"))
+                   .alias("features"))
+           .localCheckpoint())
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=1.0, numHashTables=4, seed=42)
@@ -828,7 +852,12 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
         # read the one materialization (r11 third review)
         occupied = cbuck.select("cbucket").distinct()
         routing = srp_ball_routing(occupied, bits, nprobe)
-    vbuck = (emb.crossJoin(basis)
+    # assignment needs only an embedding; NULL embeddings are out of
+    # contract on both engines (r12 null-emb sweep — the oracle's
+    # list_inner_product ERRORS on a NULL-element list, it cannot even
+    # express a lenient form)
+    vbuck = (emb.filter(F.col("embedding").isNotNull())
+             .crossJoin(basis)
              .select("vec_id", "embedding",
                      srp_code("embedding", bits).alias("code")))
     routed = vbuck.join(F.broadcast(routing), "code")
@@ -917,6 +946,7 @@ _ANN_ASSIGNED_CTES_SQL = f"""
                                                b3) > 0 THEN 1 ELSE 0 END)
                        AS code
             FROM embeddings CROSS JOIN basis
+            WHERE embedding IS NOT NULL
         ), assigned AS (
             SELECT v.vec_id, cb.clabel, v.emb
             FROM vbuck v

@@ -157,3 +157,93 @@ def test_documents_queries_match_oracle_with_null_text(name, spark):
                 registry.ORACLES[name])
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Null-bearing EMBEDDINGS variant (r12, completing the null blind-spot
+# closure across all three nullable-payload tables): ~4% NULL embedding
+# and ~4% NULL label (disjoint rows, vec_ids 0-3 kept intact — the i05
+# query vector and the SRP basis are data-derived contract rows).  First
+# sweep found: i23's confusion census off by one row (a NULL label
+# minted a phantom centroid, and a NULL embedding skews the oracle's
+# mean divisor — its fixed-range join counts the row where posexplode
+# drops it), the i59 oracle ERRORING outright (DuckDB's
+# list_inner_product rejects NULL-element lists — a lenient oracle is
+# not even expressible), and i19's array_to_vector UDF failing on NULL.
+# Contract applied at the KERNEL level: centroid training requires
+# (label, embedding) both non-NULL; assignment requires embedding
+# non-NULL (a label-less vector still classifies) — mirrored in
+# _CENTROID_CTES_SQL / _ASSIGNED_CTE_SQL / _ANN_ASSIGNED_CTES_SQL, a
+# no-op on the pristine corpus (tri-SF re-proven), so driver records
+# stay valid.
+
+
+def _null_emb_dir() -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
+
+    src = "/root/testdata/sf0.001"
+    d = scratch_dir("null_emb_fixture", src)
+    done = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(f"{src}/embeddings.parquet")
+        vid = t["vec_id"].to_numpy()
+        m_emb = ((vid % 25) == 9) & (vid > 3)
+        m_lab = ((vid % 25) == 14) & (vid > 3)
+        assert m_emb.any() and m_lab.any()
+        emb = [None if m else v
+               for v, m in zip(t["embedding"].to_pylist(), m_emb)]
+        lab = [None if m else v
+               for v, m in zip(t["label"].to_pylist(), m_lab)]
+        cols = {}
+        for n in t.schema.names:
+            if n == "embedding":
+                cols[n] = pa.array(emb, type=t.schema.field("embedding").type)
+            elif n == "label":
+                cols[n] = pa.array(lab, type=t.schema.field("label").type)
+            else:
+                cols[n] = t[n]
+        pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name != "embeddings.parquet":
+                dst = os.path.join(d, name)
+                if not os.path.lexists(dst):
+                    os.symlink(os.path.join(src, name), dst)
+        open(done, "w").close()
+    return d
+
+
+def _embeddings_queries() -> list[str]:
+    return sorted(
+        n for n, sql in registry.ORACLES.items() if "embeddings" in sql)
+
+
+@pytest.mark.parametrize("name", _embeddings_queries())
+def test_embeddings_queries_match_oracle_with_nulls(name, spark):
+    from tests.differential import make_oracle_con
+
+    d = _null_emb_dir()
+    con = make_oracle_con(d)
+    try:
+        compare(registry.QUERIES[name](spark, d), con,
+                registry.ORACLES[name])
+    finally:
+        con.close()
+
+
+def test_rows_only_queries_survive_null_variants(spark):
+    # the oracled sweeps above cannot cover rows-only queries; the bar
+    # for them is CRASH-FREEDOM on null-bearing inputs (r12: i19's
+    # array_to_vector UDF died on a NULL embedding exactly this way).
+    # j05 is excluded (multi-file streaming replay, its own suite) and
+    # a05 reads its own csv fixture, unaffected by the variants.
+    for name, d in (("i04_minhash_lsh", _null_docs_dir()),
+                    ("i52_quantile_drift", _null_docs_dir()),
+                    ("i19_euclidean_lsh", _null_emb_dir()),
+                    ("d10_approx_distinct", _null_events_dir(
+                        "/root/testdata/sf0.001"))):
+        assert registry.QUERIES[name](spark, d).count() >= 0, name
