@@ -959,8 +959,13 @@ _ANN_ASSIGNED_CTES_SQL = f"""
 """
 
 # the CTE's basis/weights block is structurally three-bit (see the
-# constant's comment): rewriting it is part of changing _I59_BITS
-assert _I59_BITS == 3, "rewrite _ANN_ASSIGNED_CTES_SQL's basis block"
+# constant's comment): rewriting it is part of changing _I59_BITS.
+# A raise, not an assert — asserts vanish under python -O, and this
+# guard exists precisely to fail at import instead of as an
+# inscrutable differential hash mismatch (this round's review)
+if _I59_BITS != 3:
+    raise ImportError("rewrite _ANN_ASSIGNED_CTES_SQL's basis block "
+                      "before changing _I59_BITS")
 
 
 def semdedup_census_ann(emb: DataFrame, tau: float = _SEMDEDUP_TAU,

@@ -43,35 +43,52 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 # NULL grouping matches SQL on both engines by construction.
 
 
-def _null_events_dir(sf_dir: str) -> str:
+
+
+def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
+    """Build (once, scratch-cached) an sf-dir variant where ``table`` has
+    chosen columns nulled by deterministic masks and every sibling table
+    is symlinked from ``src``.  ``null_cols`` maps column name -> mask
+    function over the table's pyarrow columns (dict of name -> numpy
+    array).  One shared builder for all three variants (this round's
+    review: the scratch/symlink/_SUCCESS plumbing must not fork)."""
     import os
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
 
-    d = scratch_dir("null_events_fixture", sf_dir)
+    d = scratch_dir(tag, src)
     done = os.path.join(d, "_SUCCESS")
     if not os.path.exists(done):
-        t = pq.read_table(f"{sf_dir}/events.parquet")
-        uid = t["user_id"].to_numpy()
-        eid = t["event_id"].to_numpy()
-        mask = (eid % 10) == 3
-        assert mask.any(), "variant must actually contain NULL user_ids"
-        uid_null = pa.array(np.where(mask, 0, uid), mask=mask,
-                            type=pa.int64())
-        cols = {n: (uid_null if n == "user_id" else t[n])
-                for n in t.schema.names}
-        pq.write_table(pa.table(cols), f"{d}/events.parquet")
-        for name in os.listdir(sf_dir):
-            if name.endswith(".parquet") and name != "events.parquet":
+        t = pq.read_table(f"{src}/{table}.parquet")
+        arrays = {n: t[n].to_numpy(zero_copy_only=False)
+                  for n in t.schema.names}
+        cols = {}
+        for n in t.schema.names:
+            if n in null_cols:
+                mask = null_cols[n](arrays)
+                assert mask.any(), f"variant must null some {n} rows"
+                vals = [None if m else v
+                        for v, m in zip(t[n].to_pylist(), mask)]
+                cols[n] = pa.array(vals, type=t.schema.field(n).type)
+            else:
+                cols[n] = t[n]
+        pq.write_table(pa.table(cols), f"{d}/{table}.parquet")
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name != f"{table}.parquet":
                 dst = os.path.join(d, name)
                 if not os.path.lexists(dst):
-                    os.symlink(os.path.join(sf_dir, name), dst)
+                    os.symlink(os.path.join(src, name), dst)
         open(done, "w").close()
     return d
+
+
+def _null_events_dir(sf_dir: str) -> str:
+    return _null_variant_dir(
+        "null_events_fixture", sf_dir, "events",
+        {"user_id": lambda a: (a["event_id"] % 10) == 3})
 
 
 def _batch_events_queries() -> list[str]:
@@ -112,33 +129,9 @@ def test_events_queries_match_oracle_with_null_users(name, spark, sf_dir):
 
 
 def _null_docs_dir() -> str:
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
-
-    src = "/root/testdata/sf0.001"
-    d = scratch_dir("null_docs_fixture", src)
-    done = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(done):
-        t = pq.read_table(f"{src}/documents.parquet")
-        did = t["doc_id"].to_numpy()
-        mask = (did % 20) == 7
-        assert mask.any(), "variant must actually contain NULL texts"
-        txt = [None if m else v
-               for v, m in zip(t["text"].to_pylist(), mask)]
-        cols = {n: (pa.array(txt, type=pa.string()) if n == "text" else t[n])
-                for n in t.schema.names}
-        pq.write_table(pa.table(cols), f"{d}/documents.parquet")
-        for name in os.listdir(src):
-            if name.endswith(".parquet") and name != "documents.parquet":
-                dst = os.path.join(d, name)
-                if not os.path.lexists(dst):
-                    os.symlink(os.path.join(src, name), dst)
-        open(done, "w").close()
-    return d
+    return _null_variant_dir(
+        "null_docs_fixture", "/root/testdata/sf0.001", "documents",
+        {"text": lambda a: (a["doc_id"] % 20) == 7})
 
 
 def _documents_queries() -> list[str]:
@@ -179,42 +172,12 @@ def test_documents_queries_match_oracle_with_null_text(name, spark):
 
 
 def _null_emb_dir() -> str:
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from csv_to_parquet_aws_datalake_spark.sources.io_paths import scratch_dir
-
-    src = "/root/testdata/sf0.001"
-    d = scratch_dir("null_emb_fixture", src)
-    done = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(done):
-        t = pq.read_table(f"{src}/embeddings.parquet")
-        vid = t["vec_id"].to_numpy()
-        m_emb = ((vid % 25) == 9) & (vid > 3)
-        m_lab = ((vid % 25) == 14) & (vid > 3)
-        assert m_emb.any() and m_lab.any()
-        emb = [None if m else v
-               for v, m in zip(t["embedding"].to_pylist(), m_emb)]
-        lab = [None if m else v
-               for v, m in zip(t["label"].to_pylist(), m_lab)]
-        cols = {}
-        for n in t.schema.names:
-            if n == "embedding":
-                cols[n] = pa.array(emb, type=t.schema.field("embedding").type)
-            elif n == "label":
-                cols[n] = pa.array(lab, type=t.schema.field("label").type)
-            else:
-                cols[n] = t[n]
-        pq.write_table(pa.table(cols), f"{d}/embeddings.parquet")
-        for name in os.listdir(src):
-            if name.endswith(".parquet") and name != "embeddings.parquet":
-                dst = os.path.join(d, name)
-                if not os.path.lexists(dst):
-                    os.symlink(os.path.join(src, name), dst)
-        open(done, "w").close()
-    return d
+    # vec_ids 0-3 kept intact: the i05 query vector and the SRP basis
+    # are data-derived contract rows
+    return _null_variant_dir(
+        "null_emb_fixture", "/root/testdata/sf0.001", "embeddings",
+        {"embedding": lambda a: ((a["vec_id"] % 25) == 9) & (a["vec_id"] > 3),
+         "label": lambda a: ((a["vec_id"] % 25) == 14) & (a["vec_id"] > 3)})
 
 
 def _embeddings_queries() -> list[str]:

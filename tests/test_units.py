@@ -442,7 +442,7 @@ def test_widen_if_narrow_file_scan_path(spark, sf_dir):
     assert widen_if_narrow(d).rdd.getNumPartitions() == par
 
 
-def testscan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
+def test_scan_split_estimate_is_size_based(spark, sf_dir, tmp_path):
     # r9 review: the estimate must be bytes/maxPartitionBytes, not the
     # file count — many tiny packed files still estimate 1 (the
     # single-task hazard is caught), and enough bytes estimate wide even
@@ -1061,7 +1061,7 @@ def test_global_row_number_survives_exchange_reuse_off(spark):
     assert {r["k"]: r["rn"] for r in got} == expected
     assert all(r["n"] == 311 for r in got)
 
-def testscan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
+def test_scan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
     # ADVICE r9a: a gzip CSV executes as ONE task per file no matter its
     # size, so the byte-derived estimate must cap at the file count —
     # otherwise widen_if_narrow would read "healthy" in exactly the
@@ -1087,7 +1087,7 @@ def testscan_split_estimate_caps_non_splittable_codecs(spark, tmp_path):
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
-def testscan_split_estimate_mixed_directory(spark, tmp_path):
+def test_scan_split_estimate_mixed_directory(spark, tmp_path):
     # ADVICE r10b: in a directory mixing one oversized gzip file with
     # many splittable CSV bytes, the estimate must charge the gzip file
     # exactly one task and the splittable remainder its byte-derived

@@ -340,6 +340,17 @@ def kernels():
             "rank[grn-kernel]": rank_all}
 
 
+def _semdedup_bits(k: int) -> int:
+    """SRP bit count for the honest workload model: grows with log2(K)
+    so expected centroids-per-bucket stays constant (i18's production
+    knob).  ONE definition, shared by the unsharded and sharded rows —
+    their comparison is meaningful only at the SAME code-space sizing
+    (this round's review)."""
+    import math
+
+    return 3 + max(0, int(round(math.log2(k))))
+
+
 def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     """The staged i59 kernel under the honest workload model: centroid
     count grows with the corpus (amplify_vectors_labeled), so the SRP
@@ -351,14 +362,11 @@ def semdedup_ann_kernel(embk: DataFrame, k: int) -> DataFrame:
     figure came from the verbatim-copy amplifier, whose tie-break
     cluster collapse inflated the PAIR stage — see semdedup_census's
     scale paragraph for the corrected dense-vs-ANN record.)"""
-    import math
-
     from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         semdedup_census_ann,
     )
 
-    bits = 3 + max(0, int(round(math.log2(k))))
-    return semdedup_census_ann(embk, bits=bits)
+    return semdedup_census_ann(embk, bits=_semdedup_bits(k))
 
 
 def semdedup_ann_sharded_kernel(embk: DataFrame, k: int) -> DataFrame:
@@ -376,14 +384,12 @@ def semdedup_ann_sharded_kernel(embk: DataFrame, k: int) -> DataFrame:
     K=1, where fixed job-launch costs dominate a 2000-vector input)
     fully amortizes by K=16, where sharded equals unsharded within
     noise: the remedy costs nothing at the scale it exists for."""
-    import math
-
     from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
         semdedup_census_ann,
     )
 
-    bits = 3 + max(0, int(round(math.log2(k))))
-    return semdedup_census_ann(embk, bits=bits, centroid_shards=4)
+    return semdedup_census_ann(embk, bits=_semdedup_bits(k),
+                               centroid_shards=4)
 
 
 def main() -> int:
