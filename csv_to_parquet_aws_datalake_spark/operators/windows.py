@@ -400,7 +400,9 @@ def e09_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 INTERVAL 6 HOUR)) AS gts) g
         )
         SELECT grid.user_id, grid.gts, e.value AS last_value
-        FROM grid ASOF LEFT JOIN events e
+        FROM grid ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events
+              WHERE value IS NOT NULL) e
           ON grid.user_id = e.user_id AND grid.gts >= e.ts
     """,
 )
@@ -419,7 +421,15 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anonymous grid (IS-NOT-DISTINCT-FROM semantics, silently).
     Filtering the obs side leaves the NULL window partition holding
     exactly the 29 grid rows — bounded, so no skew hazard here (unlike
-    c09's left side, which scales with the corpus and routes around)."""
+    c09's left side, which scales with the corpus and routes around).
+
+    NULL values (r12, the value-bearing variant probe): LOCF carries the
+    last OBSERVATION forward, and a NULL measurement is not an
+    observation — NULL-value events are skipped, explicitly on both
+    engines (Spark's last(ignorenulls) already skipped them silently;
+    the oracle's ASOF join would instead have taken the latest ROW and
+    returned its NULL — the filter makes the two literal mirrors, and
+    skipping is the point of a gap-FILL operator)."""
     ev = load_table(spark, sf_dir, "events")
     grid_ts = F.expr(
         "sequence(to_timestamp('2024-01-01'), to_timestamp('2024-01-08'),"
@@ -430,7 +440,8 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("gts").alias("ts"),
                 F.lit(None).cast("double").alias("v"), F.lit(1).alias("tag"))
     )
-    obs = (ev.filter(F.col("user_id").isNotNull())
+    obs = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("value").isNotNull())
            .select("user_id", "ts", F.col("value").alias("v"),
                    F.lit(0).alias("tag")))
     w = (W.partitionBy("user_id").orderBy("ts", "tag")

@@ -28,11 +28,13 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 # Null-bearing corpus variant (VERDICT r11 item 5): the fixture tables
 # carry no NULLs, so NULL-key semantics in the events family were pinned
 # only by constructed-frame unit tests — a blind-spot CLASS, not a gap in
-# one query.  This builds an events variant with ~10% NULL user_id
-# (deterministic: event_id % 10 == 3) through the scratch machinery and
-# re-runs every BATCH events-consuming oracle query differentially over
-# it.  First run of this sweep (r12) found and fixed two real latent
-# divergences: asof_join_last_prior (c09) and e12_resample_locf both let
+# one query.  This builds an events variant with disjoint NULL stripes in
+# user_id / value / props (deterministic on event_id) through the scratch
+# machinery and re-runs every BATCH events-consuming oracle query
+# differentially over it.  First runs of this sweep (r12) found and fixed
+# three real latent divergences (the third: e12's LOCF skipped NULL
+# values where the oracle's ASOF took the latest row — the skip is the
+# operator's contract, now explicit on both engines): asof_join_last_prior (c09) and e12_resample_locf both let
 # Spark's partitionBy group NULL keys into one window partition —
 # IS-NOT-DISTINCT-FROM matching where the SQL oracle's equi-join matches
 # nothing, plus a corpus-scale skew stripe.  The j-family is excluded
@@ -86,9 +88,14 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
 
 
 def _null_events_dir(sf_dir: str) -> str:
+    # disjoint ~10% stripes per nullable column: user_id (the join/
+    # window key), value (the measure — caught e12's LOCF-vs-latest-row
+    # divergence), props (the JSON payload)
     return _null_variant_dir(
-        "null_events_fixture", sf_dir, "events",
-        {"user_id": lambda a: (a["event_id"] % 10) == 3})
+        "null_events_fixture_v2", sf_dir, "events",
+        {"user_id": lambda a: (a["event_id"] % 10) == 3,
+         "value": lambda a: (a["event_id"] % 10) == 4,
+         "props": lambda a: (a["event_id"] % 10) == 6})
 
 
 def _batch_events_queries() -> list[str]:
