@@ -65,8 +65,15 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
     done = os.path.join(d, "_SUCCESS")
     if not os.path.exists(done):
         t = pq.read_table(f"{src}/{table}.parquet")
-        arrays = {n: t[n].to_numpy(zero_copy_only=False)
-                  for n in t.schema.names}
+
+        class _Lazy(dict):
+            # masks read only the id column; converting every column
+            # (embeddings, text) to object arrays would be pure waste
+            def __missing__(self, n):
+                self[n] = t[n].to_numpy(zero_copy_only=False)
+                return self[n]
+
+        arrays = _Lazy()
         cols = {}
         for n in t.schema.names:
             if n in null_cols:
@@ -106,7 +113,7 @@ def _batch_events_queries() -> list[str]:
 
 
 @pytest.mark.parametrize("name", _batch_events_queries())
-def test_events_queries_match_oracle_with_null_users(name, spark, sf_dir):
+def test_events_queries_match_oracle_with_nulls(name, spark, sf_dir):
     from tests.differential import make_oracle_con
 
     d = _null_events_dir(sf_dir)

@@ -134,6 +134,7 @@ def test_streaming_state_queries_green_under_rocksdb(spark, oracle, sf_dir):
     key = "spark.sql.streaming.stateStore.providerClass"
     rocks = ("org.apache.spark.sql.execution.streaming.state."
              "RocksDBStateStoreProvider")
+    prior = spark.conf.get(key, None)
     spark.conf.set(key, rocks)
     try:
         for n in ("j01_stream_tumbling", "j03_stream_session",
@@ -142,7 +143,13 @@ def test_streaming_state_queries_green_under_rocksdb(spark, oracle, sf_dir):
             compare(registry.QUERIES[n](spark, sf_dir), oracle,
                     registry.ORACLES[n])
         spark.conf.set(key, "com.example.NoSuchProvider")
-        with pytest.raises(Exception):
+        # match on the class name: ONLY the provider-load failure may
+        # satisfy the probe (an unrelated error passing a bare
+        # raises(Exception) would hide a silently-ignored conf)
+        with pytest.raises(Exception, match="NoSuchProvider"):
             registry.QUERIES["j01_stream_tumbling"](spark, sf_dir).collect()
     finally:
-        spark.conf.unset(key)
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
