@@ -191,9 +191,19 @@ def a07_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decisive layout for repeated fact-fact joins at 100 TB (pay the
     shuffle once on write, never on read).  tests assert the Exchange-free
     plan.  External-table paths keep the warehouse inside the scratch dir."""
+    import hashlib
+    import re
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # SQL-safe, collision-proof table tag (r12: the old basename-with-
+    # dots-replaced broke on any directory whose name holds other
+    # non-identifier characters — the null-variant scratch dirs carry a
+    # hyphenated fingerprint — and two distinct paths sharing a basename
+    # would silently reuse each other's bucketed tables)
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    sf_tag = (re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(norm))
+              + "_" + hashlib.md5(norm.encode()).hexdigest()[:8])
     t_orders, t_cust = f"b_orders_{sf_tag}", f"b_customer_{sf_tag}"
     (o.write.mode("overwrite").bucketBy(8, "o_custkey")
        .option("path", scratch_dir("a07", sf_dir, "orders"))

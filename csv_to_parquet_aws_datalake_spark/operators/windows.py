@@ -73,9 +73,16 @@ def global_row_number(df: DataFrame, order_cols: list,
        the linter in plans/checks.py flags it with no size information.
     """
     names = [c if isinstance(c, str) else c[0] for c in order_cols]
+    # NULL position is EXPLICIT (r12 TPC-H null probe: Spark's asc
+    # default is NULLS FIRST, DuckDB's is NULLS LAST — an oracle that
+    # leans on either default diverges the moment an order key turns
+    # nullable); asc_nulls_first/desc_nulls_last are Spark's own
+    # defaults, so existing callers are bit-identical, and every
+    # oracle twin spells NULLS FIRST on its nullable asc keys
     exprs = [
-        F.asc(c) if isinstance(c, str)
-        else (F.desc(c[0]) if c[1] == "desc" else F.asc(c[0]))
+        F.asc_nulls_first(c) if isinstance(c, str)
+        else (F.desc_nulls_last(c[0]) if c[1] == "desc"
+              else F.asc_nulls_first(c[0]))
         for c in order_cols
     ]
     payload = set(df.columns) - set(names)
@@ -137,8 +144,10 @@ def e01_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e02_rank_dense",
     oracle="""
         SELECT o_orderkey, o_orderstatus,
-               rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
-               dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+               rank()       OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderpriority NULLS FIRST) AS rnk,
+               dense_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderpriority NULLS FIRST) AS drnk
         FROM orders
     """,
 )
@@ -146,7 +155,9 @@ def e02_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank/dense_rank depend only on the order-key VALUE, so heavy ties
     # (5 distinct priorities) are still deterministic.
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    # NULLS FIRST explicit on both engines (the r12 probe class)
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_first("o_orderpriority"))
     return o.select(
         "o_orderkey", "o_orderstatus",
         F.rank().over(w).alias("rnk"),
@@ -180,7 +191,7 @@ def e03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e04_ntile",
     oracle="""
         SELECT c_custkey,
-               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+               ntile(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
         FROM customer
     """,
 )
@@ -212,8 +223,8 @@ def e04_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e05_percent_cume",
     oracle="""
         SELECT c_custkey,
-               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
-               round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+               round(percent_rank() OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey), 6) AS pr,
+               round(cume_dist()    OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey), 6) AS cd
         FROM customer
     """,
 )
