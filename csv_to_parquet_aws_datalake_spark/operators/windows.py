@@ -274,7 +274,8 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e06_running_sum",
     oracle=_DAILY_ORACLE + """
         SELECT l_returnflag, CAST(d AS TIMESTAMP) AS d,
-               CAST(sum(daily_rev) OVER (PARTITION BY l_returnflag ORDER BY d
+               CAST(sum(daily_rev) OVER (PARTITION BY l_returnflag
+                     ORDER BY d NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS DOUBLE) AS cum_rev
         FROM daily
@@ -284,7 +285,9 @@ def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d leaves as TIMESTAMP on both sides: Spark DATE -> pandas object(date)
     # but DuckDB DATE -> datetime64, and the driver hash is type-sensitive
     daily = _daily_revenue(spark, sf_dir)
-    w = (W.partitionBy("l_returnflag").orderBy("d")
+    # NULLS FIRST explicit on both engines (the r12 probe class: a NULL
+    # ship date must take the same window position on each side)
+    w = (W.partitionBy("l_returnflag").orderBy(F.asc_nulls_first("d"))
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return daily.select(
         "l_returnflag", F.col("d").cast("timestamp").alias("d"),
@@ -302,7 +305,8 @@ def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(daily_rev) OVER w * 10000 AS BIGINT) AS s_e4,
                    count(daily_rev) OVER w AS n7
             FROM daily
-            WINDOW w AS (PARTITION BY l_returnflag ORDER BY d
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY d NULLS FIRST
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         )
         SELECT l_returnflag, CAST(d AS TIMESTAMP) AS d,
@@ -317,7 +321,9 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space (scale to 1e-4 units, integer-divide, +5 // 10) and only the
     # final deterministic integer is converted to double.
     daily = _daily_revenue(spark, sf_dir)
-    w = W.partitionBy("l_returnflag").orderBy("d").rowsBetween(-6, 0)
+    # NULLS FIRST explicit on both engines (the r12 probe class)
+    w = (W.partitionBy("l_returnflag").orderBy(F.asc_nulls_first("d"))
+         .rowsBetween(-6, 0))
     return (
         daily.select(
             "l_returnflag", "d",

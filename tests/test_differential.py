@@ -240,43 +240,57 @@ def test_rows_only_queries_survive_null_variants(spark):
 # the oracles) — a pristine no-op since those are Spark's own defaults.
 
 
-def _null_tpch_dir() -> str:
-    src = "/root/testdata/sf0.001"
-    d = _null_variant_dir(
-        "null_tpch_orders_fixture", src, "orders",
-        {"o_orderpriority": lambda a: (a["o_orderkey"] % 17) == 5})
-    # layer the customer variant INTO the same directory: rebuild its
-    # parquet there (the orders builder symlinked it; replace the link)
+def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
+    """Replace ``d``'s symlink for ``table`` with a rebuilt parquet whose
+    chosen columns are nulled (mask semantics as _null_variant_dir); a
+    no-op if the overlay already ran (the link is gone)."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    cust = os.path.join(d, "customer.parquet")
-    if os.path.islink(cust):
-        t = pq.read_table(f"{src}/customer.parquet")
-        ck = t["c_custkey"].to_numpy()
-        m_seg, m_bal = (ck % 13) == 4, (ck % 13) == 7
-        cols = {}
-        for n in t.schema.names:
-            if n == "c_mktsegment":
-                vals = [None if m else v
-                        for v, m in zip(t[n].to_pylist(), m_seg)]
-                cols[n] = pa.array(vals, type=t.schema.field(n).type)
-            elif n == "c_acctbal":
-                vals = [None if m else v
-                        for v, m in zip(t[n].to_pylist(), m_bal)]
-                cols[n] = pa.array(vals, type=t.schema.field(n).type)
-            else:
-                cols[n] = t[n]
-        os.unlink(cust)
-        pq.write_table(pa.table(cols), cust)
+
+    path = os.path.join(d, f"{table}.parquet")
+    if not os.path.islink(path):
+        return
+    t = pq.read_table(f"{src}/{table}.parquet")
+
+    class _Lazy(dict):  # masks pull only the columns they read
+        def __missing__(self, n):
+            self[n] = t[n].to_numpy(zero_copy_only=False)
+            return self[n]
+
+    arrays = _Lazy()
+    cols = {}
+    for n in t.schema.names:
+        if n in null_cols:
+            mask = null_cols[n](arrays)
+            vals = [None if m else v for v, m in zip(t[n].to_pylist(), mask)]
+            cols[n] = pa.array(vals, type=t.schema.field(n).type)
+        else:
+            cols[n] = t[n]
+    os.unlink(path)
+    pq.write_table(pa.table(cols), path)
+
+
+def _null_tpch_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = _null_variant_dir(
+        "null_tpch_fixture_v2", src, "lineitem",
+        {"l_returnflag": lambda a: (a["l_orderkey"] % 23) == 3,
+         "l_discount": lambda a: (a["l_orderkey"] % 23) == 9,
+         "l_shipdate": lambda a: (a["l_orderkey"] % 23) == 15})
+    _overlay_nulls(d, src, "orders",
+                   {"o_orderpriority": lambda a: (a["o_orderkey"] % 17) == 5})
+    _overlay_nulls(d, src, "customer",
+                   {"c_mktsegment": lambda a: (a["c_custkey"] % 13) == 4,
+                    "c_acctbal": lambda a: (a["c_custkey"] % 13) == 7})
     return d
 
 
 def _tpch_orders_customer_queries() -> list[str]:
     return sorted(
         n for n, sql in registry.ORACLES.items()
-        if "orders" in sql or "customer" in sql)
+        if "orders" in sql or "customer" in sql or "lineitem" in sql)
 
 
 @pytest.mark.parametrize("name", _tpch_orders_customer_queries())
