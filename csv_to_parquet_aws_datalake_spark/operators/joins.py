@@ -200,20 +200,25 @@ def asof_join_last_prior(left: DataFrame, right: DataFrame,
     filtered (they can never match), NULL-key lefts union back with a
     literal-NULL out_col — so the window never sees a NULL partition at
     any scale."""
+    # literal-NULL placeholder types derive from the INPUT schemas (ADVICE
+    # r12: hardcoded timestamp/long casts would silently type-mismatch the
+    # unionByName for a caller whose right_ts / left_id differ)
+    pts_type = right.schema[right_ts].dataType
+    lid_type = left.schema[left_id].dataType
     null_left = (
         left.filter(F.col(key).isNull())
         .select(F.col(left_id),
-                F.lit(None).cast("timestamp").alias(out_col)))
+                F.lit(None).cast(pts_type).alias(out_col)))
     base = left.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("k"), F.col(left_ts).alias("t"),
-        F.lit(None).cast("timestamp").alias("pts"),
+        F.lit(None).cast(pts_type).alias("pts"),
         F.col(left_id).alias("lid"), F.lit(1).alias("tag"),
     )
     rights = right.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("k"), F.col(right_ts).alias("t"),
     ).distinct().select(
         "k", "t", F.col("t").alias("pts"),
-        F.lit(None).cast("long").alias("lid"), F.lit(0).alias("tag"),
+        F.lit(None).cast(lid_type).alias("lid"), F.lit(0).alias("tag"),
     )
     # tag orders right rows before left rows at equal ts => inclusive as-of
     w = (

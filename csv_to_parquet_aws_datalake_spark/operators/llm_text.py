@@ -1857,3 +1857,99 @@ def i54_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dup_toks") / F.sum("n_toks").cast("double"), 6)
          .alias("dup_share"),
     )
+
+
+def _doc_lines(d: DataFrame, block: int) -> DataFrame:
+    """(doc_id, idx, line): the deterministic ``block``-token pseudo-line
+    segmentation the i63 rewrite (and its boilerplate census stage) key
+    on.  This corpus has no newlines, so a "line" is the consecutive
+    ``block``-token window — swapping in a real newline split changes
+    only this expression, not the plan."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, (size(t) + {block - 1}) div {block} - 1),"
+            f" i -> concat_ws(' ', slice(t, i * {block} + 1, {block})))"))
+        .alias("idx", "line"))
+
+
+@query(
+    "i63_line_dedup_rewrite",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), lines AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')
+                       AS line
+            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
+        ), boiler AS (
+            SELECT line, CAST(min(doc_id) AS BIGINT) AS keep_doc
+            FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        ), flagged AS (
+            SELECT l.doc_id, l.idx, l.line,
+                   (b.line IS NULL OR l.doc_id = b.keep_doc) AS kept
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               coalesce(string_agg(CASE WHEN kept THEN line END, ' '
+                                   ORDER BY idx), '') AS clean_text
+        FROM flagged GROUP BY doc_id
+    """,
+)
+def i63_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORMATION half of C4-style boilerplate removal (Raffel et
+    al. 2020 drop repeated lines across documents; registered r13 from
+    the staged bank, where its census sibling i62 retired same-family):
+    every document rewritten with its cross-document duplicate lines
+    dropped — except in the keep-first representative, which retains
+    them (the keep-one policy, i02's rule at line granularity).  Output
+    per doc: kept/dropped line counts and the reconstructed clean text,
+    so ``n_dropped = 0`` documents round-trip byte-identically (pinned
+    in tests).
+
+    Scale shape: the same pseudo-line explode feeds the boilerplate
+    aggregate and the join probe (two column-pruned passes over the
+    map-side segmentation — the i48 semi-join idiom's documented
+    price); the boilerplate set joins line-keyed (broadcast while
+    small, AQE-skew-splittable when a web-scale "all rights reserved"
+    line makes it hot — a hot line is a splittable hash KEY here, never
+    a window partition), and the reconstruction is ONE doc-keyed
+    aggregate — collect_list over kept (idx, line) structs, array_sort,
+    concat_ws — bounded by per-doc length exactly like e19's per-user
+    fold.  Cross-engine determinism: the null-skipping collect_list
+    mirrors string_agg's CASE-filtered null skip, array_sort on
+    (idx, line) mirrors ORDER BY idx (idx unique per doc), and the
+    empty-kept edge is pinned to '' on BOTH engines (Spark's concat_ws
+    over an empty array vs the oracle's coalesce over string_agg's
+    NULL)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    return line_dedup_rewrite(widen_if_narrow(d.select("doc_id", "text")))
+
+
+def line_dedup_rewrite(d: DataFrame, block: int = 10) -> DataFrame:
+    """The i63 kernel over any (doc_id, text) frame; see the registered
+    query's docstring for semantics and the scale story."""
+    lines = _doc_lines(d, block)
+    boiler = (lines.groupBy("line")
+              .agg(F.countDistinct("doc_id").alias("nd"),
+                   F.min("doc_id").alias("keep_doc"))
+              .filter(F.col("nd") > 1)
+              .select("line", "keep_doc"))
+    flagged = (lines.join(boiler, "line", "left")
+               .withColumn("kept", F.col("keep_doc").isNull()
+                           | (F.col("doc_id") == F.col("keep_doc"))))
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.concat_ws(" ", F.expr(
+            "transform(array_sort(collect_list(CASE WHEN kept THEN"
+            " struct(idx, line) END)), x -> x.line)")).alias("clean_text"),
+    )

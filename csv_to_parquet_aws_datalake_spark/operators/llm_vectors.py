@@ -732,6 +732,16 @@ def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
     return _rank_top_nprobe(acc, nprobe)
 
 
+def _nan_safe_acos(vec_col: str, cen_col: str):
+    """Rounded cosine with NaN pinned to -2.0 (below any real cosine), so
+    a zero-norm embedding or centroid orders IDENTICALLY under the m=1
+    desc window and the sharded min-of-struct argmax (Spark sorts NaN
+    greatest: raw NaN would WIN the window but LOSE the min — the r12
+    shard-invariance contract enforced in code, ADVICE r12)."""
+    return (F.nanvl(F.round(cosine(vec_col, cen_col), 6), F.lit(-2.0))
+            .alias("acos"))
+
+
 def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
                                 nprobe: int = 3,
                                 ball_min_codes: int = 1025,
@@ -798,9 +808,13 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     set, and never a skewed bucket-keyed sort-merge.  min over
     struct(-acos, clabel) is the window's exact (rounded-cosine
     desc, clabel asc) semantics — shard-count invariance m=1..7 is
-    pinned on constructed frames (zero-norm embeddings, whose NaN
-    cosine orders differently under min-struct than under a desc
-    window, are out of contract for the whole vector family).  The
+    pinned on constructed frames.  Zero-norm embeddings (NaN cosine,
+    which Spark sorts GREATEST — it would win the desc window but lose
+    the min-struct) are normalized to a -2.0 sentinel by
+    ``_nan_safe_acos`` on BOTH paths, so they deterministically lose
+    everywhere and shard invariance holds even out of contract
+    (ADVICE r12; still out of contract for the oracle family — DuckDB's
+    list_inner_product path never sees them).  The
     vector side is re-mapped once per shard (n·m map work, no pin —
     the documented trade for keeping every join broadcast-shaped at
     any k); the registered i59 path keeps the default m=1 window
@@ -867,7 +881,7 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
             routed
             .join(F.broadcast(cbuck), "cbucket")
             .select("vec_id", "clabel", "embedding",
-                    F.round(cosine("embedding", "carr"), 6).alias("acos"))
+                    _nan_safe_acos("embedding", "carr"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "clabel", "embedding"))
@@ -882,8 +896,7 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
                            .select("cbucket", "clabel", "carr"))
         layer = (routed.join(part, "cbucket")
                  .select("vec_id", "embedding", "clabel",
-                         F.round(cosine("embedding", "carr"), 6)
-                         .alias("acos")))
+                         _nan_safe_acos("embedding", "carr")))
         scored = layer if scored is None else scored.unionByName(layer)
     best = scored.groupBy("vec_id").agg(
         F.min(F.struct((-F.col("acos")).alias("nacos"),

@@ -26,42 +26,45 @@ same-family form; its ``phash_codes`` kernel moved HERE, k17's only
 dependency).  This module is now the whole bank: six candidates
 (seven after i65 staged later in r12 — see its bullet below).
 
-The remaining bank, each with tri-SF oracle parity, plan pins, and an
-independent reference (the follow-on compositions the r9 plan named,
-VERDICT r9 item 7):
+Round 13's retirement review (SURVEY §7.12 has the full ledger) took
+three more candidates out: i63 REGISTERED
+(``llm_text.py:i63_line_dedup_rewrite`` — the C4 line-dedup
+transformation, the bank's verdict-ranked strongest); i62 deleted
+(same-family: the census is a read-only diagnostic of the registered
+rewrite's boiler stage — the k16/k17 precedent; its per-line counts
+are recoverable from git or by reading the rewrite's intermediate);
+i60 deleted (4 rounds banked, never verdict-ranked — the §7.9 default
+— and a read-only rollup of the REGISTERED i48/i54 span kernel, so a
+registry slot on it adds no new kernel coverage).
 
-- i60 span-length histogram — i55's census widened to per-source
-  power-of-two length bands (integer CASE ranges, no float log2), the
-  distribution a substring-dedup threshold is actually read from.
-- i61 BM25 over query SETS — i57's determinism design (position-pivoted
-  contributions, fixed-order sum, rounded-score tie-broken top-k)
-  generalized to three queries scored in one corpus pass with a
-  query-partitioned row_number window.
-- i62 C4-style line-dedup census — segment-keyed EXACT matching
-  (10-token pseudo-lines; the corpus has no newlines), one line-keyed
-  hash-aggregate: the splittable-hot-KEY shape, deliberately not a
-  window (the r9 skew lesson).
-- i63 line-dedup REWRITE — the transformation half of i62: documents
-  reconstructed with cross-document duplicate lines dropped
-  (keep-first representative retains them), clean text rebuilt by a
-  doc-keyed sorted-struct fold, with the untouched-document
-  byte-identity round-trip pinned.
-- k17 phash band near-dup — Hamming<=1 neighbor pairs over 8-bit
-  aHash codes via 2x4-bit banding (the pigeonhole guarantee makes the
-  band equi-join EXACT for radius 1), the i34 shape applied to the
-  multimodal family; radius-0 pairs are the exact-code duplicates.
-- i64 BM25 decontamination census — the soft (retrieval-based)
-  complement of i33's exact-gram decontamination: documents scoring
-  above a measured threshold against each benchmark probe, counted per
-  probe with a deterministic top candidate; composes
-  ``bm25_query_scores`` in one corpus pass.
-- i65 model-based quality classifier (staged r12 — policy-legal: five
-  candidates retired this round, see the r12 retirement review above) —
-  the fastText-shaped linear-scorer filter completing the quality
-  family (i14 heuristic ratios, i25/i56 rule gates, this the learned
-  member): integer hashed-feature weights, exact order-free sums, a
-  non-negative normalization making Spark div == DuckDB //, zero
-  exchanges.
+The remaining bank — each with tri-SF oracle parity, plan pins, an
+independent reference, and a NAMED fate in the §7.12 ledger (no
+candidate rides the 4-round default):
+
+- i65 model-based quality classifier (staged r12) — REGISTERS r14,
+  completing the quality family (i14 heuristic ratios, i25/i56 rule
+  gates, this the learned member): integer hashed-feature weights,
+  exact order-free sums, a non-negative normalization making Spark
+  div == DuckDB //, zero exchanges.
+- i64 BM25 decontamination census — REGISTERS r15: the soft
+  (retrieval-based) complement of i33's exact-gram decontamination:
+  documents scoring above a measured threshold against each benchmark
+  probe, counted per probe with a deterministic top candidate;
+  composes ``bm25_query_scores`` in one corpus pass.
+- i61 BM25 over query SETS — DELETES r15 when i64 registers
+  (same-kernel family: ``bm25_query_scores`` moves to the registered
+  home as i64's dependency, which exercises the whole scoring path;
+  the standalone top-k form is the weaker sibling — the i57→i61
+  precedent carried one step further).  Kept until then as the
+  fallback should i64's oracle prove weaker at registration time.
+- k17 phash band near-dup — REGISTERS r16 (the multimodal family's
+  only near-dup capability, no registered sibling): Hamming<=1
+  neighbor pairs over 8-bit aHash codes via 2x4-bit banding (the
+  pigeonhole guarantee makes the band equi-join EXACT for radius 1),
+  the i34 shape applied to the multimodal family; radius-0 pairs are
+  the exact-code duplicates.
+
+The bank drains to EMPTY by r16.
 """
 
 from __future__ import annotations
@@ -71,7 +74,6 @@ from pyspark.sql import functions as F
 
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
-from .llm_text import _DUP_SPAN_HITS_CTE, _GRAMS_CTE
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -147,70 +149,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-@_stage(
-    "i60_span_length_histogram",
-    oracle=f"""
-        WITH {_GRAMS_CTE},
-        {_DUP_SPAN_HITS_CTE},
-        spans AS (
-            SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-            FROM hits GROUP BY doc_id, grp
-        ), sl AS (
-            SELECT doc_id, CAST(e - s + 1 AS BIGINT) AS len FROM spans
-        ), b AS (
-            SELECT doc_id, len,
-                   CASE WHEN len < 8 THEN '05-07'
-                        WHEN len < 16 THEN '08-15'
-                        WHEN len < 32 THEN '16-31'
-                        WHEN len < 64 THEN '32-63'
-                        ELSE '64+' END AS len_bucket
-            FROM sl
-        )
-        SELECT d.source, b.len_bucket,
-               CAST(count(*) AS BIGINT) AS n_spans,
-               CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
-               CAST(max(b.len) AS BIGINT) AS max_len
-        FROM b JOIN documents d USING (doc_id)
-        GROUP BY 1, 2
-    """,
-)
-def i60_span_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source HISTOGRAM of duplicated-span lengths (power-of-two
-    buckets) — the distribution Lee et al. 2022 plot to pick a substring-
-    dedup cut threshold; composes i55's census (which reports only
-    max/mean) with explicit length bands.  Buckets are integer CASE
-    ranges, not log2() — a float log at an exact power-of-two boundary
-    is a cross-engine rounding hazard the integer comparisons don't
-    have.
-
-    Plan: the shared span_dedup_spans kernel (see its skew story), a
-    map-side length+bucket projection, the (doc_id, source) equi-join,
-    and ONE rollup on (source, len_bucket) — bounded key space, map-side
-    combined.  n_docs is a count-distinct over doc_id WITHIN a bucket
-    (a doc can span several buckets), Spark's two-phase distinct agg."""
-    d = load_table(spark, sf_dir, "documents")
-    from .llm_text import span_dedup_spans
-
-    spans = span_dedup_spans(widen_if_narrow(d.select("doc_id", "text")))
-    sl = spans.select(
-        "doc_id",
-        (F.col("span_end") - F.col("span_start") + 1).cast("long")
-        .alias("len"))
-    b = sl.withColumn("len_bucket", F.expr(
-        "CASE WHEN len < 8 THEN '05-07'"
-        " WHEN len < 16 THEN '08-15'"
-        " WHEN len < 32 THEN '16-31'"
-        " WHEN len < 64 THEN '32-63'"
-        " ELSE '64+' END"))
-    return (
-        b.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "len_bucket")
-        .agg(F.count(F.lit(1)).alias("n_spans"),
-             F.countDistinct("doc_id").alias("n_docs"),
-             F.max("len").alias("max_len"))
-    )
 
 
 #: fixed query sets for i61 — three queries x three corpus-vocabulary
@@ -360,151 +298,6 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id",
         F.round(F.expr("coalesce(w1, 0D) + coalesce(w2, 0D)"
                        " + coalesce(w3, 0D)"), 6).alias("bm25"))
-
-
-@_stage(
-    "i62_line_dedup_census",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t
-            FROM documents WHERE text IS NOT NULL
-        ), lines AS (
-            SELECT doc_id,
-                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')
-                       AS line
-            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
-        )
-        SELECT line,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-               CAST(count(*) AS BIGINT) AS n_occ,
-               CAST(min(doc_id) AS BIGINT) AS keep_doc
-        FROM lines GROUP BY 1
-        HAVING count(DISTINCT doc_id) > 1
-    """,
-)
-def i62_line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style boilerplate line dedup (Raffel et al. 2020 drop repeated
-    lines/spans across documents): the census of every "line" occurring
-    in MORE THAN ONE document, with occurrence counts and the keep-first
-    representative.  This corpus has no newlines, so a line is the
-    deterministic segmentation into consecutive 10-token blocks —
-    swapping in a real newline split changes only the tokenizer
-    expression, not the plan.
-
-    Structurally DIFFERENT from i48's substring spans: segment-keyed
-    EXACT matching — no gram islands, no window — so the whole operator
-    is a map-side line explode plus ONE line-keyed groupBy with map-side
-    partial aggregation.  A web-scale boilerplate line ("all rights
-    reserved...") is a hot KEY, but in a hash-aggregate (splittable,
-    combine-first), not a hot window partition — the shape the r9
-    skew-fix taught; at 100 TB the census would be md5(line)-keyed to
-    keep shuffle rows narrow (kept readable here for the oracle)."""
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()))
-    return line_dedup_census(
-        widen_if_narrow(d.select("doc_id", "text")))
-
-
-def _doc_lines(d: DataFrame, block: int) -> DataFrame:
-    """(doc_id, idx, line): the deterministic ``block``-token pseudo-line
-    segmentation shared by the i62 census and the i63 rewrite."""
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    return toks.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, (size(t) + {block - 1}) div {block} - 1),"
-            f" i -> concat_ws(' ', slice(t, i * {block} + 1, {block})))"))
-        .alias("idx", "line"))
-
-
-def line_dedup_census(d: DataFrame, block: int = 10) -> DataFrame:
-    """The i62 kernel over any (doc_id, text) frame — factored out so
-    constructed-frame tests drive the registered formulation (the
-    shared-formula discipline: an inline test copy could drift)."""
-    return (
-        _doc_lines(d, block).groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("n_docs"),
-             F.count(F.lit(1)).alias("n_occ"),
-             F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("n_docs") > 1)
-    )
-
-
-@_stage(
-    "i63_line_dedup_rewrite",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t
-            FROM documents WHERE text IS NOT NULL
-        ), lines AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS idx,
-                   array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')
-                       AS line
-            FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
-        ), boiler AS (
-            SELECT line, CAST(min(doc_id) AS BIGINT) AS keep_doc
-            FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-        ), flagged AS (
-            SELECT l.doc_id, l.idx, l.line,
-                   (b.line IS NULL OR l.doc_id = b.keep_doc) AS kept
-            FROM lines l LEFT JOIN boiler b ON l.line = b.line
-        )
-        SELECT doc_id,
-               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept,
-               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
-                   AS n_dropped,
-               coalesce(string_agg(CASE WHEN kept THEN line END, ' '
-                                   ORDER BY idx), '') AS clean_text
-        FROM flagged GROUP BY doc_id
-    """,
-)
-def i63_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TRANSFORMATION half of C4-style boilerplate removal (i62 is
-    the census): every document rewritten with its cross-document
-    duplicate lines dropped — except in the keep-first representative,
-    which retains them (the keep-one policy, i02's rule at line
-    granularity).  Output per doc: kept/dropped line counts and the
-    reconstructed clean text, so `n_dropped = 0` documents round-trip
-    byte-identically (pinned in tests).
-
-    Scale shape: the same pseudo-line explode feeds the boilerplate
-    aggregate and the join probe (two column-pruned passes over the
-    map-side segmentation — the i48 semi-join idiom's documented
-    price); the boilerplate set joins line-keyed (broadcast while
-    small, AQE-skew-splittable when a web-scale "all rights reserved"
-    line makes it hot), and the reconstruction is ONE doc-keyed
-    aggregate — collect_list over kept (idx, line) structs, array_sort,
-    join — bounded by per-doc length exactly like e19's per-user fold.
-    Cross-engine determinism: the null-skipping collect_list mirrors
-    string_agg's CASE-filtered null skip, array_sort on (idx, line)
-    mirrors ORDER BY idx (idx unique per doc), and the empty-kept edge
-    is pinned to '' on BOTH engines (Spark's concat_ws over an empty
-    array vs the oracle's coalesce over string_agg's NULL)."""
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()))
-    return line_dedup_rewrite(widen_if_narrow(d.select("doc_id", "text")))
-
-
-def line_dedup_rewrite(d: DataFrame, block: int = 10) -> DataFrame:
-    """The i63 kernel over any (doc_id, text) frame; see the staged
-    query's docstring for semantics and the scale story."""
-    lines = _doc_lines(d, block)
-    boiler = (lines.groupBy("line")
-              .agg(F.countDistinct("doc_id").alias("nd"),
-                   F.min("doc_id").alias("keep_doc"))
-              .filter(F.col("nd") > 1)
-              .select("line", "keep_doc"))
-    flagged = (lines.join(boiler, "line", "left")
-               .withColumn("kept", F.col("keep_doc").isNull()
-                           | (F.col("doc_id") == F.col("keep_doc"))))
-    return flagged.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
-        F.concat_ws(" ", F.expr(
-            "transform(array_sort(collect_list(CASE WHEN kept THEN"
-            " struct(idx, line) END)), x -> x.line)")).alias("clean_text"),
-    )
 
 
 @_stage(

@@ -264,12 +264,17 @@ def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
     for n in t.schema.names:
         if n in null_cols:
             mask = null_cols[n](arrays)
+            assert mask.any(), f"null mask for {table}.{n} selects no rows"
             vals = [None if m else v for v, m in zip(t[n].to_pylist(), mask)]
             cols[n] = pa.array(vals, type=t.schema.field(n).type)
         else:
             cols[n] = t[n]
-    os.unlink(path)
-    pq.write_table(pa.table(cols), path)
+    # write-then-replace so an interruption can't leave a missing/partial
+    # file inside a directory already marked _SUCCESS (os.replace removes
+    # the symlink at the destination atomically)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
 
 
 def _null_tpch_dir() -> str:

@@ -387,14 +387,15 @@ def test_semdedup_kernel_matches_bruteforce(spark, vecs, tau):
 
 
 # ---------------------------------------------------------------------------
-# line_dedup_census / line_dedup_rewrite (staged_r10.py, the i62/i63
-# kernels) vs a pure-Python reference: random tiny-vocabulary corpora at
-# block=3 sweep multi-line docs, within-doc repeats, cross-doc keep-first
-# chains, and the empty-text edge the fixed corpus can't.
+# line_dedup_rewrite (llm_text.py, the i63 kernel — registered r13; its
+# census sibling i62 retired same-family in the §7.9 review) vs a
+# pure-Python reference: random tiny-vocabulary corpora at block=3 sweep
+# multi-line docs, within-doc repeats, cross-doc keep-first chains, and
+# the empty-text edge the fixed corpus can't.
 
 
 def _line_dedup_py(rows, block):
-    # rows: (doc_id, text); mirrors _doc_lines + census + rewrite exactly
+    # rows: (doc_id, text); mirrors _doc_lines + boiler census + rewrite
     lines: dict[str, list] = {}
     per_doc: dict[int, list] = {}
     for did, text in rows:
@@ -404,34 +405,27 @@ def _line_dedup_py(rows, block):
         per_doc[did] = dl
         for ln in dl:
             lines.setdefault(ln, []).append(did)
-    census = {}
-    for ln, occ in lines.items():
-        docs = set(occ)
-        if len(docs) > 1:
-            census[ln] = (len(docs), len(occ), min(docs))
+    boiler = {ln: min(set(occ)) for ln, occ in lines.items()
+              if len(set(occ)) > 1}
     rewrite = {}
     for did, dl in per_doc.items():
-        kept = [ln for ln in dl if ln not in census or census[ln][2] == did]
+        kept = [ln for ln in dl if boiler.get(ln, did) == did]
         rewrite[did] = (len(kept), len(dl) - len(kept), " ".join(kept))
-    return census, rewrite
+    return rewrite
 
 
 @given(st.lists(
     st.lists(st.sampled_from(["a", "b", "c"]), max_size=12).map(" ".join),
     min_size=2, max_size=6))
 @settings(max_examples=8, deadline=None, derandomize=True)
-def test_line_dedup_kernels_match_pure_python(spark, texts):
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        line_dedup_census,
+def test_line_dedup_kernel_matches_pure_python(spark, texts):
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
         line_dedup_rewrite,
     )
 
     rows = list(enumerate(texts))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    want_census, want_rewrite = _line_dedup_py(rows, block=3)
-    got_census = {r["line"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
-                  for r in line_dedup_census(df, block=3).collect()}
-    assert got_census == want_census
+    want_rewrite = _line_dedup_py(rows, block=3)
     got_rewrite = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
                    for r in line_dedup_rewrite(df, block=3).collect()}
     assert got_rewrite == want_rewrite

@@ -1,7 +1,10 @@
 """Round-10-era staged candidates (operators/staged_r10.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references.  The i59 semdedup-ANN tests moved to
-tests/test_r11_queries.py when i59 registered (round 11)."""
+tests/test_r11_queries.py when i59 registered (round 11); the i63
+line-dedup-rewrite tests moved to tests/test_r13_queries.py when it
+registered (round 13), and the i60/i62 tests retired with their
+candidates in the same §7.9 review."""
 
 from __future__ import annotations
 
@@ -40,44 +43,6 @@ def test_staged_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_i60_histogram_consistent_with_span_kernel(spark, sf_dir):
-    # independent reference: the histogram must be an exact rollup of the
-    # REGISTERED i48 span output (same kernel, different reduction) —
-    # recompute the per-source bucket counts, doc counts, and maxima in
-    # pure Python from the raw spans (the i55 census, whose role as this
-    # cross-check ended when it was retired in r12, did the same rollup)
-    fn, _ = STAGED["i60_span_length_histogram"]
-    got = {(r["source"], r["len_bucket"]):
-           (r["n_spans"], r["n_docs"], r["max_len"])
-           for r in fn(spark, sf_dir).collect()}
-
-    spans = registry.QUERIES["i48_span_dedup"](spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "source")
-    joined = spans.join(docs, "doc_id").collect()
-
-    def bucket(ln: int) -> str:
-        if ln < 8:
-            return "05-07"
-        if ln < 16:
-            return "08-15"
-        if ln < 32:
-            return "16-31"
-        if ln < 64:
-            return "32-63"
-        return "64+"
-
-    agg: dict[tuple, tuple] = {}
-    for r in joined:
-        ln = r["span_end"] - r["span_start"] + 1
-        key = (r["source"], bucket(ln))
-        n, ds, mx = agg.get(key, (0, set(), 0))
-        ds.add(r["doc_id"])
-        agg[key] = (n + 1, ds, max(mx, ln))
-    want = {k: (n, len(ds), mx) for k, (n, ds, mx) in agg.items()}
-    assert got == want
 
 
 def test_i61_matches_pure_python_bm25(spark, sf_dir):
@@ -154,117 +119,6 @@ def test_i61_plan_shape(spark, sf_dir):
     assert splan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in splan
     assert "Window" not in splan
-
-
-def test_i62_census_on_constructed_docs(spark):
-    # hand-checkable corpus: doc 1 and 2 share their FIRST 10-token
-    # block verbatim (boilerplate); doc 3 repeats that block at a
-    # NON-block-aligned offset (must NOT match — segmentation is
-    # block-keyed, the documented C4 approximation); docs 4/5 share a
-    # short tail line
-    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
-    rows = [
-        (1, boiler + " x1 x2"),
-        (2, boiler + " y1"),
-        (3, "pad " + boiler),          # shifted by one token
-        (4, "t0 t1"),
-        (5, "t0 t1"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        line_dedup_census,
-    )
-
-    got = {r["line"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
-           for r in line_dedup_census(df).collect()}
-    assert got == {boiler: (2, 2, 1), "t0 t1": (2, 2, 4)}
-
-
-def test_i62_single_line_keyed_aggregate(spark, sf_dir):
-    # the whole operator is a map-side line explode plus line-keyed
-    # aggregation — the distinct-doc count adds Spark's second partial
-    # phase but no extra wide shuffle beyond the two agg exchanges, and
-    # never a window or cartesian (the splittable-hot-KEY design claim)
-    fn, _ = STAGED["i62_line_dedup_census"]
-    df = fn(spark, sf_dir)
-    plan = physical_plan(df)
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert "CartesianProduct" not in plan
-    assert "Window" not in plan
-    rows = df.collect()
-    assert rows
-    for r in rows:
-        assert r["n_docs"] >= 2 and r["n_occ"] >= r["n_docs"]
-
-
-def test_i63_rewrite_on_constructed_docs(spark):
-    # the i62 constructed corpus, now through the rewrite: doc 1 keeps
-    # its boilerplate (keep-first) and tail; doc 2 drops the boilerplate
-    # and keeps "y1"; doc 3's shifted copy is untouched; doc 5 (the
-    # non-keep copy of "t0 t1") is rewritten to the EMPTY string — the
-    # all-dropped edge both engines must agree on
-    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
-    rows = [
-        (1, boiler + " x1 x2"),
-        (2, boiler + " y1"),
-        (3, "pad " + boiler),
-        (4, "t0 t1"),
-        (5, "t0 t1"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        line_dedup_rewrite,
-    )
-
-    got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
-           for r in line_dedup_rewrite(df).collect()}
-    assert got == {
-        1: (2, 0, boiler + " x1 x2"),
-        2: (1, 1, "y1"),
-        3: (2, 0, "pad " + boiler),
-        4: (1, 0, "t0 t1"),
-        5: (0, 1, ""),
-    }
-
-
-def test_i63_untouched_docs_round_trip(spark, sf_dir):
-    # conservation + identity invariants against the raw corpus: line
-    # counts add up to the segmentation's total, and every document the
-    # rewrite did NOT touch reconstructs byte-identically from its
-    # pseudo-lines
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        STAGED as S10,
-    )
-
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .filter(F.col("text").isNotNull()).select("doc_id", "text"))
-    out = S10["i63_line_dedup_rewrite"][0](spark, sf_dir)
-    joined = out.join(d, "doc_id").collect()
-    assert len(joined) == d.count()
-    total = sum((len(r["text"].split(" ")) + 9) // 10 for r in d.collect())
-    assert sum(r["n_kept"] + r["n_dropped"] for r in joined) == total
-    touched = 0
-    for r in joined:
-        if r["n_dropped"] == 0:
-            assert r["clean_text"] == r["text"], r["doc_id"]
-        else:
-            touched += 1
-    assert touched > 0  # the corpus's exact-dup docs guarantee drops
-
-
-def test_i63_plan_shape(spark, sf_dir):
-    # line-keyed boiler agg + line-keyed probe join + one doc-keyed
-    # reconstruction agg; no window, no cartesian (the hot-line case
-    # stays a splittable hash key end to end)
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        STAGED as S10,
-    )
-
-    plan = physical_plan(S10["i63_line_dedup_rewrite"][0](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "Window" not in plan
 
 
 def test_k17_matches_bruteforce_python(spark, sf_dir):
