@@ -864,8 +864,13 @@ def i56_gopher_rule_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     length is an exact integer sum divided once, identical cross-engine;
     the rule thresholds compare that one double the same way on both."""
     d = load_table(spark, sf_dir, "documents")
-    m = (d.filter(F.col("text").isNotNull())
-         .select("source", F.split("text", " ").alias("toks"))
+    return gopher_rule_breakdown(d.filter(F.col("text").isNotNull()))
+
+
+def gopher_rule_breakdown(d: DataFrame) -> DataFrame:
+    """The i56 kernel over any (source, text) frame — factored out (r13)
+    so tools/scale_stress.py drives the registered formulation."""
+    m = (d.select("source", F.split("text", " ").alias("toks"))
          .selectExpr(
              "source",
              "size(toks) AS n",

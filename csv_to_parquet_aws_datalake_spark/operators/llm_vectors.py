@@ -733,12 +733,21 @@ def srp_ball_routing(occupied: DataFrame, bits: int, nprobe: int = 3,
 
 
 def _nan_safe_acos(vec_col: str, cen_col: str):
-    """Rounded cosine with NaN pinned to -2.0 (below any real cosine), so
-    a zero-norm embedding or centroid orders IDENTICALLY under the m=1
-    desc window and the sharded min-of-struct argmax (Spark sorts NaN
-    greatest: raw NaN would WIN the window but LOSE the min — the r12
-    shard-invariance contract enforced in code, ADVICE r12)."""
-    return (F.nanvl(F.round(cosine(vec_col, cen_col), 6), F.lit(-2.0))
+    """Rounded cosine with the zero-norm edge pinned to -2.0 (below any
+    real cosine), so a zero-norm embedding or centroid orders IDENTICALLY
+    under the m=1 desc window and the sharded min-of-struct argmax
+    (ADVICE r12).  Under ANSI mode (Spark 4's default, and the driver's
+    conf-free session) a plain division would THROW DIVIDE_BY_ZERO deep
+    inside the job, so this uses try_divide (NULL on zero divisor —
+    bit-identical to ``/`` for every nonzero norm); NULL would otherwise
+    order OPPOSITE on the two paths (desc window: nulls last, lose;
+    min-of-struct: null field sorts first, win), and NaN from NaN-bearing
+    inputs the opposite way again — coalesce + nanvl pin both to -2.0 on
+    both paths, where they deterministically lose."""
+    from ..functions.vector import dot, norm
+
+    raw = F.try_divide(dot(vec_col, cen_col), norm(vec_col) * norm(cen_col))
+    return (F.coalesce(F.nanvl(F.round(raw, 6), F.lit(-2.0)), F.lit(-2.0))
             .alias("acos"))
 
 

@@ -474,12 +474,19 @@ def i65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB cost is one scan+project.  NULL-text docs excluded by
     contract on both engines (the r12 convention)."""
     d = load_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(d.filter(F.col("text").isNotNull()))
+
+
+def quality_classifier_scores(d: DataFrame) -> DataFrame:
+    """The i65 kernel over any (doc_id, text) frame — factored out (r13)
+    so tools/scale_stress.py drives the staged formulation; moves to the
+    registered home with i65 at its named r14 registration."""
     w = ("(locate(substring(h, 1, 1), '0123456789abcdef') - 1) * 16"
          " + (locate(substring(h, 2, 1), '0123456789abcdef') - 1) - 128")
     return (
-        d.filter(F.col("text").isNotNull())
-        .select("doc_id",
-                F.expr("transform(split(text, ' '), x -> md5(x))").alias("hs"))
+        d.select("doc_id",
+                 F.expr("transform(split(text, ' '), x -> md5(x))")
+                 .alias("hs"))
         .selectExpr(
             "doc_id",
             "size(hs) AS n",

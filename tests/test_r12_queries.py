@@ -59,6 +59,12 @@ def test_ann_assignment_shard_count_invariance(spark):
         # tie rows: symmetric between the two centroid means
         (6, "cZ", [1.0, 1.0, 1.0, 0.0]),
         (7, "cA", [-1.0, -1.0, -1.0, 2.0]),
+        # zero-norm row: every cosine is NaN, which Spark sorts GREATEST
+        # — raw, it would WIN the m=1 desc window but LOSE the sharded
+        # min-of-struct.  _nan_safe_acos pins NaN to -2.0 on BOTH paths
+        # (ADVICE r12), so this row must take the lowest routed clabel
+        # under every shard count rather than breaking the invariance.
+        (8, "cZ", [0.0, 0.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, label string, embedding array<float>")

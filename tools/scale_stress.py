@@ -305,7 +305,11 @@ def kernels():
     from pyspark.sql import functions as F
 
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        minhash_band_pairs, span_dedup_spans, tfidf_top_terms, token_tf_df,
+        gopher_rule_breakdown, minhash_band_pairs, span_dedup_spans,
+        tfidf_top_terms, token_tf_df,
+    )
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+        quality_classifier_scores,
     )
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
         global_row_number,
@@ -332,12 +336,26 @@ def kernels():
     # claims code it didn't run.  For span, replica-prefixed tokens keep
     # gram duplication per-shard, so output and the gram-window shuffle
     # both grow exactly K-fold.
+    def rules_i56(d):
+        # the amplified frame carries no source column; a doc_id-derived
+        # 20-way synthetic source models the real workload (source
+        # cardinality stays FIXED as the corpus grows), so the rollup
+        # key space is constant while the map side grows K-fold
+        return gopher_rule_breakdown(
+            d.withColumn("source",
+                         F.concat(F.lit("s"), F.pmod("doc_id", F.lit(20)))))
+
+    # the quality-filter family (r13, VERDICT r12 item 3): both kernels
+    # are the registered/staged formulations — map-side array transforms,
+    # i56 adding ONE fixed-cardinality source rollup, i65 zero exchanges
     return {"banding[i34-kernel]": minhash_band_pairs,
             "dedup-shape": exact_dedup,
             "tfidf[i08-kernel]": tfidf_top_terms,
             "token-stats[i07-kernel]": token_tf_df,
             "span[i48-kernel]": span_dedup_spans,
-            "rank[grn-kernel]": rank_all}
+            "rank[grn-kernel]": rank_all,
+            "quality-rules[i56-kernel]": rules_i56,
+            "quality-model[i65-kernel]": quality_classifier_scores}
 
 
 def _semdedup_bits(k: int) -> int:
