@@ -25,6 +25,17 @@ from ..loader import load_table
 from ..registry import query
 
 
+def _hx_byte(pos: str) -> str:
+    """DuckDB expression for the value of BYTE ``pos`` (1-based) of a
+    payload exposed as ``hx = hex(encode(text))`` — true UTF-8 byte
+    arithmetic, not ord(substr(...)) code points (r13 unicode probe:
+    the old character form silently diverged from the kernels' byte
+    views on any multibyte text; ASCII corpora hid it)."""
+    return (f"(strpos('0123456789ABCDEF', substr(hx, 2 * ({pos}) - 1, 1))"
+            f" - 1) * 16"
+            f" + strpos('0123456789ABCDEF', substr(hx, 2 * ({pos}), 1)) - 1")
+
+
 @query(
     "k06_multimodal_meta",
     oracle="""
@@ -51,13 +62,16 @@ def k06_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k07_multimodal_decode",
-    oracle="""
-        WITH b AS (
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   list_sum(list_transform(range(1, length(text) + 1),
-                            i -> ord(substr(text, i, 1)))) AS bsum
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n_bytes
             FROM documents WHERE text IS NOT NULL
+        ), b AS (
+            SELECT doc_id, n_bytes,
+                   list_sum(list_transform(range(1, n_bytes + 1),
+                            i -> {_hx_byte("i")})) AS bsum
+            FROM h
         )
         SELECT doc_id, n_bytes,
                CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE bsum // n_bytes END
@@ -70,7 +84,9 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary payloads via mapInPandas.
     The stub computes mean byte value; a real decoder (image resize, audio
     frame-sample) would replace `_stub_decode` only.  The oracle recomputes
-    the byte arithmetic in SQL (ASCII text => codepoint == byte)."""
+    the byte arithmetic in SQL over hex(encode(text)) — true UTF-8
+    bytes, valid for any corpus (r13 unicode probe; the old
+    ord(substr) code-point form held only on ASCII)."""
     import numpy as np
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,15 +131,18 @@ def k07_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k13_frame_sample",
-    oracle="""
-        WITH f AS (
-            SELECT doc_id, text,
-                   unnest(range(0, length(text) // 32)) AS frame_id
-            FROM documents
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT doc_id, hx, unnest(range(0, nb // 32)) AS frame_id
+            FROM h
         )
         SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
                CAST(list_sum(list_transform(range(1, 33),
-                        j -> ord(substr(text, CAST(frame_id * 32 + j AS INTEGER), 1))))
+                        j -> {_hx_byte("frame_id * 32 + j")}))
                     // 32 AS BIGINT) AS frame_mean
         FROM f WHERE frame_id % 4 = 0
     """,
@@ -137,7 +156,8 @@ def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline swaps the frame slicing for an ffmpeg keyframe extractor — the Spark
     side (Arrow-batched mapInPandas, one row per sampled frame, map-side
     only) is exactly this shape.  The oracle recomputes the byte
-    arithmetic in SQL (ASCII text => codepoint == byte).
+    arithmetic in SQL over hex(encode(text)) — true UTF-8 bytes, valid
+    for any corpus (r13 unicode probe).
     """
     import numpy as np
 
@@ -173,18 +193,19 @@ def k13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k14_image_resize",
-    oracle="""
+    oracle=f"""
         WITH px AS (
-            SELECT doc_id, text, unnest(range(0, 4)) AS py FROM documents
+            SELECT doc_id, hex(encode(text)) AS hx, unnest(range(0, 4)) AS py
+            FROM documents
             WHERE n_chars >= 64 AND text IS NOT NULL
         ), cells AS (
-            SELECT doc_id, text, py, unnest(range(0, 4)) AS px FROM px
+            SELECT doc_id, hx, py, unnest(range(0, 4)) AS px FROM px
         )
         SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
-               CAST((ord(substr(text, CAST(py * 16 + px * 2 + 1 AS INTEGER), 1))
-                   + ord(substr(text, CAST(py * 16 + px * 2 + 2 AS INTEGER), 1))
-                   + ord(substr(text, CAST(py * 16 + px * 2 + 9 AS INTEGER), 1))
-                   + ord(substr(text, CAST(py * 16 + px * 2 + 10 AS INTEGER), 1)))
+               CAST(({_hx_byte("py * 16 + px * 2 + 1")}
+                   + {_hx_byte("py * 16 + px * 2 + 2")}
+                   + {_hx_byte("py * 16 + px * 2 + 9")}
+                   + {_hx_byte("py * 16 + px * 2 + 10")})
                     // 4 AS BIGINT) AS pool
         FROM cells
     """,
@@ -199,7 +220,8 @@ def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     A real pipeline swaps the numpy pooling for PIL/cv2 resize — the
     plumbing (binary column in, Arrow batches, schema-declared rows out,
     zero shuffles) is the production shape.  Oracle: same integer
-    arithmetic via ord(substr) — row py of the 8x8 image starts at byte
+    arithmetic via hex(encode(text)) byte extraction (true UTF-8 bytes,
+    r13 unicode probe) — row py of the 8x8 image starts at byte
     2*py*8, so pooled cell (py,px) averages bytes {py*16 + px*2 + {1,2}}
     and the row below at +8 (1-based substr).
     """
@@ -240,15 +262,18 @@ def k14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k15_audio_energy",
-    oracle="""
-        WITH f AS (
-            SELECT doc_id, text,
-                   unnest(range(0, length(text) // 64)) AS frame_id
-            FROM documents
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT doc_id, hx, unnest(range(0, nb // 64)) AS frame_id
+            FROM h
         ), e AS (
             SELECT doc_id, frame_id,
                    sqrt(list_sum(list_transform(range(1, 65),
-                        i -> CAST(ord(substr(text, frame_id * 64 + i, 1))
+                        i -> CAST({_hx_byte("frame_id * 64 + i")}
                                   AS DOUBLE) ^ 2)) / 64.0) AS rms
             FROM f
         )

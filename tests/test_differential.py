@@ -47,13 +47,14 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
 
 
 
-def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
+def _variant_dir(tag: str, src: str, table: str, col_fns) -> str:
     """Build (once, scratch-cached) an sf-dir variant where ``table`` has
-    chosen columns nulled by deterministic masks and every sibling table
-    is symlinked from ``src``.  ``null_cols`` maps column name -> mask
-    function over the table's pyarrow columns (dict of name -> numpy
-    array).  One shared builder for all three variants (this round's
-    review: the scratch/symlink/_SUCCESS plumbing must not fork)."""
+    chosen columns rewritten by ``col_fns`` (column name -> fn(values
+    pylist, lazy arrays dict) -> new values pylist) and every sibling
+    table is symlinked from ``src``.  One shared builder for every
+    variant (the r12 review: the scratch/symlink/_SUCCESS plumbing must
+    not fork; generalized r13 from null-masks to value rewrites for the
+    unicode variant)."""
     import os
 
     import pyarrow as pa
@@ -67,8 +68,8 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
         t = pq.read_table(f"{src}/{table}.parquet")
 
         class _Lazy(dict):
-            # masks read only the id column; converting every column
-            # (embeddings, text) to object arrays would be pure waste
+            # transforms read only the columns they need; converting every
+            # column (embeddings, text) to object arrays would be pure waste
             def __missing__(self, n):
                 self[n] = t[n].to_numpy(zero_copy_only=False)
                 return self[n]
@@ -76,11 +77,10 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
         arrays = _Lazy()
         cols = {}
         for n in t.schema.names:
-            if n in null_cols:
-                mask = null_cols[n](arrays)
-                assert mask.any(), f"variant must null some {n} rows"
-                vals = [None if m else v
-                        for v, m in zip(t[n].to_pylist(), mask)]
+            if n in col_fns:
+                old = t[n].to_pylist()
+                vals = col_fns[n](old, arrays)
+                assert vals != old, f"variant must change some {n} rows"
                 cols[n] = pa.array(vals, type=t.schema.field(n).type)
             else:
                 cols[n] = t[n]
@@ -92,6 +92,20 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
                     os.symlink(os.path.join(src, name), dst)
         open(done, "w").close()
     return d
+
+
+def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
+    """`_variant_dir` with NULL-mask semantics: ``null_cols`` maps column
+    name -> mask function over the table's pyarrow columns."""
+    def nuller(mask_fn):
+        def fn(vals, arrays):
+            mask = mask_fn(arrays)
+            assert mask.any(), "variant must null some rows"
+            return [None if m else v for v, m in zip(vals, mask)]
+        return fn
+
+    return _variant_dir(tag, src, table,
+                        {n: nuller(f) for n, f in null_cols.items()})
 
 
 def _null_events_dir(sf_dir: str) -> str:
@@ -183,6 +197,53 @@ def test_documents_queries_match_oracle_with_null_text(name, spark):
 # _CENTROID_CTES_SQL / _ASSIGNED_CTE_SQL / _ANN_ASSIGNED_CTES_SQL, a
 # no-op on the pristine corpus (tri-SF re-proven), so driver records
 # stay valid.
+
+
+# ---------------------------------------------------------------------------
+# Multibyte-text DOCUMENTS variant (r13): char-length-preserving
+# substitutions (2-byte é/ä and a 4-byte astral emoji) in ~5% of docs,
+# n_chars kept consistent because every replacement has the original
+# token's CODE-POINT count.  The one-off 58-query probe over this
+# variant found the byte-vs-codepoint CLASS: all four multimodal-stub
+# oracles recomputed the kernels' BYTE arithmetic as ord(substr(...))
+# code points — "ASCII => codepoint == byte" held on the pristine
+# corpus and nowhere else.  Fix: the k07/k13/k14/k15 oracles now
+# extract true UTF-8 bytes from hex(encode(text)) (a pristine no-op,
+# tri-SF re-proven).  The permanent sweep covers the byte-arithmetic
+# family; the text stack (string/hash/dedup/token ops) was swept once
+# in-session, 54/54 green — char semantics agree cross-engine by
+# construction, so those rows stay out of the per-run suite.
+
+
+def _unicode_docs_dir() -> str:
+    subs = {"the": "thé", "a": "ä", "fast": "fäst", "part": "pär\U0001F600"}
+
+    def uni(vals, arrays):
+        return [" ".join(subs.get(tok, tok) for tok in v.split(" "))
+                if v is not None and (i % 20) == 5 else v
+                for i, v in zip(arrays["doc_id"], vals)]
+
+    return _variant_dir("unicode_docs_fixture", "/root/testdata/sf0.001",
+                        "documents", {"text": uni})
+
+
+_BYTE_ARITHMETIC_QUERIES = [
+    "k06_multimodal_meta", "k07_multimodal_decode", "k13_frame_sample",
+    "k14_image_resize", "k15_audio_energy",
+]
+
+
+@pytest.mark.parametrize("name", _BYTE_ARITHMETIC_QUERIES)
+def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark):
+    from tests.differential import make_oracle_con
+
+    d = _unicode_docs_dir()
+    con = make_oracle_con(d)
+    try:
+        compare(registry.QUERIES[name](spark, d), con,
+                registry.ORACLES[name])
+    finally:
+        con.close()
 
 
 def _null_emb_dir() -> str:
