@@ -18,15 +18,35 @@ from ..loader import load_table, widen_if_narrow
 from ..registry import query
 
 
+def valid_embeddings(emb: DataFrame) -> DataFrame:
+    """The vector family's input contract, enforced identically on both
+    engines: an embedding is VALID iff non-NULL and non-empty.  NULLs
+    were contracted out in the r12 null sweep; the r13 EMPTY-ARRAY probe
+    found the zero-length sibling broke 9 of 10 vector checks four
+    different ways (ANSI DIVIDE_BY_ZERO on the 0/0 cosine, pyspark.ml
+    gemv dimension crash in i19, DuckDB list-dimension errors the oracle
+    cannot even express leniently, and two genuine value divergences in
+    i11/i31) — a 100 TB corpus will contain malformed embedding rows, so
+    every query excludes them up front, map-side, pushed to the scan.
+    The SQL twin is :func:`_valid_emb_sql`."""
+    return emb.filter(F.col("embedding").isNotNull()
+                      & (F.size("embedding") > 0))
+
+
+def _valid_emb_sql(col: str = "embedding") -> str:
+    """DuckDB predicate twin of :func:`valid_embeddings`."""
+    return f"{col} IS NOT NULL AND len({col}) > 0"
+
+
 @query(
     "i05_cosine_knn",
-    oracle="""
+    oracle=f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
         FROM embeddings, q
-        WHERE vec_id <> 0
+        WHERE vec_id <> 0 AND {_valid_emb_sql()}
         ORDER BY cos DESC, vec_id LIMIT 10
     """,
 )
@@ -37,7 +57,7 @@ def i05_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
-        emb.crossJoin(F.broadcast(q))
+        valid_embeddings(emb).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)
         .select("vec_id",
                 F.round(cosine("embedding", "qv"), 6).alias("cos"))
@@ -51,13 +71,15 @@ I06_ROW_CAP = 10_000
 
 @query(
     "i06_pairwise_sim_threshold",
-    oracle="""
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE {_valid_emb_sql()}
+        )
         SELECT a.vec_id AS va, b.vec_id AS vb,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
     """,
 )
 def i06_pairwise_sim_threshold(
@@ -74,7 +96,7 @@ def i06_pairwise_sim_threshold(
     (BucketedRandomProjectionLSH distance-threshold join), and
     i34_minhash_banding — all registered queries.  Pass
     ``allow_quadratic=True`` to override deliberately."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     if not allow_quadratic:
         n = emb.limit(I06_ROW_CAP + 1).count()
         if n > I06_ROW_CAP:
@@ -108,16 +130,16 @@ def i06_pairwise_sim_threshold(
 
 @query(
     "i11_embedding_norms",
-    oracle="""
+    oracle=f"""
         SELECT label,
                round(avg(sqrt(list_sum(list_transform(embedding, x -> x * 1.0 * x)))), 6)
                    AS avg_norm,
                count(*) AS n
-        FROM embeddings GROUP BY 1
+        FROM embeddings WHERE {_valid_emb_sql()} GROUP BY 1
     """,
 )
 def i11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return emb.groupBy("label").agg(
         F.round(F.avg(norm("embedding")), 6).alias("avg_norm"),
         F.count(F.lit(1)).alias("n"),
@@ -129,14 +151,14 @@ def _centroid_table(emb: DataFrame) -> DataFrame:
     dimension sums (fold-order-proof, cf. e06) so both engines derive
     byte-identical centroids.  Shared by i23 and i29.
 
-    Training rows need BOTH a label and an embedding (r12 null-emb
-    sweep): a NULL label would mint a phantom centroid, and a NULL
-    embedding silently skews the mean divisor cross-engine (Spark's
-    posexplode emits no rows for it while the oracle's fixed range
-    join counts it in count(*)) — excluded explicitly on both engines
-    (_CENTROID_CTES_SQL carries the same WHERE)."""
-    emb = emb.filter(F.col("label").isNotNull()
-                     & F.col("embedding").isNotNull())
+    Training rows need BOTH a label and a VALID embedding (r12 null-emb
+    sweep + r13 empty-array probe): a NULL label would mint a phantom
+    centroid, and a NULL/empty embedding silently skews the mean divisor
+    cross-engine (Spark's posexplode emits no rows for it while the
+    oracle's fixed range join counts it in count(*)) — excluded
+    explicitly on both engines (_CENTROID_CTES_SQL carries the same
+    WHERE)."""
+    emb = valid_embeddings(emb.filter(F.col("label").isNotNull()))
     pos = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     cen = pos.groupBy("label", "pos").agg(
@@ -157,10 +179,11 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     cenarr = _centroid_table(emb)
-    # assignment needs only an embedding (label-less vectors still get a
-    # cluster); NULL embeddings are out of contract on both engines
+    # assignment needs only a VALID embedding (label-less vectors still
+    # get a cluster); NULL/empty embeddings are out of contract on both
+    # engines (r12 null sweep + r13 empty-array probe)
     return (
-        emb.filter(F.col("embedding").isNotNull())
+        valid_embeddings(emb)
         .crossJoin(F.broadcast(cenarr))
         .select("vec_id", "clabel", "embedding",
                 F.round(cosine("embedding", "carr"), 6).alias("acos"))
@@ -177,7 +200,7 @@ _ASSIGNED_CTE_SQL = """
         assigned AS (
             SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
             FROM embeddings e CROSS JOIN cenarr c
-            WHERE e.embedding IS NOT NULL
+            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY round(list_cosine_similarity(
                          CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
@@ -192,6 +215,7 @@ _CENTROID_CTES_SQL = """
             SELECT vec_id, label, p.pos, embedding[p.pos] AS v
             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
             WHERE label IS NOT NULL AND embedding IS NOT NULL
+              AND len(embedding) > 0
         ), cen AS (
             SELECT label, pos,
                    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
@@ -211,7 +235,7 @@ _CENTROID_CTES_SQL = """
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                 carr), 6) AS cos
             FROM embeddings e CROSS JOIN cenarr c
-            WHERE e.embedding IS NOT NULL
+            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                                        ORDER BY cos DESC, c.clabel) = 1
         )
@@ -231,11 +255,11 @@ def i23_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cenarr = _centroid_table(emb)
     from pyspark.sql.window import Window as W
-    # assignment side: NULL embeddings out of contract (label may be
-    # NULL — a label-less vector still classifies, and GROUP BY groups
+    # assignment side: NULL/empty embeddings out of contract (label may
+    # be NULL — a label-less vector still classifies, and GROUP BY groups
     # the NULL identically on both engines)
     scored = (
-        emb.filter(F.col("embedding").isNotNull())
+        valid_embeddings(emb)
         .crossJoin(F.broadcast(cenarr))
         .select("vec_id", "label", "clabel",
                 F.round(cosine("embedding", "carr"), 6).alias("cos"))
@@ -260,11 +284,11 @@ def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pin the vector conversion: the fit and BOTH join sides consume it,
     # and unpinned each re-scans and re-converts (same fix as i04; output
-    # identical under the fixed seed).  NULL embeddings are out of
-    # contract for the vector family (r12 null-emb sweep:
-    # array_to_vector's UDF fails outright on NULL input)
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("embedding").isNotNull())
+    # identical under the fixed seed).  NULL/empty embeddings are out of
+    # contract for the vector family (r12 null-emb sweep: array_to_vector's
+    # UDF fails outright on NULL; r13 empty-array probe: the LSH model's
+    # gemv crashes on a 0-dim vector)
+    emb = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
            .select("vec_id",
                    array_to_vector(F.col("embedding").cast("array<double>"))
                    .alias("features"))
@@ -327,6 +351,7 @@ def srp_code(col: str, bits: int = 3):
                   + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), b3) > 0
                          THEN 1 ELSE 0 END) AS bucket
             FROM embeddings CROSS JOIN basis
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
         ), q AS (
             SELECT emb AS qv, bucket AS qb FROM coded WHERE vec_id = 0
         )
@@ -353,7 +378,7 @@ def i18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe for recall, the i29 pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
     coded = (
-        emb.crossJoin(F.broadcast(srp_basis(emb)))
+        valid_embeddings(emb).crossJoin(F.broadcast(srp_basis(emb)))
         .select("vec_id", "embedding",
                 srp_code("embedding").alias("bucket"))
     )
@@ -427,6 +452,7 @@ def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                   x -> abs(x))), 0) AS scale
             FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
         ),
         q AS (
             SELECT vec_id,
@@ -448,7 +474,7 @@ def i31_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     than erroring under ANSI division.  Entirely JVM higher-order
     functions over the array column — map-side, no UDF, no shuffle; the
     emitted min/max/sum are the exact-integer audit of the codes."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = (emb.withColumn("xd", xd)
          .withColumn("absmax",
@@ -472,6 +498,7 @@ def i31_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH j AS (
             SELECT d.lang AS lang, e.embedding AS embedding
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
         ), u AS (
             SELECT lang,
                    unnest(embedding) AS v,
@@ -493,7 +520,7 @@ def i47_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector ever has to fit anywhere special.  At 100 TB this is one
     co-partitioned id join plus one bounded-key aggregate."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    e = load_table(spark, sf_dir, "embeddings")
+    e = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     j = d.join(e, d["doc_id"] == e["vec_id"]).select(
         "lang", F.posexplode("embedding").alias("pos", "v"))
     return j.groupBy("lang", "pos").agg(
@@ -744,8 +771,6 @@ def _nan_safe_acos(vec_col: str, cen_col: str):
     min-of-struct: null field sorts first, win), and NaN from NaN-bearing
     inputs the opposite way again — coalesce + nanvl pin both to -2.0 on
     both paths, where they deterministically lose."""
-    from ..functions.vector import dot, norm
-
     raw = F.try_divide(dot(vec_col, cen_col), norm(vec_col) * norm(cen_col))
     return (F.coalesce(F.nanvl(F.round(raw, 6), F.lit(-2.0)), F.lit(-2.0))
             .alias("acos"))
@@ -875,11 +900,12 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
         # read the one materialization (r11 third review)
         occupied = cbuck.select("cbucket").distinct()
         routing = srp_ball_routing(occupied, bits, nprobe)
-    # assignment needs only an embedding; NULL embeddings are out of
-    # contract on both engines (r12 null-emb sweep — the oracle's
-    # list_inner_product ERRORS on a NULL-element list, it cannot even
-    # express a lenient form)
-    vbuck = (emb.filter(F.col("embedding").isNotNull())
+    # assignment needs only a VALID embedding; NULL/empty embeddings
+    # are out of contract on both engines (r12 null sweep + r13
+    # empty-array probe — the oracle's list_inner_product ERRORS on a
+    # NULL-element or dimension-mismatched list, it cannot even express
+    # a lenient form)
+    vbuck = (valid_embeddings(emb)
              .crossJoin(basis)
              .select("vec_id", "embedding",
                      srp_code("embedding", bits).alias("code")))
@@ -968,7 +994,7 @@ _ANN_ASSIGNED_CTES_SQL = f"""
                                                b3) > 0 THEN 1 ELSE 0 END)
                        AS code
             FROM embeddings CROSS JOIN basis
-            WHERE embedding IS NOT NULL
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
         ), assigned AS (
             SELECT v.vec_id, cb.clabel, v.emb
             FROM vbuck v

@@ -248,11 +248,30 @@ def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark):
 
 def _null_emb_dir() -> str:
     # vec_ids 0-3 kept intact: the i05 query vector and the SRP basis
-    # are data-derived contract rows
-    return _null_variant_dir(
-        "null_emb_fixture", "/root/testdata/sf0.001", "embeddings",
-        {"embedding": lambda a: ((a["vec_id"] % 25) == 9) & (a["vec_id"] > 3),
-         "label": lambda a: ((a["vec_id"] % 25) == 14) & (a["vec_id"] > 3)})
+    # are data-derived contract rows.  Three disjoint stripes: NULL
+    # embedding, NULL label, and (r13 empty-array probe) a ZERO-LENGTH
+    # embedding — the malformed-row sibling that broke 9/10 vector
+    # checks before valid_embeddings contracted it out on both engines
+    def emb_stripes(vals, a):
+        out = []
+        for vid, v in zip(a["vec_id"], vals):
+            if vid <= 3:
+                out.append(v)
+            elif (vid % 25) == 9:
+                out.append(None)
+            elif (vid % 25) == 17:
+                out.append([])
+            else:
+                out.append(v)
+        return out
+
+    def label_stripe(vals, a):
+        return [None if (vid % 25) == 14 and vid > 3 else v
+                for vid, v in zip(a["vec_id"], vals)]
+
+    return _variant_dir(
+        "null_emb_fixture_v2", "/root/testdata/sf0.001", "embeddings",
+        {"embedding": emb_stripes, "label": label_stripe})
 
 
 def _embeddings_queries() -> list[str]:
