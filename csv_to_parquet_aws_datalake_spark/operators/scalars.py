@@ -226,7 +226,7 @@ def h08_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h09_json",
     oracle="""
-        SELECT CAST(props ->> 'k' AS INT) AS k, count(*) AS n
+        SELECT CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT) AS k, count(*) AS n
         FROM events GROUP BY 1
     """,
 )
@@ -271,9 +271,9 @@ def h18_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h16_from_json",
     oracle="""
         SELECT event_type,
-               min(CAST(props ->> 'k' AS INT)) AS min_k,
-               max(CAST(props ->> 'k' AS INT)) AS max_k,
-               count(DISTINCT CAST(props ->> 'k' AS INT)) AS n_k
+               min(CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)) AS min_k,
+               max(CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)) AS max_k,
+               count(DISTINCT CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)) AS n_k
         FROM events GROUP BY 1
     """,
 )

@@ -308,7 +308,7 @@ def a08_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS sv,
-               CAST(sum(CAST(props ->> 'k' AS INT)) AS BIGINT) AS sk
+               CAST(sum(CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)) AS BIGINT) AS sk
         FROM events GROUP BY 1
     """,
 )

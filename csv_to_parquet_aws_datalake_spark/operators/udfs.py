@@ -100,8 +100,8 @@ def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k04_pandas_udaf",
     oracle="""
         SELECT event_type,
-               round(sum(value * CAST(props ->> 'k' AS INT))
-                     / sum(CAST(props ->> 'k' AS INT)), 6) AS wmean
+               round(sum(value * CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT))
+                     / sum(CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)), 6) AS wmean
         FROM events GROUP BY 1
     """,
 )

@@ -111,12 +111,43 @@ def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
 def _null_events_dir(sf_dir: str) -> str:
     # disjoint ~10% stripes per nullable column: user_id (the join/
     # window key), value (the measure — caught e12's LOCF-vs-latest-row
-    # divergence), props (the JSON payload)
-    return _null_variant_dir(
-        "null_events_fixture_v2", sf_dir, "events",
-        {"user_id": lambda a: (a["event_id"] % 10) == 3,
-         "value": lambda a: (a["event_id"] % 10) == 4,
-         "props": lambda a: (a["event_id"] % 10) == 6})
+    # divergence), props (the JSON payload).  The props stripe (r13,
+    # after the malformed-JSON probe errored all four consumers'
+    # oracles) mixes NULL with three MALFORMED forms — truncated,
+    # bare-word, empty string — which Spark's get_json_object/from_json
+    # read as NULL and the oracles now mirror via TRY_CAST(props AS
+    # JSON); any future props consumer inherits the lenient contract or
+    # fails here.
+    def nuller(mask_fn):
+        def fn(vals, arrays):
+            mask = mask_fn(arrays)
+            assert mask.any()
+            return [None if m else v for v, m in zip(vals, mask)]
+        return fn
+
+    def props_stripes(vals, a):
+        out = []
+        for eid, v in zip(a["event_id"], vals):
+            m = eid % 20
+            if m == 6:
+                out.append(None)
+            elif v is None:
+                out.append(v)
+            elif m == 12:
+                out.append(v[:-2])            # truncated — unbalanced
+            elif m == 13:
+                out.append("not json at all")
+            elif m == 14:
+                out.append("")
+            else:
+                out.append(v)
+        return out
+
+    return _variant_dir(
+        "null_events_fixture_v3", sf_dir, "events",
+        {"user_id": nuller(lambda a: (a["event_id"] % 10) == 3),
+         "value": nuller(lambda a: (a["event_id"] % 10) == 4),
+         "props": props_stripes})
 
 
 def _batch_events_queries() -> list[str]:
