@@ -196,11 +196,11 @@ def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
 
 # assign_nearest_centroid's oracle twin; expects cenarr in scope
 # (_CENTROID_CTES_SQL) and binds (vec_id, clabel, emb)
-_ASSIGNED_CTE_SQL = """
+_ASSIGNED_CTE_SQL = f"""
         assigned AS (
             SELECT e.vec_id, c.clabel, CAST(e.embedding AS DOUBLE[]) AS emb
             FROM embeddings e CROSS JOIN cenarr c
-            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+            WHERE {_valid_emb_sql("e.embedding")}
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY round(list_cosine_similarity(
                          CAST(e.embedding AS DOUBLE[]), carr), 6) DESC,
@@ -210,12 +210,11 @@ _ASSIGNED_CTE_SQL = """
 
 
 # i23's centroid CTE chain, shared verbatim with i29's oracle
-_CENTROID_CTES_SQL = """
+_CENTROID_CTES_SQL = f"""
         pos AS (
             SELECT vec_id, label, p.pos, embedding[p.pos] AS v
             FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
-            WHERE label IS NOT NULL AND embedding IS NOT NULL
-              AND len(embedding) > 0
+            WHERE label IS NOT NULL AND {_valid_emb_sql()}
         ), cen AS (
             SELECT label, pos,
                    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
@@ -235,7 +234,7 @@ _CENTROID_CTES_SQL = """
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                 carr), 6) AS cos
             FROM embeddings e CROSS JOIN cenarr c
-            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+            WHERE {_valid_emb_sql("e.embedding")}
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
                                        ORDER BY cos DESC, c.clabel) = 1
         )
@@ -336,7 +335,7 @@ def srp_code(col: str, bits: int = 3):
 
 @query(
     "i18_ann_bucketed",
-    oracle="""
+    oracle=f"""
         WITH basis AS (
             SELECT max(CASE WHEN vec_id = 1 THEN CAST(embedding AS DOUBLE[]) END) AS b1,
                    max(CASE WHEN vec_id = 2 THEN CAST(embedding AS DOUBLE[]) END) AS b2,
@@ -351,7 +350,7 @@ def srp_code(col: str, bits: int = 3):
                   + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), b3) > 0
                          THEN 1 ELSE 0 END) AS bucket
             FROM embeddings CROSS JOIN basis
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
+            WHERE {_valid_emb_sql()}
         ), q AS (
             SELECT emb AS qv, bucket AS qb FROM coded WHERE vec_id = 0
         )
@@ -446,13 +445,13 @@ def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "i31_embedding_quantize",
-    oracle="""
+    oracle=f"""
         WITH s AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xd,
                    nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                   x -> abs(x))), 0) AS scale
             FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
+            WHERE {_valid_emb_sql()}
         ),
         q AS (
             SELECT vec_id,
@@ -494,11 +493,11 @@ def i31_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "i47_lang_centroids",
-    oracle="""
+    oracle=f"""
         WITH j AS (
             SELECT d.lang AS lang, e.embedding AS embedding
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-            WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+            WHERE {_valid_emb_sql("e.embedding")}
         ), u AS (
             SELECT lang,
                    unnest(embedding) AS v,
@@ -994,7 +993,7 @@ _ANN_ASSIGNED_CTES_SQL = f"""
                                                b3) > 0 THEN 1 ELSE 0 END)
                        AS code
             FROM embeddings CROSS JOIN basis
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
+            WHERE {_valid_emb_sql()}
         ), assigned AS (
             SELECT v.vec_id, cb.clabel, v.emb
             FROM vbuck v

@@ -74,6 +74,7 @@ from pyspark.sql import functions as F
 
 from ..loader import load_table, widen_if_narrow
 from ..registry import QueryFn
+from .multimodal import _hx_byte
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
 STAGED: dict[str, tuple[QueryFn, str | None]] = {}
@@ -117,22 +118,32 @@ def phash_codes(binary_df: DataFrame) -> DataFrame:
 
 
 # the aHash computation for the k17 banding oracle (single-source
-# discipline); binds hashed(doc_id, phash).  Oracle caveat (k06/k07's
-# documented convention): DuckDB has no BLOB substring, so this indexes
-# CHARACTERS and ord() code points — equal to byte offsets/values only
-# because the corpus is ASCII (pinned by test_k17_corpus_is_ascii).
-_PHASH_CTES_SQL = """
+# discipline); binds hashed(doc_id, phash).  Byte-TRUE since r13: the
+# original ord(substr) form indexed characters and code points — equal
+# to byte offsets/values only on ASCII, the divergence class the r13
+# unicode probe exposed in k07/k13/k14/k15 — so it now extracts real
+# UTF-8 bytes from hex(encode(text)) via the shared _hx_byte
+# expression, matching the kernel's byte view on ANY corpus.  The
+# >= 8 filter stays CHARACTER length to mirror the Spark side's
+# F.length(text) pre-filter (chars >= 8 implies bytes >= 8, so the
+# kernel's W > 0 precondition still holds).
+_PHASH_CTES_SQL = f"""
         base AS (
-            SELECT doc_id, text, length(text) AS L, length(text) // 8 AS W,
-                   list_sum(list_transform(range(1, length(text) + 1),
-                            i -> ord(substr(text, i, 1)))) AS tot
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS L,
+                   octet_length(encode(text)) // 8 AS W
             FROM documents WHERE length(text) >= 8
+        ), wtot AS (
+            SELECT doc_id, hx, L, W,
+                   list_sum(list_transform(range(1, L + 1),
+                            i -> {_hx_byte("i")})) AS tot
+            FROM base
         ), blocks AS (
             SELECT doc_id, L, W, tot, b.b,
                    list_sum(list_transform(
                        range(b.b * W + 1, (b.b + 1) * W + 1),
-                       i -> ord(substr(text, i, 1)))) AS bsum
-            FROM base CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+                       i -> {_hx_byte("i")})) AS bsum
+            FROM wtot CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
         ), hashed AS (
             SELECT doc_id,
                    CAST(sum(CASE WHEN bsum * L > tot * W

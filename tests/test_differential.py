@@ -94,59 +94,58 @@ def _variant_dir(tag: str, src: str, table: str, col_fns) -> str:
     return d
 
 
+def _nuller(mask_fn):
+    """Adapt a pyarrow-columns mask function to a `_variant_dir` column
+    rewrite that NULLs the masked rows."""
+    def fn(vals, arrays):
+        mask = mask_fn(arrays)
+        assert mask.any(), "variant must null some rows"
+        return [None if m else v for v, m in zip(vals, mask)]
+    return fn
+
+
 def _null_variant_dir(tag: str, src: str, table: str, null_cols) -> str:
     """`_variant_dir` with NULL-mask semantics: ``null_cols`` maps column
     name -> mask function over the table's pyarrow columns."""
-    def nuller(mask_fn):
-        def fn(vals, arrays):
-            mask = mask_fn(arrays)
-            assert mask.any(), "variant must null some rows"
-            return [None if m else v for v, m in zip(vals, mask)]
-        return fn
-
     return _variant_dir(tag, src, table,
-                        {n: nuller(f) for n, f in null_cols.items()})
+                        {n: _nuller(f) for n, f in null_cols.items()})
 
 
 def _null_events_dir(sf_dir: str) -> str:
-    # disjoint ~10% stripes per nullable column: user_id (the join/
-    # window key), value (the measure — caught e12's LOCF-vs-latest-row
-    # divergence), props (the JSON payload).  The props stripe (r13,
-    # after the malformed-JSON probe errored all four consumers'
-    # oracles) mixes NULL with three MALFORMED forms — truncated,
-    # bare-word, empty string — which Spark's get_json_object/from_json
-    # read as NULL and the oracles now mirror via TRY_CAST(props AS
-    # JSON); any future props consumer inherits the lenient contract or
-    # fails here.
-    def nuller(mask_fn):
-        def fn(vals, arrays):
-            mask = mask_fn(arrays)
-            assert mask.any()
-            return [None if m else v for v, m in zip(vals, mask)]
-        return fn
-
+    # DISJOINT stripes per nullable column — user_id (the join/window
+    # key) takes event_id % 10 == 3 ({3, 13} mod 20), value (the
+    # measure — caught e12's LOCF-vs-latest-row divergence) takes
+    # % 10 == 4 ({4, 14}), and props (the JSON payload; r13, after the
+    # malformed-JSON probe errored all four consumers' oracles) takes
+    # NULL at % 10 == 6 ({6, 16}) plus three MALFORMED forms at
+    # residues 12/15/17 mod 20, none of which collide with the
+    # user_id/value stripes — so every malformed row keeps its join key
+    # and measure and genuinely exercises the lenient TRY_CAST path in
+    # every consumer (this round's review: the first cut put bare-word
+    # on 13 and empty-string on 14, where the NULL user_id/value
+    # stripes dropped those rows before the JSON parse ran).
     def props_stripes(vals, a):
         out = []
         for eid, v in zip(a["event_id"], vals):
             m = eid % 20
-            if m == 6:
+            if (eid % 10) == 6:
                 out.append(None)
             elif v is None:
                 out.append(v)
             elif m == 12:
                 out.append(v[:-2])            # truncated — unbalanced
-            elif m == 13:
+            elif m == 15:
                 out.append("not json at all")
-            elif m == 14:
+            elif m == 17:
                 out.append("")
             else:
                 out.append(v)
         return out
 
     return _variant_dir(
-        "null_events_fixture_v3", sf_dir, "events",
-        {"user_id": nuller(lambda a: (a["event_id"] % 10) == 3),
-         "value": nuller(lambda a: (a["event_id"] % 10) == 4),
+        "null_events_fixture_v4", sf_dir, "events",
+        {"user_id": _nuller(lambda a: (a["event_id"] % 10) == 3),
+         "value": _nuller(lambda a: (a["event_id"] % 10) == 4),
          "props": props_stripes})
 
 

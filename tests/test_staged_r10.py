@@ -189,22 +189,22 @@ def test_k17_kernel_hand_computed(spark):
     assert got == {1: 0b00001111, 2: 0b11110000}
 
 
-def test_k17_corpus_is_ascii(spark, sf_dir):
-    # ADVICE r9d (carried from the retired k16 suite): the DuckDB oracle
-    # indexes CHARACTERS/ord() code points while the Spark kernel hashes
-    # utf-8 BYTES, and the caller's length(text) >= 8 filter counts
-    # characters — equal only while the corpus is ASCII.  Pin the
-    # precondition itself so a future non-ASCII corpus fails loudly
-    # HERE, not as an inscrutable hash mismatch (a byte-table oracle is
-    # the documented remedy in _PHASH_CTES_SQL).
-    from pyspark.sql import functions as F
+def test_k17_matches_oracle_on_multibyte_text(spark):
+    # r13: the oracle went byte-true (hex(encode) extraction via
+    # _hx_byte, replacing the ord(substr) code-point shortcut whose
+    # ASCII-only validity the retired test_k17_corpus_is_ascii pinned) —
+    # prove kernel/oracle parity directly on the multibyte variant the
+    # registered k-family sweeps use, BEFORE k17's named r16
+    # registration makes the differential suite do it per-run
+    from tests.test_differential import _unicode_docs_dir
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_wide = d.filter(F.octet_length("text") != F.length("text")).count()
-    assert n_wide == 0, (
-        f"{n_wide} non-ASCII documents: k17's character-indexed oracle "
-        "no longer equals the byte-hashing kernel — switch to a "
-        "byte-table oracle")
+    d = _unicode_docs_dir()
+    fn, sql = STAGED["k17_phash_band_neardup"]
+    con = make_oracle_con(d)
+    try:
+        compare(fn(spark, d), con, sql)
+    finally:
+        con.close()
 
 
 def test_i64_consistent_with_i61_and_python(spark, sf_dir):
