@@ -196,25 +196,32 @@ def asof_join_last_prior(left: DataFrame, right: DataFrame,
     silently implementing IS-NOT-DISTINCT-FROM matching AND funneling
     an anonymous-heavy corpus's whole NULL stripe into a single task
     (the skew shape the e10 sessionize docstring already warns about).
-    Both NULL sides are routed AROUND the window: NULL-key rights are
-    filtered (they can never match), NULL-key lefts union back with a
-    literal-NULL out_col — so the window never sees a NULL partition at
-    any scale."""
+    NULL TIMESTAMPS take the same routing (r13 null-ts probe): an
+    un-timestamped left row has no "prior" instant, so it yields
+    out_col NULL, and an un-timestamped right row can never be anyone's
+    prior — DuckDB's native ASOF would otherwise place NULLs by its own
+    sort default and invent matches Spark's window (NULLS FIRST) never
+    sees.  Both NULL classes are routed AROUND the window: unmatched
+    rights are filtered, unmatchable lefts union back with a
+    literal-NULL out_col — so the window never sees a NULL partition or
+    a NULL order key at any scale."""
     # literal-NULL placeholder types derive from the INPUT schemas (ADVICE
     # r12: hardcoded timestamp/long casts would silently type-mismatch the
     # unionByName for a caller whose right_ts / left_id differ)
     pts_type = right.schema[right_ts].dataType
     lid_type = left.schema[left_id].dataType
     null_left = (
-        left.filter(F.col(key).isNull())
+        left.filter(F.col(key).isNull() | F.col(left_ts).isNull())
         .select(F.col(left_id),
                 F.lit(None).cast(pts_type).alias(out_col)))
-    base = left.filter(F.col(key).isNotNull()).select(
+    base = left.filter(F.col(key).isNotNull()
+                       & F.col(left_ts).isNotNull()).select(
         F.col(key).alias("k"), F.col(left_ts).alias("t"),
         F.lit(None).cast(pts_type).alias("pts"),
         F.col(left_id).alias("lid"), F.lit(1).alias("tag"),
     )
-    rights = right.filter(F.col(key).isNotNull()).select(
+    rights = right.filter(F.col(key).isNotNull()
+                          & F.col(right_ts).isNotNull()).select(
         F.col(key).alias("k"), F.col(right_ts).alias("t"),
     ).distinct().select(
         "k", "t", F.col("t").alias("pts"),
@@ -239,10 +246,17 @@ def asof_join_last_prior(left: DataFrame, right: DataFrame,
     "c09_asof",
     oracle="""
         SELECT e.event_id, p.ts AS purchase_ts
-        FROM events e
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
         ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
-                        WHERE event_type = 'purchase') p
+                        WHERE event_type = 'purchase'
+                          AND ts IS NOT NULL) p
           ON e.user_id = p.user_id AND e.ts >= p.ts
+        UNION ALL
+        -- un-timestamped events cannot be time-matched (r13 null-ts
+        -- probe: DuckDB's ASOF places a NULL e.ts by its sort default
+        -- and invents a match; the helper routes them to NULL instead)
+        SELECT event_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE ts IS NULL
     """,
 )
 def c09_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

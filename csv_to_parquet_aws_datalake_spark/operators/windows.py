@@ -172,13 +172,18 @@ def e02_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
                lead(event_id) OVER w AS next_event
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def e03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # integer microsecond arithmetic — exact cross-engine (no float seconds)
+    # integer microsecond arithmetic — exact cross-engine (no float
+    # seconds).  NULL position EXPLICIT on both sides (r13 null-ts
+    # probe — the r12 e02 ordering class on the time axis): Spark ASC
+    # defaults to NULLS FIRST, DuckDB to NULLS LAST, so an un-timestamped
+    # row would take opposite stream positions; asc_nulls_first is
+    # Spark's own default, a pristine no-op.
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_first("ts"), "event_id")
     return ev.select(
         "user_id", "event_id",
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
@@ -419,7 +424,7 @@ def e09_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT grid.user_id, grid.gts, e.value AS last_value
         FROM grid ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events
-              WHERE value IS NOT NULL) e
+              WHERE value IS NOT NULL AND ts IS NOT NULL) e
           ON grid.user_id = e.user_id AND grid.gts >= e.ts
     """,
 )
@@ -457,8 +462,13 @@ def e12_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("gts").alias("ts"),
                 F.lit(None).cast("double").alias("v"), F.lit(1).alias("tag"))
     )
+    # ts IS NOT NULL (r13 null-ts probe): an observation without a time
+    # cannot be placed on the grid — Spark's nulls-first window order
+    # would have LOCF'd it into the EARLIEST grid point while the
+    # oracle's ASOF gts >= NULL matches nothing
     obs = (ev.filter(F.col("user_id").isNotNull()
-                     & F.col("value").isNotNull())
+                     & F.col("value").isNotNull()
+                     & F.col("ts").isNotNull())
            .select("user_id", "ts", F.col("value").alias("v"),
                    F.lit(0).alias("tag")))
     w = (W.partitionBy("user_id").orderBy("ts", "tag")
@@ -518,7 +528,7 @@ def e11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
@@ -541,7 +551,12 @@ def e10_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """The e10 kernel over any (user_id, ts, event_id, ...) frame —
     factored out so tools/scale_stress.py can amplify it.  One user_id
-    window shuffle; the session agg reuses the window's partitioning."""
+    window shuffle; the session agg reuses the window's partitioning.
+    Un-timestamped events are excluded by contract on both engines (r13
+    null-ts probe): a gap to an event with no time is undefined, and the
+    engines' opposite NULL-ordering defaults would otherwise place such
+    rows at opposite ends of every user's stream."""
+    ev = ev.filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(
@@ -574,7 +589,7 @@ def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
             FROM grid
             UNION ALL
             SELECT user_id, ts, min(value), ts, 0
-            FROM events GROUP BY user_id, ts
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id, ts
         ), wnd AS (
             SELECT user_id, ts, tag,
                    last_value(v IGNORE NULLS) OVER wp AS pv,
@@ -625,7 +640,10 @@ def e13_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("timestamp").alias("ots"),
                 F.lit(1).alias("tag"))
     )
-    obs = (ev.groupBy("user_id", "ts").agg(F.min("value").alias("v"))
+    # un-timestamped observations excluded by contract (r13 null-ts
+    # probe; the e12 rationale)
+    obs = (ev.filter(F.col("ts").isNotNull())
+           .groupBy("user_id", "ts").agg(F.min("value").alias("v"))
            .select("user_id", "ts", "v",
                    F.col("ts").alias("ots"), F.lit(0).alias("tag")))
     wp = (W.partitionBy("user_id").orderBy("ts", "tag")
@@ -731,7 +749,7 @@ def e15_rank_ties_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH changes AS (
             SELECT user_id, event_type, ts, event_id,
                    lag(event_type) OVER w AS prev_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), versions AS (
             SELECT user_id, event_type, ts AS valid_from, event_id,
@@ -756,6 +774,11 @@ def e16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard warehouse pattern for turning event streams into versioned
     dimensions, and it scales as a single shuffle on the entity key."""
     ev = load_table(spark, sf_dir, "events")
+    # un-timestamped changelog rows cannot be versioned — excluded by
+    # contract on both engines (r13 null-ts probe): the engines'
+    # opposite NULL-ordering defaults would otherwise disagree on which
+    # neighbor a NULL-ts change collapses into
+    ev = ev.filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.select("user_id", "event_type", "ts", "event_id",
@@ -820,7 +843,7 @@ def e17_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             PARTITION BY user_id, event_type
                             ORDER BY ts, event_id) = 1
                         THEN 1 ELSE 0 END AS is_first
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT event_id, user_id,
                CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -838,6 +861,9 @@ def e18_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     then (user_id) — both on bounded keys; no per-row state beyond the sort,
     so the shape scales to arbitrarily long histories."""
     e = load_table(spark, sf_dir, "events")
+    # an un-timestamped event has no stream position — excluded by
+    # contract on both engines (r13 null-ts probe)
+    e = e.filter(F.col("ts").isNotNull())
     w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (W.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -884,7 +910,7 @@ def funnel_census(ev: DataFrame) -> DataFrame:
             acc -> acc.stage) AS stage
     """
     per_user = (
-        ev.where(F.col("user_id").isNotNull())
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .groupBy("user_id")
         .agg(F.collect_list(F.struct(
             F.col("ts"), F.col("event_id").alias("eid"),
@@ -913,8 +939,13 @@ def funnel_census(ev: DataFrame) -> DataFrame:
     "e19_funnel_census",
     oracle="""
         WITH v AS (
+            -- ts IS NOT NULL (r13 null-ts probe): a user whose only view
+            -- is un-timestamped must not count as reached_view — min(ts)
+            -- skips the NULL but the group row would survive; the later
+            -- stages' e.ts > ... comparisons already self-exclude NULLs
             SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+            WHERE event_type = 'view' AND user_id IS NOT NULL
+              AND ts IS NOT NULL GROUP BY 1
         ), c AS (
             SELECT e.user_id, min(e.ts) AS t2
             FROM events e JOIN v USING (user_id)

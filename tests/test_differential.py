@@ -115,15 +115,17 @@ def _null_events_dir(sf_dir: str) -> str:
     # DISJOINT stripes per nullable column — user_id (the join/window
     # key) takes event_id % 10 == 3 ({3, 13} mod 20), value (the
     # measure — caught e12's LOCF-vs-latest-row divergence) takes
-    # % 10 == 4 ({4, 14}), and props (the JSON payload; r13, after the
-    # malformed-JSON probe errored all four consumers' oracles) takes
-    # NULL at % 10 == 6 ({6, 16}) plus three MALFORMED forms at
-    # residues 12/15/17 mod 20, none of which collide with the
-    # user_id/value stripes — so every malformed row keeps its join key
-    # and measure and genuinely exercises the lenient TRY_CAST path in
-    # every consumer (this round's review: the first cut put bare-word
-    # on 13 and empty-string on 14, where the NULL user_id/value
-    # stripes dropped those rows before the JSON parse ran).
+    # % 10 == 4 ({4, 14}), ts (the time axis; r13 null-ts probe, which
+    # diverged 8 of 21 queries) takes % 10 == 9 ({9, 19}), and props
+    # (the JSON payload; r13, after the malformed-JSON probe errored
+    # all four consumers' oracles) takes NULL at % 10 == 6 ({6, 16})
+    # plus three MALFORMED forms at residues 12/15/17 mod 20, none of
+    # which collide with the other stripes — so every malformed row
+    # keeps its join key, measure, and time and genuinely exercises the
+    # lenient TRY_CAST path in every consumer (this round's review: the
+    # first cut put bare-word on 13 and empty-string on 14, where the
+    # NULL user_id/value stripes dropped those rows before the JSON
+    # parse ran).
     def props_stripes(vals, a):
         out = []
         for eid, v in zip(a["event_id"], vals):
@@ -143,9 +145,10 @@ def _null_events_dir(sf_dir: str) -> str:
         return out
 
     return _variant_dir(
-        "null_events_fixture_v4", sf_dir, "events",
+        "null_events_fixture_v5", sf_dir, "events",
         {"user_id": _nuller(lambda a: (a["event_id"] % 10) == 3),
          "value": _nuller(lambda a: (a["event_id"] % 10) == 4),
+         "ts": _nuller(lambda a: (a["event_id"] % 10) == 9),
          "props": props_stripes})
 
 
