@@ -65,11 +65,16 @@ def _run_to_memory(agg: DataFrame, name: str, mode: str) -> DataFrame:
     oracle="""
         SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
                count(*) AS n, round(sum(value), 2) AS sv
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_stream(spark, sf_dir)
+    # un-timestamped events cannot enter an event-time window — Spark's
+    # window()/watermark machinery already drops them; the filter (and
+    # the oracles' WHERE ts IS NOT NULL) makes the contract explicit on
+    # both engines (r13 null-ts probe: the batch oracle otherwise
+    # buckets them into a NULL window group)
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -85,13 +90,14 @@ def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
                event_type, count(*) AS n
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
 )
 def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-hour window sliding every 15 min: each event lands in 4 windows;
     # the oracle reproduces the window set with an explicit slide-offset join
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
@@ -109,7 +115,7 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
@@ -127,7 +133,7 @@ def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-event + gap, so `session_last = end - 30 min`; the oracle is the
     batch gaps-and-islands formulation (e10), which produces identical
     session splits."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
