@@ -1958,3 +1958,80 @@ def line_dedup_rewrite(d: DataFrame, block: int = 10) -> DataFrame:
             "transform(array_sort(collect_list(CASE WHEN kept THEN"
             " struct(idx, line) END)), x -> x.line)")).alias("clean_text"),
     )
+
+
+@query(
+    "i65_quality_classifier",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), x -> md5(x)) AS hs
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT doc_id, len(hs) AS n,
+                   list_sum(list_transform(hs, h ->
+                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                     - 128)) AS sw
+            FROM t
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+               CAST(((sw + 128 * n) * 10000) // (n * 256) AS BIGINT)
+                   AS score_e4,
+               ((sw + 128 * n) * 10000) // (n * 256) >= 5000 AS keep
+        FROM m
+    """,
+)
+def i65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality scoring — the fastText-shaped
+    linear-classifier filter of the C4/CCNet/LLaMA pipelines (Joulin et
+    al. 2016; Wenzek et al. 2020 use exactly this inference shape for
+    quality LM filtering), completing the quality family: i14 is
+    heuristic ratios, i25/i56 are rule gates, this is the learned-model
+    member (registered r14 from the staged bank, the §7.12 ledger's
+    named candidate).  Inference = mean of per-token weights looked up
+    by hashed feature, thresholded.  The weight table is a
+    deterministic stand-in (the multimodal decode-stub convention):
+    w(tok) = the first two md5 hex digits as an integer minus 128,
+    i.e. a fixed random-looking [-128, 127] projection both engines
+    derive identically — a real deployment swaps ONE expression (the
+    lambda body) for a broadcast weight-map lookup, changing neither
+    the plan nor the census.
+
+    Determinism by construction: weights are INTEGERS, so the per-doc
+    sum is exact and fold-order-free (no float accumulation ordering,
+    the i25 lesson applied at design time); the score is normalized as
+    ((sw + 128*n) * 10000) div (256*n) — an integer in [0, 10000] —
+    with the shift making every operand NON-NEGATIVE, because Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, and the
+    two only agree on non-negative operands.  keep = score >= 5000
+    (the mean-weight midpoint; both SF-probed sides are non-empty).
+
+    Scale shape (the i25/i56 idiom): transform + aggregate over the
+    token array — no explode, no (doc, token) shuffle, ZERO exchanges;
+    the 100 TB cost is one scan+project.  NULL-text docs excluded by
+    contract on both engines (the r12 convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(d.filter(F.col("text").isNotNull()))
+
+
+def quality_classifier_scores(d: DataFrame) -> DataFrame:
+    """The i65 kernel over any (doc_id, text) frame — factored out (r13)
+    so tools/scale_stress.py drives the registered formulation; callers
+    pre-filter NULL text (the registered wrapper's contract)."""
+    w = ("(locate(substring(h, 1, 1), '0123456789abcdef') - 1) * 16"
+         " + (locate(substring(h, 2, 1), '0123456789abcdef') - 1) - 128")
+    return (
+        d.select("doc_id",
+                 F.expr("transform(split(text, ' '), x -> md5(x))")
+                 .alias("hs"))
+        .selectExpr(
+            "doc_id",
+            "size(hs) AS n",
+            f"aggregate(hs, 0L, (acc, h) -> acc + ({w})) AS sw")
+        .selectExpr(
+            "doc_id",
+            "CAST(n AS LONG) AS n_toks",
+            "((sw + 128 * n) * 10000) div (n * 256) AS score_e4",
+            "((sw + 128 * n) * 10000) div (n * 256) >= 5000 AS keep")
+    )

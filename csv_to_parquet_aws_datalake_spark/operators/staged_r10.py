@@ -23,8 +23,7 @@ whole path, so the dense baseline added no differential coverage);
 k16 deleted (k17's radius<=1 banding includes every radius-0 —
 exact-code — pair, so the exact-bucket census is the weaker
 same-family form; its ``phash_codes`` kernel moved HERE, k17's only
-dependency).  This module is now the whole bank: six candidates
-(seven after i65 staged later in r12 — see its bullet below).
+dependency).
 
 Round 13's retirement review (SURVEY §7.12 has the full ledger) took
 three more candidates out: i63 REGISTERED
@@ -37,15 +36,14 @@ i60 deleted (4 rounds banked, never verdict-ranked — the §7.9 default
 — and a read-only rollup of the REGISTERED i48/i54 span kernel, so a
 registry slot on it adds no new kernel coverage).
 
+Round 14 executed the ledger's named r14 move: i65 REGISTERED
+(``llm_text.py:i65_quality_classifier`` — the quality family's learned
+member; kernel ``quality_classifier_scores`` moved with it).
+
 The remaining bank — each with tri-SF oracle parity, plan pins, an
 independent reference, and a NAMED fate in the §7.12 ledger (no
 candidate rides the 4-round default):
 
-- i65 model-based quality classifier (staged r12) — REGISTERS r14,
-  completing the quality family (i14 heuristic ratios, i25/i56 rule
-  gates, this the learned member): integer hashed-feature weights,
-  exact order-free sums, a non-negative normalization making Spark
-  div == DuckDB //, zero exchanges.
 - i64 BM25 decontamination census — REGISTERS r15: the soft
   (retrieval-based) complement of i33's exact-gram decontamination:
   documents scoring above a measured threshold against each benchmark
@@ -435,76 +433,3 @@ def i64_bm25_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_candidates", "top_doc", "top_bm25"))
 
 
-@_stage(
-    "i65_quality_classifier",
-    oracle="""
-        WITH t AS (
-            SELECT doc_id,
-                   list_transform(string_split(text, ' '), x -> md5(x)) AS hs
-            FROM documents WHERE text IS NOT NULL
-        ), m AS (
-            SELECT doc_id, len(hs) AS n,
-                   list_sum(list_transform(hs, h ->
-                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
-                     - 128)) AS sw
-            FROM t
-        )
-        SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
-               CAST(((sw + 128 * n) * 10000) // (n * 256) AS BIGINT)
-                   AS score_e4,
-               ((sw + 128 * n) * 10000) // (n * 256) >= 5000 AS keep
-        FROM m
-    """,
-)
-def i65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based document quality scoring — the fastText-shaped
-    linear-classifier filter of the C4/CCNet/LLaMA pipelines (Joulin et
-    al. 2016; Wenzek et al. 2020 use exactly this inference shape for
-    quality LM filtering), completing the quality family: i14 is
-    heuristic ratios, i25/i56 are rule gates, this is the learned-model
-    member.  Inference = mean of per-token weights looked up by hashed
-    feature, thresholded.  The weight table is a deterministic stand-in
-    (the multimodal decode-stub convention): w(tok) = the first two md5
-    hex digits as an integer minus 128, i.e. a fixed random-looking
-    [-128, 127] projection both engines derive identically — a real
-    deployment swaps ONE expression (the lambda body) for a broadcast
-    weight-map lookup, changing neither the plan nor the census.
-
-    Determinism by construction: weights are INTEGERS, so the per-doc
-    sum is exact and fold-order-free (no float accumulation ordering,
-    the i25 lesson applied at design time); the score is normalized as
-    ((sw + 128*n) * 10000) div (256*n) — an integer in [0, 10000] —
-    with the shift making every operand NON-NEGATIVE, because Spark's
-    ``div`` truncates toward zero while DuckDB's ``//`` floors, and the
-    two only agree on non-negative operands.  keep = score >= 5000
-    (the mean-weight midpoint; both SF-probed sides are non-empty).
-
-    Scale shape (the i25/i56 idiom): transform + aggregate over the
-    token array — no explode, no (doc, token) shuffle, ZERO exchanges;
-    the 100 TB cost is one scan+project.  NULL-text docs excluded by
-    contract on both engines (the r12 convention)."""
-    d = load_table(spark, sf_dir, "documents")
-    return quality_classifier_scores(d.filter(F.col("text").isNotNull()))
-
-
-def quality_classifier_scores(d: DataFrame) -> DataFrame:
-    """The i65 kernel over any (doc_id, text) frame — factored out (r13)
-    so tools/scale_stress.py drives the staged formulation; moves to the
-    registered home with i65 at its named r14 registration."""
-    w = ("(locate(substring(h, 1, 1), '0123456789abcdef') - 1) * 16"
-         " + (locate(substring(h, 2, 1), '0123456789abcdef') - 1) - 128")
-    return (
-        d.select("doc_id",
-                 F.expr("transform(split(text, ' '), x -> md5(x))")
-                 .alias("hs"))
-        .selectExpr(
-            "doc_id",
-            "size(hs) AS n",
-            f"aggregate(hs, 0L, (acc, h) -> acc + ({w})) AS sw")
-        .selectExpr(
-            "doc_id",
-            "CAST(n AS LONG) AS n_toks",
-            "((sw + 128 * n) * 10000) div (n * 256) AS score_e4",
-            "((sw + 128 * n) * 10000) div (n * 256) >= 5000 AS keep")
-    )

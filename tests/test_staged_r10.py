@@ -3,8 +3,9 @@ oracle-differential through the driver's comparator, plan pins, and
 independent references.  The i59 semdedup-ANN tests moved to
 tests/test_r11_queries.py when i59 registered (round 11); the i63
 line-dedup-rewrite tests moved to tests/test_r13_queries.py when it
-registered (round 13), and the i60/i62 tests retired with their
-candidates in the same §7.9 review."""
+registered (round 13), the i60/i62 tests retired with their candidates
+in the same §7.9 review, and the i65 quality-classifier tests moved to
+tests/test_r14_queries.py when it registered (round 14)."""
 
 from __future__ import annotations
 
@@ -265,41 +266,3 @@ def test_i64_consistent_with_i61_and_python(spark, sf_dir):
     assert got == want
 
 
-def test_i65_matches_pure_python_classifier(spark, sf_dir):
-    # independent reference: the whole scorer recomputed in Python from
-    # raw text (the shared-formula hazard guard — the oracle SQL mirrors
-    # the Spark expressions, so a both-engines-wrong transcription would
-    # pass the differential without this)
-    import hashlib
-
-    fn, _ = STAGED["i65_quality_classifier"]
-    got = {r["doc_id"]: (r["n_toks"], r["score_e4"], r["keep"])
-           for r in fn(spark, sf_dir).collect()}
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text").collect()
-    want = {}
-    for r in docs:
-        if r["text"] is None:
-            continue
-        toks = r["text"].split(" ")
-        sw = sum(int(hashlib.md5(t.encode()).hexdigest()[:2], 16) - 128
-                 for t in toks)
-        n = len(toks)
-        score = ((sw + 128 * n) * 10000) // (n * 256)  # operands >= 0
-        want[r["doc_id"]] = (n, score, score >= 5000)
-    assert got == want
-    # the threshold must split the corpus (a one-sided keep gate would
-    # mean the fixture never exercises the other branch)
-    keeps = {v[2] for v in want.values()}
-    assert keeps == {True, False}
-
-
-def test_i65_plan_is_map_side_only(spark, sf_dir):
-    # the i25/i56 idiom: no explode, no exchange at all — one
-    # scan+project is the whole 100 TB cost
-    fn, _ = STAGED["i65_quality_classifier"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert "Exchange" not in plan
-    assert "Generate explode" not in plan
-    assert "BatchEvalPython" not in plan  # pure JVM expressions

@@ -305,11 +305,8 @@ def kernels():
     from pyspark.sql import functions as F
 
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        gopher_rule_breakdown, minhash_band_pairs, span_dedup_spans,
-        tfidf_top_terms, token_tf_df,
-    )
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
-        quality_classifier_scores,
+        gopher_rule_breakdown, minhash_band_pairs, quality_classifier_scores,
+        span_dedup_spans, tfidf_top_terms, token_tf_df,
     )
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
         global_row_number,
