@@ -846,8 +846,20 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     the min-struct) are normalized to a -2.0 sentinel by
     ``_nan_safe_acos`` on BOTH paths, so they deterministically lose
     everywhere and shard invariance holds even out of contract
-    (ADVICE r12; still out of contract for the oracle family — DuckDB's
-    list_inner_product path never sees them).  The
+    (ADVICE r12).  Zero-norm stays OUT of the differential contract
+    deliberately: ``valid_embeddings``/``_valid_emb_sql`` exclude only
+    NULL/empty arrays, and a zero-norm non-empty vector would pass that
+    filter into DuckDB's list_cosine_similarity, which errors/NaNs on a
+    zero divisor — the oracle cannot express the lenient semantics, the
+    same class as the r12/r13 NULL-element findings (ADVICE r13: the
+    earlier wording here claimed the oracle "never sees" them, which is
+    exactly backwards).  The Spark-side sentinel is therefore a strict
+    SUPERSET of the contract — defensive determinism for corpora the
+    oracle could not even score, not a parity surface; extending the
+    contract itself was rejected because a norm>0 predicate is
+    float-underflow-sensitive (FLOAT[] x*x can flush to zero on one
+    engine and not the other), which would make the validity filter
+    itself a divergence source.  The
     vector side is re-mapped once per shard (n·m map work, no pin —
     the documented trade for keeping every join broadcast-shaped at
     any k); the registered i59 path keeps the default m=1 window

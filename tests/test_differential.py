@@ -248,7 +248,11 @@ def test_documents_queries_match_oracle_with_null_text(name, spark):
 # construction, so those rows stay out of the per-run suite.
 
 
-def _unicode_docs_dir() -> str:
+def _unicode_docs_dir(sf_dir: str) -> str:
+    # takes the suite's configured scale (the _null_events_dir
+    # convention; ADVICE r13 — a hardcoded sf0.001 here would silently
+    # pin the multibyte sweep to one SF regardless of
+    # SPARK_GRAFT_TEST_SF_DIR)
     subs = {"the": "thé", "a": "ä", "fast": "fäst", "part": "pär\U0001F600"}
 
     def uni(vals, arrays):
@@ -256,7 +260,7 @@ def _unicode_docs_dir() -> str:
                 if v is not None and (i % 20) == 5 else v
                 for i, v in zip(arrays["doc_id"], vals)]
 
-    return _variant_dir("unicode_docs_fixture", "/root/testdata/sf0.001",
+    return _variant_dir("unicode_docs_fixture", sf_dir,
                         "documents", {"text": uni})
 
 
@@ -267,10 +271,11 @@ _BYTE_ARITHMETIC_QUERIES = [
 
 
 @pytest.mark.parametrize("name", _BYTE_ARITHMETIC_QUERIES)
-def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark):
+def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark,
+                                                           sf_dir):
     from tests.differential import make_oracle_con
 
-    d = _unicode_docs_dir()
+    d = _unicode_docs_dir(sf_dir)
     con = make_oracle_con(d)
     try:
         compare(registry.QUERIES[name](spark, d), con,

@@ -465,8 +465,14 @@ def main() -> int:
         stream_path = None
         d = None
         if any(map(sel, doc_rows)) or sel("cc[i27-kernel]"):
-            docs = load_table(spark, sf_dir, "documents") \
-                .select("doc_id", "text")
+            # NULL text excluded up front: the i56/i65 kernels assume the
+            # caller filtered it (their registered wrappers do — ADVICE
+            # r13), and every other doc kernel is NULL-text-excluding in
+            # its registered form too, so the stress frame mirrors the
+            # frames the kernels actually see
+            docs = (load_table(spark, sf_dir, "documents")
+                    .filter(F.col("text").isNotNull())
+                    .select("doc_id", "text"))
             n0 = n0 or docs.count()
         if sel("cc[i27-kernel]"):
             # connected components gets its own edge-based amplification:
