@@ -190,7 +190,7 @@ def test_k17_kernel_hand_computed(spark):
     assert got == {1: 0b00001111, 2: 0b11110000}
 
 
-def test_k17_matches_oracle_on_multibyte_text(spark):
+def test_k17_matches_oracle_on_multibyte_text(spark, sf_dir):
     # r13: the oracle went byte-true (hex(encode) extraction via
     # _hx_byte, replacing the ord(substr) code-point shortcut whose
     # ASCII-only validity the retired test_k17_corpus_is_ascii pinned) —
@@ -199,7 +199,7 @@ def test_k17_matches_oracle_on_multibyte_text(spark):
     # registration makes the differential suite do it per-run
     from tests.test_differential import _unicode_docs_dir
 
-    d = _unicode_docs_dir()
+    d = _unicode_docs_dir(sf_dir)
     fn, sql = STAGED["k17_phash_band_neardup"]
     con = make_oracle_con(d)
     try:
