@@ -20,22 +20,37 @@ from ..registry import query
 
 def valid_embeddings(emb: DataFrame) -> DataFrame:
     """The vector family's input contract, enforced identically on both
-    engines: an embedding is VALID iff non-NULL and non-empty.  NULLs
-    were contracted out in the r12 null sweep; the r13 EMPTY-ARRAY probe
-    found the zero-length sibling broke 9 of 10 vector checks four
-    different ways (ANSI DIVIDE_BY_ZERO on the 0/0 cosine, pyspark.ml
-    gemv dimension crash in i19, DuckDB list-dimension errors the oracle
-    cannot even express leniently, and two genuine value divergences in
-    i11/i31) — a 100 TB corpus will contain malformed embedding rows, so
-    every query excludes them up front, map-side, pushed to the scan.
+    engines: an embedding is VALID iff non-NULL, non-empty, and every
+    element is non-NULL and FINITE.  NULLs were contracted out in the
+    r12 null sweep; the r13 EMPTY-ARRAY probe found the zero-length
+    sibling broke 9 of 10 vector checks four different ways (ANSI
+    DIVIDE_BY_ZERO on the 0/0 cosine, pyspark.ml gemv dimension crash
+    in i19, DuckDB list-dimension errors the oracle cannot even express
+    leniently, and two genuine value divergences in i11/i31); the r14
+    NON-FINITE-ELEMENT probe found NaN/Inf elements broke 9 of 9 — Spark
+    SQL orders NaN GREATEST and treats it as >= any threshold (NaN rows
+    won i05/i18 top-k slots and flooded ~19k phantom pairs through
+    i06's similarity gate) while four oracles hard-ERRORED casting NaN
+    (the malformed-JSON class on the vector axis) — and NULL elements
+    inside a non-NULL array are the same family (DuckDB's list kernels
+    reject them outright, the r12 list_inner_product finding).  A
+    100 TB corpus WILL contain embedding rows a broken upstream model
+    filled with NaNs, so every query excludes them up front, map-side.
+    The element sweep is an exact predicate (isnan/|x|=Inf, no
+    float-threshold sensitivity — unlike the rejected norm>0 form).
     The SQL twin is :func:`_valid_emb_sql`."""
-    return emb.filter(F.col("embedding").isNotNull()
-                      & (F.size("embedding") > 0))
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x)"
+                  " OR abs(x) = double('Infinity'))"))
 
 
 def _valid_emb_sql(col: str = "embedding") -> str:
     """DuckDB predicate twin of :func:`valid_embeddings`."""
-    return f"{col} IS NOT NULL AND len({col}) > 0"
+    return (f"{col} IS NOT NULL AND len({col}) > 0"
+            f" AND len(list_filter({col}, x -> x IS NULL OR isnan(x)"
+            f" OR isinf(x))) = 0")
 
 
 @query(

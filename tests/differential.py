@@ -35,7 +35,11 @@ def _norm(v):
         return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "nan")
+            # distinct FIRST element: ("f", 0.5) < ("fnan",) compares
+            # str-to-str and stays total — ("f", "nan") would compare
+            # 0.5 < "nan" and TypeError whenever a column mixes NaN and
+            # non-NaN rows (found by the r14 non-finite probe)
+            return ("fnan",)
         # our queries round explicitly; this guards only repr noise
         return ("f", round(v, 9))
     if isinstance(v, int):

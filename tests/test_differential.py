@@ -286,10 +286,13 @@ def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark,
 
 def _null_emb_dir() -> str:
     # vec_ids 0-3 kept intact: the i05 query vector and the SRP basis
-    # are data-derived contract rows.  Three disjoint stripes: NULL
-    # embedding, NULL label, and (r13 empty-array probe) a ZERO-LENGTH
-    # embedding — the malformed-row sibling that broke 9/10 vector
-    # checks before valid_embeddings contracted it out on both engines
+    # are data-derived contract rows.  Six disjoint stripes: NULL
+    # embedding, NULL label, (r13 empty-array probe) a ZERO-LENGTH
+    # embedding, and (r14 non-finite probe, which broke 9 of 9 vector
+    # checks before valid_embeddings contracted the class out on both
+    # engines) a NaN element, a +Inf/-Inf element pair, and a NULL
+    # element inside a non-NULL array (the r12 list_inner_product
+    # rejection, finally striped)
     def emb_stripes(vals, a):
         out = []
         for vid, v in zip(a["vec_id"], vals):
@@ -299,6 +302,12 @@ def _null_emb_dir() -> str:
                 out.append(None)
             elif (vid % 25) == 17:
                 out.append([])
+            elif (vid % 25) == 5:
+                out.append([float("nan")] + list(v)[1:])
+            elif (vid % 25) == 21:
+                out.append([v[0], float("inf"), float("-inf")] + list(v)[3:])
+            elif (vid % 25) == 11:
+                out.append([None] + list(v)[1:])
             else:
                 out.append(v)
         return out
@@ -308,7 +317,7 @@ def _null_emb_dir() -> str:
                 for vid, v in zip(a["vec_id"], vals)]
 
     return _variant_dir(
-        "null_emb_fixture_v2", "/root/testdata/sf0.001", "embeddings",
+        "null_emb_fixture_v3", "/root/testdata/sf0.001", "embeddings",
         {"embedding": emb_stripes, "label": label_stripe})
 
 
