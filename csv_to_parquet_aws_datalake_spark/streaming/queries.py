@@ -115,7 +115,8 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
-            FROM events WHERE ts IS NOT NULL
+            FROM events
+            WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01'
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
@@ -132,8 +133,21 @@ def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap).  session_window's end is
     last-event + gap, so `session_last = end - 30 min`; the oracle is the
     batch gaps-and-islands formulation (e10), which produces identical
-    session splits."""
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    session splits.
+
+    PRE-EPOCH event times are out of the streaming session domain on
+    both engines (r14 probe): Spark's event-time watermark is BORN at
+    epoch 0, and the session-window state path filters late rows
+    against it unconditionally — even in complete mode, unlike the
+    tumbling/sliding aggregates — so a pre-1970 session is silently
+    evicted as late-before-birth.  The filter below documents that
+    contract on the Spark side (a no-op — the state operator already
+    drops them) and the oracle mirrors it with ts >= epoch, exactly
+    the r13 NULL-event-time treatment one class further out (pinned on
+    a constructed frame in tests/test_r14_queries.py)."""
+    ev = (_events_stream(spark, sf_dir)
+          .filter(F.col("ts").isNotNull()
+                  & (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

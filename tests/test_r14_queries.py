@@ -51,3 +51,39 @@ def test_i65_plan_is_map_side_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate explode" not in plan
     assert "BatchEvalPython" not in plan  # pure JVM expressions
+
+
+def test_streaming_session_drops_pre_epoch_sessions(spark, tmp_path):
+    # the r14 pre-1970 probe's find, pinned at its root: Spark's
+    # event-time watermark is born at epoch 0 and the session-window
+    # state path filters late rows against it unconditionally (even in
+    # complete mode, unlike tumbling/sliding aggs), so a pre-epoch
+    # session is evicted as late-before-birth.  BATCH session_window
+    # keeps it — the j03 contract (ts >= epoch on both engines) exists
+    # precisely because of this batch/streaming asymmetry.
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime.datetime(1969, 6, 1, 10, 0, 0)),
+        (1, datetime.datetime(1969, 6, 1, 10, 10, 0)),
+        (2, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+        (2, datetime.datetime(2024, 1, 1, 10, 10, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = lambda d: (d.groupBy(  # noqa: E731
+        F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n")))
+    assert {r["user_id"] for r in sess(df).collect()} == {1, 2}  # batch
+
+    src = str(tmp_path / "preepoch")
+    df.write.parquet(src)
+    sink = "preepoch_" + uuid.uuid4().hex[:8]
+    q = (sess(spark.readStream.schema(df.schema).parquet(src)
+              .withWatermark("ts", "1 hour"))
+         .writeStream.outputMode("complete").format("memory")
+         .queryName(sink).trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {r["user_id"] for r in spark.table(sink).collect()} == {2}
