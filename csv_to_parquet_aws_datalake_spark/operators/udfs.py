@@ -9,6 +9,7 @@ demonstrating exactly that.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,11 +71,16 @@ def k02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "k03_grouped_map",
     oracle="""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN isfinite(value) THEN value END AS v
+            FROM events
+        )
         SELECT event_id,
-               round((value - avg(value) OVER (PARTITION BY event_type))
-                     / nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0),
+               round((v - avg(v) OVER (PARTITION BY event_type))
+                     / nullif(stddev_samp(v) OVER (PARTITION BY event_type), 0),
                      6) AS z
-        FROM events
+        FROM ev
     """,
 )
 def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,8 +88,13 @@ def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Degenerate groups (single row / zero variance) emit NULL — pandas
     # would produce NaN/inf where SQL's NULL-propagating division yields
     # NULL, so the guard uses the nullable Float64 dtype (Arrow -> null).
+    # Non-finite measures are MISSING on both engines (r14 probe: pandas
+    # skipna already drops NaN but lets Inf poison the group mean, and
+    # DuckDB's stddev_samp hard-errors on Inf — the contract makes the
+    # NaN conflation pandas forces at the Arrow boundary explicit and
+    # extends it to its Inf sibling; a no-op on any finite corpus).
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
+        v = pdf["value"].where(np.isfinite(pdf["value"]))
         std = v.std(ddof=1)
         if len(pdf) < 2 or pd.isna(std) or std == 0.0:
             z = pd.array([pd.NA] * len(pdf), dtype="Float64")
@@ -100,15 +111,25 @@ def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k04_pandas_udaf",
     oracle="""
         SELECT event_type,
-               round(sum(value * CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT))
+               round(sum(CASE WHEN isfinite(value) THEN value END
+                         * CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT))
                      / sum(CAST(TRY_CAST(props AS JSON) ->> 'k' AS INT)), 6) AS wmean
         FROM events GROUP BY 1
     """,
 )
 def k04_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # custom grouped aggregate (weighted mean) as a GROUPED_AGG pandas UDF
+    # custom grouped aggregate (weighted mean) as a GROUPED_AGG pandas UDF.
+    # A non-finite measure contributes NOTHING to the numerator but its
+    # weight stays in the denominator — exactly the NULL-value semantics
+    # both engines already share (pandas skipna / SQL sum-skips-NULL);
+    # the r14 probe found Inf flowing into the pandas numerator while
+    # DuckDB's sum turned NaN into a whole-group NaN, so the missing-
+    # measure treatment is now explicit and symmetric.
     @F.pandas_udf(T.DoubleType())
     def wmean(v: pd.Series, w: pd.Series) -> float:
+        v = v.where(np.isfinite(v))
+        if v.count() == 0:
+            return None  # SQL: sum over all-NULL is NULL, not 0
         return float((v * w).sum() / w.sum())
 
     ev = load_table(spark, sf_dir, "events").withColumn(

@@ -115,7 +115,11 @@ def _null_events_dir(sf_dir: str) -> str:
     # DISJOINT stripes per nullable column — user_id (the join/window
     # key) takes event_id % 10 == 3 ({3, 13} mod 20), value (the
     # measure — caught e12's LOCF-vs-latest-row divergence) takes
-    # % 10 == 4 ({4, 14}), ts (the time axis; r13 null-ts probe, which
+    # NULL at % 10 == 4 ({4, 14}) plus three NON-FINITE forms (r14
+    # probe: Inf poisoned k03's pandas group mean and hard-errored
+    # DuckDB's stddev_samp; NaN split k04's engines — both now treat a
+    # non-finite measure as missing) at residues 1 (NaN), 18 (+Inf),
+    # and 8 (-Inf) mod 20, ts (the time axis; r13 null-ts probe, which
     # diverged 8 of 21 queries) takes % 10 == 9 ({9, 19}), and props
     # (the JSON payload; r13, after the malformed-JSON probe errored
     # all four consumers' oracles) takes NULL at % 10 == 6 ({6, 16})
@@ -144,10 +148,22 @@ def _null_events_dir(sf_dir: str) -> str:
                 out.append(v)
         return out
 
+    def value_stripes(vals, a):
+        out = []
+        nonfinite = {1: float("nan"), 18: float("inf"), 8: float("-inf")}
+        for eid, v in zip(a["event_id"], vals):
+            if (eid % 10) == 4:
+                out.append(None)
+            elif v is not None and (eid % 20) in nonfinite:
+                out.append(nonfinite[eid % 20])
+            else:
+                out.append(v)
+        return out
+
     return _variant_dir(
-        "null_events_fixture_v5", sf_dir, "events",
+        "null_events_fixture_v6", sf_dir, "events",
         {"user_id": _nuller(lambda a: (a["event_id"] % 10) == 3),
-         "value": _nuller(lambda a: (a["event_id"] % 10) == 4),
+         "value": value_stripes,
          "ts": _nuller(lambda a: (a["event_id"] % 10) == 9),
          "props": props_stripes})
 
