@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scalar import finite_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -157,17 +158,23 @@ def d07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d08_stats",
     oracle="""
         SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 4) AS sd_qty,
-               round(var_samp(l_quantity), 4)    AS var_qty,
+               round(stddev_samp(CASE WHEN isfinite(l_quantity)
+                                      THEN l_quantity END), 4) AS sd_qty,
+               round(var_samp(CASE WHEN isfinite(l_quantity)
+                                   THEN l_quantity END), 4)    AS var_qty,
                round(avg(l_extendedprice), 2)    AS avg_price
         FROM lineitem GROUP BY 1
     """,
 )
 def d08_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variance inputs exclude non-finite quantities on both engines (r14
+    # probe: DuckDB's STDDEV_SAMP hard-errors on Inf); avg stays raw —
+    # NaN-in-NaN-out agrees across engines for plain means
     li = load_table(spark, sf_dir, "lineitem")
+    qty = finite_or_null("l_quantity")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_samp(qty), 4).alias("sd_qty"),
+        F.round(F.var_samp(qty), 4).alias("var_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
     )
 
@@ -175,21 +182,33 @@ def d08_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d09_percentile_exact",
     oracle="""
+        WITH li AS (
+            SELECT l_returnflag,
+                   CASE WHEN isfinite(l_quantity) THEN l_quantity END AS qty
+            FROM lineitem
+        )
         SELECT l_returnflag,
-               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
-        FROM lineitem GROUP BY 1
+               round(quantile_cont(qty, 0.5), 4) AS p50_qty,
+               round(quantile_cont(qty, 0.9), 4) AS p90_qty
+        FROM li GROUP BY 1
     """,
 )
 def d09_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's `percentile` is the exact interpolating aggregate — semantically
     # DuckDB's quantile_cont.  SQL form is the cleaner entry point (§3 EP2).
+    # Non-finite quantities are MISSING on both engines (r14 probe: Spark's
+    # percentile sorts NaN greatest while DuckDB's quantile_cont returns
+    # NaN for the whole group — no lenient form exists on either side).
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("pct_lineitem")
     return spark.sql("""
         SELECT l_returnflag,
-               round(percentile(l_quantity, 0.5), 4) AS p50_qty,
-               round(percentile(l_quantity, 0.9), 4) AS p90_qty
+               round(percentile(CASE WHEN NOT isnan(l_quantity)
+                                      AND abs(l_quantity) != double('Infinity')
+                                     THEN l_quantity END, 0.5), 4) AS p50_qty,
+               round(percentile(CASE WHEN NOT isnan(l_quantity)
+                                      AND abs(l_quantity) != double('Infinity')
+                                     THEN l_quantity END, 0.9), 4) AS p90_qty
         FROM pct_lineitem GROUP BY 1
     """)
 
@@ -420,11 +439,19 @@ def d18_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d19_corr_regression",
     oracle="""
+        WITH li AS (
+            SELECT l_returnflag,
+                   CASE WHEN isfinite(l_quantity)
+                        THEN l_quantity END AS qty,
+                   CASE WHEN isfinite(l_extendedprice)
+                        THEN l_extendedprice END AS price
+            FROM lineitem
+        )
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 4)       AS r,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
-               round(regr_slope(l_extendedprice, l_quantity), 2) AS slope
-        FROM lineitem
+               round(corr(qty, price), 4)       AS r,
+               round(covar_samp(qty, price), 2) AS cv,
+               round(regr_slope(price, qty), 2) AS slope
+        FROM li
         GROUP BY 1
     """,
 )
@@ -434,12 +461,19 @@ def d19_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-moments that merge associatively, so the full regression runs in
     one map-side-combined shuffle, never a second pass.  d08's rounding
     discipline (4 dp ratios, 2 dp money-scaled moments) absorbs the
-    engines' different co-moment update orders."""
+    engines' different co-moment update orders.  A non-finite member of
+    the pair (either axis) makes the pair MISSING on both engines (r14
+    probe: Inf hard-errored DuckDB's STDDEV_POP inside regr_slope while
+    Spark's co-moments went NaN) — SQL's bivariate aggregates already
+    skip NULL pairs, so the guard rides the engines' shared NULL
+    semantics."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty = finite_or_null("l_quantity")
+    price = finite_or_null("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cv"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+        F.round(F.corr(qty, price), 4).alias("r"),
+        F.round(F.covar_samp(qty, price), 2).alias("cv"),
+        F.round(F.regr_slope(price, qty), 2).alias("slope"),
     )
 
 

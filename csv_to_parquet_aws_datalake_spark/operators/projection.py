@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import finite_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -148,7 +149,8 @@ def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b05_cast",
     oracle="""
         SELECT CAST(l_orderkey AS VARCHAR) AS ok_str,
-               CAST(l_quantity AS INT) AS qty_int,
+               CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
+                    AS INT) AS qty_int,
                CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
                CAST(l_linenumber AS DOUBLE) AS ln_dbl
         FROM lineitem
@@ -157,10 +159,13 @@ def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_quantity is integral in the testdata, so Spark's truncating
     # double->int cast and DuckDB's rounding cast agree (checked empirically).
+    # A non-finite quantity is MISSING before the INT landing on both
+    # engines (r14 probe: Spark's ANSI cast raises CAST_OVERFLOW on NaN
+    # where DuckDB errors too — neither can represent it).
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").cast("string").alias("ok_str"),
-        F.col("l_quantity").cast("int").alias("qty_int"),
+        finite_or_null("l_quantity").cast("int").alias("qty_int"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
     )

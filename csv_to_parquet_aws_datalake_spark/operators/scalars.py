@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import finite_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -142,32 +143,52 @@ def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h06_math",
     oracle="""
+        WITH li AS (
+            SELECT *,
+                   CASE WHEN isfinite(l_extendedprice)
+                        THEN l_extendedprice END AS price,
+                   CASE WHEN isfinite(l_quantity)
+                        THEN l_quantity END AS qty,
+                   CASE WHEN isfinite(l_discount)
+                        THEN l_discount END AS disc
+            FROM lineitem
+        )
         SELECT l_orderkey, l_linenumber,
                abs(l_discount - 0.05) AS ad,
-               CAST(ceil(l_extendedprice)  AS BIGINT) AS ce,
-               CAST(floor(l_extendedprice) AS BIGINT) AS fl,
-               round(sqrt(l_quantity), 6) AS sq,
-               round(pow(l_quantity, 2), 2) AS p2,
-               round(ln(l_extendedprice), 6) AS ln_p,
+               CAST(ceil(price)  AS BIGINT) AS ce,
+               CAST(floor(price) AS BIGINT) AS fl,
+               round(sqrt(qty), 6) AS sq,
+               round(pow(qty, 2), 2) AS p2,
+               round(ln(price), 6) AS ln_p,
                round(exp(l_discount), 6) AS ex,
                l_orderkey % 97 AS md,
-               CAST(sign(l_discount - 0.05) AS INT) AS sg
-        FROM lineitem
+               CAST(sign(disc - 0.05) AS INT) AS sg
+        FROM li
     """,
 )
 def h06_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-finite inputs are MISSING wherever the landing cannot hold them
+    # on both engines (r14 probe): ceil/floor and sign land in
+    # BIGINT/INT (DuckDB hard-errors casting NaN; Spark's ANSI cast
+    # raises CAST_OVERFLOW), sqrt's domain excludes -Inf (DuckDB errors)
+    # and ln's excludes everything masked.  abs and exp stay raw — the
+    # double landings agree NaN-for-NaN across engines, proven by the
+    # probe, so no mask is needed there.
     li = load_table(spark, sf_dir, "lineitem")
+    price = finite_or_null("l_extendedprice")
+    qty = finite_or_null("l_quantity")
+    disc = finite_or_null("l_discount")
     return li.select(
         "l_orderkey", "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("ad"),
-        F.ceil("l_extendedprice").alias("ce"),
-        F.floor("l_extendedprice").alias("fl"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
-        F.round(F.pow("l_quantity", 2.0), 2).alias("p2"),
-        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.ceil(price).alias("ce"),
+        F.floor(price).alias("fl"),
+        F.round(F.sqrt(qty), 6).alias("sq"),
+        F.round(F.pow(qty, 2.0), 2).alias("p2"),
+        F.round(F.log(price), 6).alias("ln_p"),
         F.round(F.exp("l_discount"), 6).alias("ex"),
         (F.col("l_orderkey") % 97).alias("md"),
-        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+        F.signum(disc - 0.05).cast("int").alias("sg"),
     )
 
 

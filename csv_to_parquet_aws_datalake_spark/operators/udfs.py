@@ -50,16 +50,22 @@ def k01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k02_pandas_udf",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount), 4) AS disc_price
+               round(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                          THEN l_extendedprice * (1 - l_discount) END,
+                     4) AS disc_price
         FROM lineitem
     """,
 )
 def k02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-vectorized scalar UDF: identical IEEE double math to the JVM,
-    # ~10-100x the throughput of k01
+    # ~10-100x the throughput of k01.  A non-finite product is MISSING on
+    # both engines (r14 probe: the Arrow return boundary converts pandas
+    # NaN to NULL while Inf survived — the mask makes the boundary's NaN
+    # conflation explicit and extends it to Inf).
     @F.pandas_udf(T.DoubleType())
     def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        return price * (1.0 - discount)
+        r = price * (1.0 - discount)
+        return r.where(np.isfinite(r))
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.scalar import finite_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -254,7 +255,9 @@ def e05_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_ORACLE = """
     WITH daily AS (
         SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                             THEN l_extendedprice * (1 - l_discount) END
+                        AS DECIMAL(18,4)))
                    AS daily_rev
         FROM lineitem GROUP BY 1, 2
     )
@@ -267,8 +270,13 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depending on fold order (§7.3/2), and DuckDB's window aggregation
     # (segment tree) folds in a different order than a sequential scan —
     # only exact arithmetic is order-insensitive.
+    # A non-finite revenue is MISSING on both engines (r14 probe: DuckDB's
+    # DECIMAL cast hard-errors on NaN while Spark's legacy cast silently
+    # nulls it — the explicit guard pins the null treatment independent of
+    # either engine's cast mode).
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    raw = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = finite_or_null(raw).cast("decimal(18,4)")
     return (
         li.groupBy("l_returnflag", F.col("l_shipdate").cast("date").alias("d"))
         .agg(F.sum(rev).alias("daily_rev"))

@@ -420,13 +420,43 @@ def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
     os.replace(tmp, path)
 
 
+def _nonfinite_striper(null_res, nan_res, pinf_res, ninf_res):
+    # r14 non-finite measure probe, made permanent: NaN/+Inf/-Inf stripes
+    # on every lineitem double column (disjoint l_orderkey % 23 residues
+    # per column, so cross-column combinations stay independent and no
+    # stripe collides with the v2 NULL residues {3, 9, 15}).  The probe
+    # found 8 queries diverging across the four axes — DuckDB's
+    # DECIMAL/BIGINT casts and stddev/corr/quantile hard-error or poison
+    # on non-finite input while Spark's ANSI casts raise and its Arrow
+    # boundary conflates NaN with NULL — all closed by the shared
+    # finite-is-missing contract (functions/scalar.py).
+    stripes = {nan_res: float("nan"), pinf_res: float("inf"),
+               ninf_res: float("-inf")}
+
+    def fn(vals, a):
+        out = []
+        for k, v in zip(a["l_orderkey"], vals):
+            m = k % 23
+            if null_res is not None and m == null_res:
+                out.append(None)
+            elif v is not None and m in stripes:
+                out.append(stripes[m])
+            else:
+                out.append(v)
+        return out
+    return fn
+
+
 def _null_tpch_dir() -> str:
     src = "/root/testdata/sf0.001"
-    d = _null_variant_dir(
-        "null_tpch_fixture_v2", src, "lineitem",
-        {"l_returnflag": lambda a: (a["l_orderkey"] % 23) == 3,
-         "l_discount": lambda a: (a["l_orderkey"] % 23) == 9,
-         "l_shipdate": lambda a: (a["l_orderkey"] % 23) == 15})
+    d = _variant_dir(
+        "null_tpch_fixture_v3", src, "lineitem",
+        {"l_returnflag": _nuller(lambda a: (a["l_orderkey"] % 23) == 3),
+         "l_shipdate": _nuller(lambda a: (a["l_orderkey"] % 23) == 15),
+         "l_extendedprice": _nonfinite_striper(None, 1, 18, 8),
+         "l_discount": _nonfinite_striper(9, 2, 19, 10),
+         "l_quantity": _nonfinite_striper(None, 4, 20, 11),
+         "l_tax": _nonfinite_striper(None, 5, 21, 12)})
     _overlay_nulls(d, src, "orders",
                    {"o_orderpriority": lambda a: (a["o_orderkey"] % 17) == 5})
     _overlay_nulls(d, src, "customer",
