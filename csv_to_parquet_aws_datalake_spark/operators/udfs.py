@@ -321,7 +321,8 @@ def k11_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
         SELECT COALESCE(c_custkey, o_custkey) AS custkey,
                COALESCE(n, 0) AS n_orders,
-               round(c_acctbal, 2) AS bal
+               round(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END, 2)
+                   AS bal
         FROM customer FULL JOIN oc ON c_custkey = o_custkey
     """,
 )
@@ -357,8 +358,13 @@ def k12_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(m["c_custkey"].notna(), m["o_custkey"])
                 .astype("int64"),
             "n_orders": m["n"].fillna(0).astype("int64"),
-            # NaN -> None so customer-less keys arrive as SQL NULL, not NaN
-            "bal": bal.astype(object).where(bal.notna(), None),
+            # non-finite -> None so customer-less keys AND non-finite
+            # balances arrive as SQL NULL: the pandas merge represents a
+            # missing left side as NaN, indistinguishable from a stored
+            # NaN, so the finite-is-missing contract is the only
+            # expressible semantics at this boundary (r14 probe)
+            "bal": bal.astype(object).where(
+                np.isfinite(m["c_acctbal"].astype(float)), None),
         })
 
     cb = c.withColumn("bkt", F.pmod("c_custkey", F.lit(n_buckets)))

@@ -359,7 +359,8 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same hazard class i48's pure-Python pin exists for)
     oracle="""
         SELECT p_partkey, p_size,
-               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+               CAST(sum(CAST(CASE WHEN isfinite(p_retailprice)
+                                  THEN p_retailprice END AS DECIMAL(18,2)))
                     OVER (ORDER BY p_size
                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS DOUBLE) AS range_sum
@@ -383,7 +384,10 @@ def e08_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part")
     per = p.groupBy("p_size").agg(
-        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("_ssum"))
+        # non-finite retailprice is MISSING before the exact-decimal
+        # landing on both engines (the _daily_revenue contract; r14 probe)
+        F.sum(finite_or_null("p_retailprice").cast("decimal(18,2)"))
+         .alias("_ssum"))
     a, b = per.alias("a"), per.alias("b")
     rng = (
         a.join(F.broadcast(b),

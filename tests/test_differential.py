@@ -383,9 +383,9 @@ def test_rows_only_queries_survive_null_variants(spark):
 # the oracles) — a pristine no-op since those are Spark's own defaults.
 
 
-def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
+def _overlay(d: str, src: str, table: str, col_fns) -> None:
     """Replace ``d``'s symlink for ``table`` with a rebuilt parquet whose
-    chosen columns are nulled (mask semantics as _null_variant_dir); a
+    chosen columns are rewritten (fn semantics as _variant_dir); a
     no-op if the overlay already ran (the link is gone)."""
     import os
 
@@ -397,7 +397,7 @@ def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
         return
     t = pq.read_table(f"{src}/{table}.parquet")
 
-    class _Lazy(dict):  # masks pull only the columns they read
+    class _Lazy(dict):  # fns pull only the columns they read
         def __missing__(self, n):
             self[n] = t[n].to_numpy(zero_copy_only=False)
             return self[n]
@@ -405,10 +405,8 @@ def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
     arrays = _Lazy()
     cols = {}
     for n in t.schema.names:
-        if n in null_cols:
-            mask = null_cols[n](arrays)
-            assert mask.any(), f"null mask for {table}.{n} selects no rows"
-            vals = [None if m else v for v, m in zip(t[n].to_pylist(), mask)]
+        if n in col_fns:
+            vals = col_fns[n](t[n].to_pylist(), arrays)
             cols[n] = pa.array(vals, type=t.schema.field(n).type)
         else:
             cols[n] = t[n]
@@ -420,23 +418,28 @@ def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
     os.replace(tmp, path)
 
 
-def _nonfinite_striper(null_res, nan_res, pinf_res, ninf_res):
+def _overlay_nulls(d: str, src: str, table: str, null_cols) -> None:
+    _overlay(d, src, table,
+             {n: _nuller(f) for n, f in null_cols.items()})
+
+
+def _nonfinite_striper(key, mod, null_res, nan_res, pinf_res, ninf_res):
     # r14 non-finite measure probe, made permanent: NaN/+Inf/-Inf stripes
-    # on every lineitem double column (disjoint l_orderkey % 23 residues
-    # per column, so cross-column combinations stay independent and no
-    # stripe collides with the v2 NULL residues {3, 9, 15}).  The probe
-    # found 8 queries diverging across the four axes — DuckDB's
+    # on EVERY double measure column in the TPC-H tables (disjoint
+    # key % mod residues per column, so cross-column combinations stay
+    # independent and no stripe collides with the v2 NULL residues).
+    # The probe found 10 queries diverging across the axes — DuckDB's
     # DECIMAL/BIGINT casts and stddev/corr/quantile hard-error or poison
-    # on non-finite input while Spark's ANSI casts raise and its Arrow
-    # boundary conflates NaN with NULL — all closed by the shared
-    # finite-is-missing contract (functions/scalar.py).
+    # on non-finite input, Spark's ANSI casts raise CAST_OVERFLOW, and
+    # the pandas/Arrow boundary conflates NaN with NULL — all closed by
+    # the shared finite-is-missing contract (functions/scalar.py).
     stripes = {nan_res: float("nan"), pinf_res: float("inf"),
                ninf_res: float("-inf")}
 
     def fn(vals, a):
         out = []
-        for k, v in zip(a["l_orderkey"], vals):
-            m = k % 23
+        for k, v in zip(a[key], vals):
+            m = k % mod
             if null_res is not None and m == null_res:
                 out.append(None)
             elif v is not None and m in stripes:
@@ -450,25 +453,36 @@ def _nonfinite_striper(null_res, nan_res, pinf_res, ninf_res):
 def _null_tpch_dir() -> str:
     src = "/root/testdata/sf0.001"
     d = _variant_dir(
-        "null_tpch_fixture_v3", src, "lineitem",
+        "null_tpch_fixture_v4", src, "lineitem",
         {"l_returnflag": _nuller(lambda a: (a["l_orderkey"] % 23) == 3),
          "l_shipdate": _nuller(lambda a: (a["l_orderkey"] % 23) == 15),
-         "l_extendedprice": _nonfinite_striper(None, 1, 18, 8),
-         "l_discount": _nonfinite_striper(9, 2, 19, 10),
-         "l_quantity": _nonfinite_striper(None, 4, 20, 11),
-         "l_tax": _nonfinite_striper(None, 5, 21, 12)})
-    _overlay_nulls(d, src, "orders",
-                   {"o_orderpriority": lambda a: (a["o_orderkey"] % 17) == 5})
-    _overlay_nulls(d, src, "customer",
-                   {"c_mktsegment": lambda a: (a["c_custkey"] % 13) == 4,
-                    "c_acctbal": lambda a: (a["c_custkey"] % 13) == 7})
+         "l_extendedprice": _nonfinite_striper("l_orderkey", 23, None, 1, 18, 8),
+         "l_discount": _nonfinite_striper("l_orderkey", 23, 9, 2, 19, 10),
+         "l_quantity": _nonfinite_striper("l_orderkey", 23, None, 4, 20, 11),
+         "l_tax": _nonfinite_striper("l_orderkey", 23, None, 5, 21, 12)})
+    _overlay(d, src, "orders",
+             {"o_orderpriority": _nuller(lambda a: (a["o_orderkey"] % 17) == 5),
+              "o_totalprice": _nonfinite_striper("o_orderkey", 17, None, 2, 11, 13)})
+    _overlay(d, src, "customer",
+             {"c_mktsegment": _nuller(lambda a: (a["c_custkey"] % 13) == 4),
+              # NULL at % 13 == 7 (v2) plus the three non-finite forms
+              "c_acctbal": _nonfinite_striper("c_custkey", 13, 7, 1, 8, 11)})
+    _overlay(d, src, "part",
+             {"p_retailprice": _nonfinite_striper("p_partkey", 19, None, 1, 8, 17)})
+    _overlay(d, src, "supplier",
+             {"s_acctbal": _nonfinite_striper("s_suppkey", 7, None, 1, 3, 5)})
     return d
 
 
 def _tpch_orders_customer_queries() -> list[str]:
+    import re
+
+    # \bpart\b: the word-boundary form cannot false-match "partition"
+    # (word char follows) or "p_partkey" (underscore precedes)
     return sorted(
         n for n, sql in registry.ORACLES.items()
-        if "orders" in sql or "customer" in sql or "lineitem" in sql)
+        if "orders" in sql or "customer" in sql or "lineitem" in sql
+        or "supplier" in sql or re.search(r"\bpart\b", sql))
 
 
 @pytest.mark.parametrize("name", _tpch_orders_customer_queries())
