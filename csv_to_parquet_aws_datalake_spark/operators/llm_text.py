@@ -13,6 +13,25 @@ Scale notes (§7.4):
   at 100 TB you block on 4x16-bit sub-keys (pigeonhole) so each probe is an
   equi-join.
 
+Input precondition — ``doc_id`` is the documents table's ENTITY KEY and
+is assumed unique.  The r14 duplicate-key probe (25 exact-duplicate rows
+appended) showed 53 of 59 oracled documents consumers are
+duplicate-insensitive; the 6 that diverge do so by GRAIN, not by bug:
+the per-row map-side engines stay correct while doc_id self-joins in
+their oracles fan out (i24/i25/i03/i32), and the clustering rows
+(i22/i27) are inherently one-row-per-entity.  The enforcement step IS
+part of this registry — i01/i02 exact dedup, themselves proven
+duplicate-correct by the same probe — so a pipeline composes
+dedup -> downstream exactly as a production curation stack does.
+Enforcing uniqueness inside every downstream operator instead would add
+a doc_id shuffle to each of the 50+ map-side queries (a committed-plan-
+budget violation and a 100 TB scale regression) to defend against a
+state the upstream stage exists to remove.  The same probe found the
+embeddings (vec_id, 9/9) and events (event_id, 30/30) families fully
+duplicate-insensitive.  tests/test_differential.py pins the fixture
+tables' key uniqueness so a regenerated corpus cannot silently void
+the precondition.
+
 localCheckpoint policy: every multi-reuse or iterative frame here is pinned
 with ``localCheckpoint()``, which is EAGER — it runs a job at call time and
 stores partitions on the executors.  That is deliberate: unlike ``persist()``

@@ -496,3 +496,47 @@ def test_tpch_queries_match_oracle_with_nulls(name, spark):
                 registry.ORACLES[name])
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Entity-key uniqueness precondition (r14 duplicate-key probe).  The probe
+# appended exact-duplicate rows per table: embeddings (vec_id) and events
+# (event_id) consumers were fully duplicate-insensitive (9/9, 30/30), and
+# 53/59 documents consumers too — the 6 divergent rows split by GRAIN
+# (per-row engines vs doc_id-self-joining oracles; per-entity clustering),
+# not by bug, so uniqueness is a documented INPUT precondition enforced by
+# the registered i01/i02 dedup stage rather than a per-operator shuffle
+# (llm_text.py module docstring has the full analysis).  This pin makes
+# the precondition executable: a regenerated corpus that violates it fails
+# HERE, by name, instead of surfacing as six confusing value diffs.
+
+# lineitem is deliberately absent: the driver's synthetic corpus reuses
+# (l_orderkey, l_linenumber) pairs (1161 duplicate pairs at sf0.001), so
+# it is a FACT table with no row identity here — every consumer treats it
+# as a bag of rows (aggregates/scans), which is duplicate-insensitive by
+# construction and proven so by each full-registry sweep.
+_ENTITY_KEYS = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id",),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "nation": ("n_nationkey",),
+    "region": ("r_regionkey",),
+}
+
+
+@pytest.mark.parametrize("table", sorted(_ENTITY_KEYS))
+def test_fixture_entity_keys_are_unique(table, sf_dir):
+    import pyarrow.parquet as pq
+
+    cols = list(_ENTITY_KEYS[table])
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols)
+    keys = list(zip(*(t[c].to_pylist() for c in cols)))
+    assert len(keys) == len(set(keys)), \
+        f"{table} key {cols} has duplicates — the duplicate-key " \
+        f"precondition (llm_text.py docstring) no longer holds"
+    assert all(None not in k for k in keys), \
+        f"{table} key {cols} has NULLs — entity keys must be non-NULL"
