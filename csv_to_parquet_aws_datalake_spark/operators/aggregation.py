@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.scalar import finite_or_null
+from ..functions.scalar import MOMENT_BOUND, representable_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -159,19 +159,22 @@ def d07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                round(stddev_samp(CASE WHEN isfinite(l_quantity)
+                                       AND abs(l_quantity) < 1e150
                                       THEN l_quantity END), 4) AS sd_qty,
                round(var_samp(CASE WHEN isfinite(l_quantity)
+                                    AND abs(l_quantity) < 1e150
                                    THEN l_quantity END), 4)    AS var_qty,
                round(avg(l_extendedprice), 2)    AS avg_price
         FROM lineitem GROUP BY 1
     """,
 )
 def d08_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # variance inputs exclude non-finite quantities on both engines (r14
-    # probe: DuckDB's STDDEV_SAMP hard-errors on Inf); avg stays raw —
-    # NaN-in-NaN-out agrees across engines for plain means
+    # variance inputs exclude quantities whose SQUARE cannot stay finite
+    # (r14 probes: DuckDB's STDDEV_SAMP hard-errors on Inf and on finite
+    # inputs past ~1e154 — x*x overflows); avg stays raw — NaN-in-NaN-out
+    # agrees across engines for plain means
     li = load_table(spark, sf_dir, "lineitem")
-    qty = finite_or_null("l_quantity")
+    qty = representable_or_null("l_quantity", MOMENT_BOUND)
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp(qty), 4).alias("sd_qty"),
         F.round(F.var_samp(qty), 4).alias("var_qty"),
@@ -442,8 +445,10 @@ def d18_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH li AS (
             SELECT l_returnflag,
                    CASE WHEN isfinite(l_quantity)
+                         AND abs(l_quantity) < 1e150
                         THEN l_quantity END AS qty,
                    CASE WHEN isfinite(l_extendedprice)
+                         AND abs(l_extendedprice) < 1e150
                         THEN l_extendedprice END AS price
             FROM lineitem
         )
@@ -461,15 +466,15 @@ def d19_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-moments that merge associatively, so the full regression runs in
     one map-side-combined shuffle, never a second pass.  d08's rounding
     discipline (4 dp ratios, 2 dp money-scaled moments) absorbs the
-    engines' different co-moment update orders.  A non-finite member of
-    the pair (either axis) makes the pair MISSING on both engines (r14
-    probe: Inf hard-errored DuckDB's STDDEV_POP inside regr_slope while
-    Spark's co-moments went NaN) — SQL's bivariate aggregates already
-    skip NULL pairs, so the guard rides the engines' shared NULL
-    semantics."""
+    engines' different co-moment update orders.  A pair member whose
+    SQUARE cannot stay finite makes the pair MISSING on both engines
+    (r14 probes: Inf AND finite 1e300 hard-errored DuckDB's STDDEV_POP
+    inside regr_slope while Spark's co-moments went NaN) — SQL's
+    bivariate aggregates already skip NULL pairs, so the guard rides
+    the engines' shared NULL semantics."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = finite_or_null("l_quantity")
-    price = finite_or_null("l_extendedprice")
+    qty = representable_or_null("l_quantity", MOMENT_BOUND)
+    price = representable_or_null("l_extendedprice", MOMENT_BOUND)
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr(qty, price), 4).alias("r"),
         F.round(F.covar_samp(qty, price), 2).alias("cv"),

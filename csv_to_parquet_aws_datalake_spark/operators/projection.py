@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import finite_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -149,8 +148,7 @@ def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b05_cast",
     oracle="""
         SELECT CAST(l_orderkey AS VARCHAR) AS ok_str,
-               CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END
-                    AS INT) AS qty_int,
+               TRY_CAST(l_quantity AS INT) AS qty_int,
                CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
                CAST(l_linenumber AS DOUBLE) AS ln_dbl
         FROM lineitem
@@ -159,13 +157,14 @@ def b06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b05_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_quantity is integral in the testdata, so Spark's truncating
     # double->int cast and DuckDB's rounding cast agree (checked empirically).
-    # A non-finite quantity is MISSING before the INT landing on both
-    # engines (r14 probe: Spark's ANSI cast raises CAST_OVERFLOW on NaN
-    # where DuckDB errors too — neither can represent it).
+    # The INT landing is the LENIENT cast on both engines (r14 probes:
+    # Spark's ANSI cast raises CAST_OVERFLOW on NaN and on a finite 1e300
+    # where DuckDB errors too) — try_cast/TRY_CAST is the exact symmetric
+    # un-representable-is-NULL semantics, with no threshold to pick.
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").cast("string").alias("ok_str"),
-        finite_or_null("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_quantity").try_cast("int").alias("qty_int"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
     )

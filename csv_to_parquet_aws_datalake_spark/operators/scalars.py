@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import finite_or_null
+from ..functions.scalar import (BIGINT_BOUND, finite_or_null,
+                                representable_or_null)
 from ..loader import load_table
 from ..registry import query
 
@@ -146,6 +147,7 @@ def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH li AS (
             SELECT *,
                    CASE WHEN isfinite(l_extendedprice)
+                         AND abs(l_extendedprice) < 9e18
                         THEN l_extendedprice END AS price,
                    CASE WHEN isfinite(l_quantity)
                         THEN l_quantity END AS qty,
@@ -157,7 +159,7 @@ def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_discount - 0.05) AS ad,
                CAST(ceil(price)  AS BIGINT) AS ce,
                CAST(floor(price) AS BIGINT) AS fl,
-               round(sqrt(qty), 6) AS sq,
+               round(sqrt(CASE WHEN qty >= 0 THEN qty END), 6) AS sq,
                round(pow(qty, 2), 2) AS p2,
                round(ln(price), 6) AS ln_p,
                round(exp(l_discount), 6) AS ex,
@@ -167,15 +169,16 @@ def h05_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def h06_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-finite inputs are MISSING wherever the landing cannot hold them
-    # on both engines (r14 probe): ceil/floor and sign land in
-    # BIGINT/INT (DuckDB hard-errors casting NaN; Spark's ANSI cast
-    # raises CAST_OVERFLOW), sqrt's domain excludes -Inf (DuckDB errors)
-    # and ln's excludes everything masked.  abs and exp stay raw — the
-    # double landings agree NaN-for-NaN across engines, proven by the
-    # probe, so no mask is needed there.
+    # inputs are MISSING wherever the landing cannot hold them on both
+    # engines (r14 probes): ceil/floor land in BIGINT (DuckDB hard-errors
+    # casting NaN or a finite 1e300; Spark's ceil CLAMPS the overflow to
+    # Long.Max, which is not a value), sign lands in INT (Spark ANSI
+    # CAST_OVERFLOW on NaN), and sqrt is additionally DOMAIN-guarded to
+    # x >= 0 (DuckDB errors on any negative, Spark yields NaN).  abs,
+    # exp, and pow stay raw — their double landings agree NaN-for-NaN
+    # and Inf-for-Inf across engines, proven by the probes.
     li = load_table(spark, sf_dir, "lineitem")
-    price = finite_or_null("l_extendedprice")
+    price = representable_or_null("l_extendedprice", BIGINT_BOUND)
     qty = finite_or_null("l_quantity")
     disc = finite_or_null("l_discount")
     return li.select(
@@ -183,7 +186,7 @@ def h06_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("ad"),
         F.ceil(price).alias("ce"),
         F.floor(price).alias("fl"),
-        F.round(F.sqrt(qty), 6).alias("sq"),
+        F.round(F.sqrt(F.when(qty >= 0, qty)), 6).alias("sq"),
         F.round(F.pow(qty, 2.0), 2).alias("p2"),
         F.round(F.log(price), 6).alias("ln_p"),
         F.round(F.exp("l_discount"), 6).alias("ex"),

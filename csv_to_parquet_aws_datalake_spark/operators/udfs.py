@@ -79,7 +79,8 @@ def k02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ev AS (
             SELECT event_id, event_type,
-                   CASE WHEN isfinite(value) THEN value END AS v
+                   CASE WHEN isfinite(value) AND abs(value) < 1e150
+                        THEN value END AS v
             FROM events
         )
         SELECT event_id,
@@ -94,13 +95,14 @@ def k03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Degenerate groups (single row / zero variance) emit NULL — pandas
     # would produce NaN/inf where SQL's NULL-propagating division yields
     # NULL, so the guard uses the nullable Float64 dtype (Arrow -> null).
-    # Non-finite measures are MISSING on both engines (r14 probe: pandas
-    # skipna already drops NaN but lets Inf poison the group mean, and
-    # DuckDB's stddev_samp hard-errors on Inf — the contract makes the
-    # NaN conflation pandas forces at the Arrow boundary explicit and
-    # extends it to its Inf sibling; a no-op on any finite corpus).
+    # Measures whose SQUARE cannot stay finite are MISSING on both
+    # engines (r14 probes: pandas skipna already drops NaN but lets Inf
+    # poison the group mean, and DuckDB's stddev_samp hard-errors on Inf
+    # AND on finite input past ~1e154 — x*x overflows; the single
+    # |v| < 1e150 predicate sweeps NaN too since its comparison is
+    # false).  A no-op on any money-scale corpus.
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].where(np.isfinite(pdf["value"]))
+        v = pdf["value"].where(np.abs(pdf["value"]) < 1e150)
         std = v.std(ddof=1)
         if len(pdf) < 2 or pd.isna(std) or std == 0.0:
             z = pd.array([pd.NA] * len(pdf), dtype="Float64")

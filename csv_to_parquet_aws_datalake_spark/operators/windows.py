@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.scalar import finite_or_null
+from ..functions.scalar import DECIMAL18_4_BOUND, representable_or_null
 from ..loader import load_table
 from ..registry import query
 
@@ -256,6 +256,7 @@ _DAILY_ORACLE = """
     WITH daily AS (
         SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
                sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                              AND abs(l_extendedprice * (1 - l_discount)) < 1e14
                              THEN l_extendedprice * (1 - l_discount) END
                         AS DECIMAL(18,4)))
                    AS daily_rev
@@ -270,13 +271,14 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depending on fold order (§7.3/2), and DuckDB's window aggregation
     # (segment tree) folds in a different order than a sequential scan —
     # only exact arithmetic is order-insensitive.
-    # A non-finite revenue is MISSING on both engines (r14 probe: DuckDB's
-    # DECIMAL cast hard-errors on NaN while Spark's legacy cast silently
-    # nulls it — the explicit guard pins the null treatment independent of
-    # either engine's cast mode).
+    # A revenue the DECIMAL(18,4) landing cannot hold is MISSING on both
+    # engines (r14 probes: DuckDB's DECIMAL cast hard-errors on NaN while
+    # Spark's legacy cast silently nulls it, and a finite 1e300 raises
+    # Spark NUMERIC_VALUE_OUT_OF_RANGE mid-job — one junk row must not
+    # kill a 100 TB run).
     li = load_table(spark, sf_dir, "lineitem")
     raw = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev = finite_or_null(raw).cast("decimal(18,4)")
+    rev = representable_or_null(raw, DECIMAL18_4_BOUND).cast("decimal(18,4)")
     return (
         li.groupBy("l_returnflag", F.col("l_shipdate").cast("date").alias("d"))
         .agg(F.sum(rev).alias("daily_rev"))
@@ -315,7 +317,9 @@ def e06_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DAILY_ORACLE + """
         , win AS (
             SELECT l_returnflag, d,
-                   CAST(sum(daily_rev) OVER w * 10000 AS BIGINT) AS s_e4,
+                   CASE WHEN abs(sum(daily_rev) OVER w) < 9e13
+                        THEN CAST(sum(daily_rev) OVER w * 10000 AS BIGINT)
+                   END AS s_e4,
                    count(daily_rev) OVER w AS n7
             FROM daily
             WINDOW w AS (PARTITION BY l_returnflag
@@ -332,15 +336,21 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal boundaries (4-dp sums over counts of 7), where engines' double
     # rounding disagrees — so the half-up rounding is done in exact bigint
     # space (scale to 1e-4 units, integer-divide, +5 // 10) and only the
-    # final deterministic integer is converted to double.
+    # final deterministic integer is converted to double.  The fixed-point
+    # intermediate needs |sum| * 1e5 to fit BIGINT, so a window sum past
+    # 9e13 is MISSING on both engines (r14 extreme-magnitude probe: Spark
+    # raised ARITHMETIC_OVERFLOW mid-job — one junk window must not kill
+    # a 100 TB run; the guard is the landing's capacity, not a data guess).
     daily = _daily_revenue(spark, sf_dir)
     # NULLS FIRST explicit on both engines (the r12 probe class)
     w = (W.partitionBy("l_returnflag").orderBy(F.asc_nulls_first("d"))
          .rowsBetween(-6, 0))
+    win_sum = F.sum("daily_rev").over(w)
     return (
         daily.select(
             "l_returnflag", "d",
-            (F.sum("daily_rev").over(w) * 10000).cast("long").alias("s_e4"),
+            F.when(F.abs(win_sum) < 9e13,
+                   (win_sum * 10000).cast("long")).alias("s_e4"),
             F.count("daily_rev").over(w).alias("n7"),
         )
         .select(
@@ -360,6 +370,7 @@ def e07_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey, p_size,
                CAST(sum(CAST(CASE WHEN isfinite(p_retailprice)
+                                   AND abs(p_retailprice) < 1e14
                                   THEN p_retailprice END AS DECIMAL(18,2)))
                     OVER (ORDER BY p_size
                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -384,9 +395,10 @@ def e08_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part")
     per = p.groupBy("p_size").agg(
-        # non-finite retailprice is MISSING before the exact-decimal
-        # landing on both engines (the _daily_revenue contract; r14 probe)
-        F.sum(finite_or_null("p_retailprice").cast("decimal(18,2)"))
+        # a retailprice the exact-decimal landing cannot hold is MISSING
+        # on both engines (the _daily_revenue contract; r14 probes)
+        F.sum(representable_or_null("p_retailprice", DECIMAL18_4_BOUND)
+              .cast("decimal(18,2)"))
          .alias("_ssum"))
     a, b = per.alias("a"), per.alias("b")
     rng = (

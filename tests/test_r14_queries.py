@@ -93,9 +93,10 @@ def test_nonfinite_measure_is_missing_on_constructed_frame(spark):
     assert got["a"] == 1.0          # 10*1 / (1+2+3+4)
     assert got["b"] is None         # all measures missing -> NULL
 
-    # k03: only the finite rows enter mean/std; non-finite rows emit NULL
+    # k03: only moment-safe rows (|v| < 1e150, which sweeps NaN/Inf too)
+    # enter mean/std; masked rows emit NULL
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].where(np.isfinite(pdf["value"]))
+        v = pdf["value"].where(np.abs(pdf["value"]) < 1e150)
         std = v.std(ddof=1)
         if len(pdf) < 2 or pd.isna(std) or std == 0.0:
             z = pd.array([pd.NA] * len(pdf), dtype="Float64")
@@ -110,6 +111,54 @@ def test_nonfinite_measure_is_missing_on_constructed_frame(spark):
     rt2 = math.sqrt(2.0) / 2.0
     assert abs(zs[1] + rt2) < 1e-12 and abs(zs[2] - rt2) < 1e-12
     assert zs[3] is None            # Inf row excluded, emits NULL
+
+
+def test_landing_capacity_guards_on_constructed_frame(spark):
+    # the r14 extreme-magnitude probe's contract, pinned at the mechanism:
+    # a FINITE value the landing type cannot represent is MISSING, same
+    # as a non-finite one.  Probed crash modes: Spark NUMERIC_VALUE_OUT_
+    # OF_RANGE summing 1e300 into DECIMAL(18,4), ARITHMETIC_OVERFLOW in
+    # e07's fixed-point multiply, CAST_OVERFLOW on int landings (DuckDB
+    # hard-errors in each spot too), ceil CLAMPING to Long.Max, and
+    # DuckDB stddev erroring past ~1e154 (x*x overflow).  Value-level
+    # hash parity at these magnitudes is NOT in contract (sub-ULP
+    # decimal conversion + fold-order ULP noise are inherent to IEEE
+    # doubles); crash-robustness is.
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.functions.scalar import (
+        BIGINT_BOUND, DECIMAL18_4_BOUND, MOMENT_BOUND, representable_or_null)
+
+    df = spark.createDataFrame(
+        [(0, 1e300), (1, -1e300), (2, float("nan")), (3, float("inf")),
+         (4, 12345.6789), (5, 3.3e13), (6, None), (7, 1e100)],
+        "i int, v double")
+    out = df.select(
+        "i",
+        representable_or_null("v", DECIMAL18_4_BOUND)
+        .cast("decimal(18,4)").alias("dec"),
+        representable_or_null("v", BIGINT_BOUND).alias("big"),
+        representable_or_null("v", MOMENT_BOUND).alias("mom"),
+        F.col("v").try_cast("int").alias("ti"),
+    ).collect()
+    got = {r["i"]: (float(r["dec"]) if r["dec"] is not None else None,
+                    r["big"], r["mom"], r["ti"]) for r in out}
+    assert got[0] == (None, None, None, None)        # 1e300: x*x overflows too
+    assert got[1] == (None, None, None, None)
+    assert got[2] == (None, None, None, None)        # NaN masked everywhere
+    assert got[3] == (None, None, None, None)        # Inf masked everywhere
+    assert got[4] == (12345.6789, 12345.6789, 12345.6789, 12345)
+    # 3.3e13 fits DECIMAL(18,4) (14 integer digits) and the double
+    # bounds, but not INT: the try_cast landing alone masks it
+    assert got[5][0] is not None and abs(got[5][0] - 3.3e13) < 1.0
+    assert got[5][1:] == (3.3e13, 3.3e13, None)
+    assert got[6] == (None, None, None, None)        # NULL stays NULL
+    assert got[7] == (None, None, 1e100, None)       # moment-safe tier only
+    # the whole DECIMAL landing is total: summing junk cannot raise
+    s = df.select(representable_or_null("v", DECIMAL18_4_BOUND)
+                  .cast("decimal(18,4)").alias("d")) \
+          .agg(F.sum("d").alias("s")).collect()[0]["s"]
+    assert abs(float(s) - (12345.6789 + 3.3e13)) < 1.0
 
 
 def test_streaming_session_drops_pre_epoch_sessions(spark, tmp_path):
