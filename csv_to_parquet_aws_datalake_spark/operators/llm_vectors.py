@@ -36,21 +36,29 @@ def valid_embeddings(emb: DataFrame) -> DataFrame:
     reject them outright, the r12 list_inner_product finding).  A
     100 TB corpus WILL contain embedding rows a broken upstream model
     filled with NaNs, so every query excludes them up front, map-side.
-    The element sweep is an exact predicate (isnan/|x|=Inf, no
-    float-threshold sensitivity — unlike the rejected norm>0 form).
-    The SQL twin is :func:`_valid_emb_sql`."""
+    The r14 EXTREME-MAGNITUDE leg then showed finite junk is the same
+    class: a finite 1e20/3e38 element (float32 holds up to ~3.4e38)
+    crashed the exact-decimal centroid landing (i23/i29/i59 — Spark
+    NUMERIC_VALUE_OUT_OF_RANGE on DECIMAL(18,6), DuckDB the mirror
+    error) and skewed i11's norms, so the element bound is the
+    family's tightest landing capacity: |x| < 1e12 (which subsumes the
+    Inf test — a real embedding is O(1)-magnitude, so anything near
+    the bound is upstream garbage).  The element sweep remains an
+    exact predicate (isnan / |x| >= 1e12, no float-threshold
+    sensitivity at realistic magnitudes — unlike the rejected norm>0
+    form).  The SQL twin is :func:`_valid_emb_sql`."""
     return emb.filter(
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
         & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x)"
-                  " OR abs(x) = double('Infinity'))"))
+                  " OR abs(x) >= 1e12D)"))
 
 
 def _valid_emb_sql(col: str = "embedding") -> str:
     """DuckDB predicate twin of :func:`valid_embeddings`."""
     return (f"{col} IS NOT NULL AND len({col}) > 0"
             f" AND len(list_filter({col}, x -> x IS NULL OR isnan(x)"
-            f" OR isinf(x))) = 0")
+            f" OR abs(x) >= 1e12)) = 0")
 
 
 @query(

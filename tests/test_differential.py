@@ -302,7 +302,7 @@ def test_multimodal_queries_match_oracle_on_multibyte_text(name, spark,
 
 def _null_emb_dir() -> str:
     # vec_ids 0-3 kept intact: the i05 query vector and the SRP basis
-    # are data-derived contract rows.  Six disjoint stripes: NULL
+    # are data-derived contract rows.  Eight disjoint stripes: NULL
     # embedding, NULL label, (r13 empty-array probe) a ZERO-LENGTH
     # embedding, and (r14 non-finite probe, which broke 9 of 9 vector
     # checks before valid_embeddings contracted the class out on both
@@ -324,6 +324,14 @@ def _null_emb_dir() -> str:
                 out.append([v[0], float("inf"), float("-inf")] + list(v)[3:])
             elif (vid % 25) == 11:
                 out.append([None] + list(v)[1:])
+            elif (vid % 25) == 2:
+                # r14 extreme-magnitude leg: FINITE junk elements (1e20,
+                # and ~float32-max 3e38) crashed the exact-decimal
+                # centroid landing before the element bound (|x| < 1e12)
+                # joined the validity contract
+                out.append([1e20] + list(v)[1:])
+            elif (vid % 25) == 19:
+                out.append([v[0], -3.0e38] + list(v)[2:])
             else:
                 out.append(v)
         return out
@@ -333,7 +341,7 @@ def _null_emb_dir() -> str:
                 for vid, v in zip(a["vec_id"], vals)]
 
     return _variant_dir(
-        "null_emb_fixture_v3", "/root/testdata/sf0.001", "embeddings",
+        "null_emb_fixture_v4", "/root/testdata/sf0.001", "embeddings",
         {"embedding": emb_stripes, "label": label_stripe})
 
 
