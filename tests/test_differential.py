@@ -548,3 +548,18 @@ def test_fixture_entity_keys_are_unique(table, sf_dir):
         f"precondition (llm_text.py docstring) no longer holds"
     assert all(None not in k for k in keys), \
         f"{table} key {cols} has NULLs — entity keys must be non-NULL"
+
+
+def test_fixture_quantity_is_integral(sf_dir):
+    # b05's try_cast parity (and the k01/h06 INT-landing agreements)
+    # hold because Spark truncates a fractional double->INT cast where
+    # DuckDB rounds — out of contract ONLY because l_quantity is
+    # integral-valued (the b05 docstring's "checked empirically", made
+    # executable like the entity-key pins above)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    vals = [v for v in t["l_quantity"].to_pylist() if v is not None]
+    assert vals and all(float(v).is_integer() for v in vals), \
+        "lineitem.l_quantity is no longer integral — b05's truncate-vs-" \
+        "round out-of-contract note (and this pin) need revisiting"

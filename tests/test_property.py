@@ -429,3 +429,77 @@ def test_line_dedup_kernel_matches_pure_python(spark, texts):
     got_rewrite = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_text"])
                    for r in line_dedup_rewrite(df, block=3).collect()}
     assert got_rewrite == want_rewrite
+
+
+# adversarial doubles including every r14 probe class: non-finite, huge
+# finite (decimal/bigint/moment overflow), boundary-adjacent, tiny,
+# negative zero, and NULL
+_adversarial_doubles = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from([
+            float("nan"), float("inf"), float("-inf"),
+            1e300, -1e300, 1e150, 1e100, 9e18, 9.3e18, 1e14,
+            99999999999999.9, 3.3e13, -0.0, 5e-324, 12345.6789,
+        ]),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+    ),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(vals=_adversarial_doubles)
+def test_measure_guards_match_sql_twins(spark, vals):
+    # the r14 contract helpers vs their documented DuckDB twins, pinned
+    # at the EXPRESSION level over adversarial doubles — a drift in
+    # either side (e.g. a Spark isnan/abs change, or an edit that forks
+    # a CASE twin) fails here before it can surface as an oracle
+    # mismatch in some downstream query
+    from csv_to_parquet_aws_datalake_spark.functions.scalar import (
+        BIGINT_BOUND, DECIMAL18_4_BOUND, MOMENT_BOUND,
+        finite_or_null, representable_or_null)
+
+    from pyspark.sql import functions as F
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {r["i"]: (r["f"], r["d"], r["b"], r["m"], r["t"]) for r in df.select(
+        "i",
+        finite_or_null("v").alias("f"),
+        representable_or_null("v", DECIMAL18_4_BOUND).alias("d"),
+        representable_or_null("v", BIGINT_BOUND).alias("b"),
+        representable_or_null("v", MOMENT_BOUND).alias("m"),
+        F.col("v").try_cast("int").alias("t"),
+    ).collect()}
+
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame(rows, columns=["i", "v"]))
+        want = {r[0]: tuple(r[1:]) for r in con.execute("""
+            SELECT i,
+                   CASE WHEN isfinite(v) THEN v END,
+                   CASE WHEN isfinite(v) AND abs(v) < 1e14  THEN v END,
+                   CASE WHEN isfinite(v) AND abs(v) < 9e18  THEN v END,
+                   CASE WHEN isfinite(v) AND abs(v) < 1e150 THEN v END,
+                   TRY_CAST(v AS INT)
+            FROM t
+        """).fetchall()}
+    finally:
+        con.close()
+
+    def norm(i, t):
+        # NaN cannot leak out of any guard; compare the rest exactly
+        assert all(x == x for x in t if x is not None)
+        # the try_cast leg is cross-engine-equal only off the
+        # truncate-vs-round zone: Spark truncates 2.7 -> 2 where DuckDB
+        # rounds -> 3 (b05's documented out-of-contract case; its
+        # l_quantity is integral).  Compare it only for integral /
+        # out-of-range / non-finite / NULL inputs.
+        v = vals[i]
+        fractional_in_range = (
+            v is not None and v == v and abs(v) != float("inf")
+            and abs(v) < 2**31 and not float(v).is_integer())
+        return t[:4] + (None if fractional_in_range else t[4],)
+
+    assert {k: norm(k, v) for k, v in got.items()} == \
+           {k: norm(k, v) for k, v in want.items()}
