@@ -195,3 +195,46 @@ def test_streaming_session_drops_pre_epoch_sessions(spark, tmp_path):
          .queryName(sink).trigger(availableNow=True).start())
     q.awaitTermination()
     assert {r["user_id"] for r in spark.table(sink).collect()} == {2}
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    # the recovery property the j-family's fresh-checkpoint runs don't
+    # exercise: a file-sink query killed after a partial run must RESUME
+    # from its checkpoint and deliver exactly-once — the union of both
+    # runs' outputs, no duplicates, no loss.  This is the property a
+    # 1000-executor job leans on when a driver dies mid-ingest; Spark's
+    # contract is checkpointed source offsets + transactional file-sink
+    # commit log, and this pins that the plumbing (our scratch/session
+    # settings included) actually delivers it.
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (spark.readStream
+             .schema("event_id long, value double").parquet(src)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_batch(0, 500)
+    run_once()                      # "crash" = clean stop after run 1
+    first = spark.read.parquet(out).count()
+    assert first == 500
+
+    write_batch(500, 800)           # data that arrived while "down"
+    run_once()                      # resume from the SAME checkpoint
+
+    back = spark.read.parquet(out)
+    assert back.count() == 800      # no loss, no replay of run 1's rows
+    ids = [r["event_id"] for r in back.select("event_id").collect()]
+    assert len(set(ids)) == 800 and min(ids) == 0 and max(ids) == 799
