@@ -238,3 +238,56 @@ def test_stream_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     assert back.count() == 800      # no loss, no replay of run 1's rows
     ids = [r["event_id"] for r in back.select("event_id").collect()]
     assert len(set(ids)) == 800 and min(ids) == 0 and max(ids) == 799
+
+
+def test_stateful_agg_state_survives_restart(spark, tmp_path):
+    # the STATE-STORE half of recovery (the file-sink test above covers
+    # source offsets + sink commit log): a windowed aggregation's
+    # partial state must survive a stop/restart so windows spanning the
+    # two runs finalize with the SAME counts a single batch pass gives.
+    # Run 1 sees the first half of a window's rows, run 2 the rest plus
+    # later windows that advance the watermark past it — the finalized
+    # window must count rows from BOTH runs (HDFS-backed state store
+    # restored from checkpoint).
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(lo, hi):
+        return [(i, t0 + datetime.timedelta(minutes=i)) for i in range(lo, hi)]
+
+    def write_batch(lo, hi):
+        spark.createDataFrame(rows(lo, hi), "event_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (spark.readStream.schema("event_id long, ts timestamp")
+             .parquet(src)
+             .withWatermark("ts", "10 minutes")
+             .groupBy(F.window("ts", "30 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("ws"), "n")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_batch(0, 15)      # first half of window [10:00, 10:30)
+    run_once()              # nothing finalizes: watermark at 10:04
+    write_batch(15, 120)    # rest of it + enough to close later windows
+    run_once()              # resume: state for [10:00,10:30) must be back
+
+    got = {r["ws"].replace(tzinfo=None): r["n"]
+           for r in spark.read.parquet(out).collect()}
+    # window [10:00, 10:30) spans both runs: 15 rows from run 1's state
+    # + 15 from run 2.  If state were lost on restart it would emit 15.
+    assert got[t0] == 30
+    # later fully-closed windows for completeness (watermark allows
+    # finalization up to 11:49 - 10m -> windows ending <= 11:30)
+    assert got[t0 + datetime.timedelta(minutes=30)] == 30
+    assert got[t0 + datetime.timedelta(minutes=60)] == 30
