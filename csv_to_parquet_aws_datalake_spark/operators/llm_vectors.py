@@ -870,9 +870,12 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     ``_nan_safe_acos`` on BOTH paths, so they deterministically lose
     everywhere and shard invariance holds even out of contract
     (ADVICE r12).  Zero-norm stays OUT of the differential contract
-    deliberately: ``valid_embeddings``/``_valid_emb_sql`` exclude only
-    NULL/empty arrays, and a zero-norm non-empty vector would pass that
-    filter into DuckDB's list_cosine_similarity, which errors/NaNs on a
+    deliberately: ``valid_embeddings``/``_valid_emb_sql`` require
+    non-NULL, non-empty arrays with every ELEMENT valid (non-NULL,
+    non-NaN, |x| < 1e12 as of the r14 probes) — an all-zeros vector
+    passes every element test, so a zero-norm vector still flows
+    through the filter into DuckDB's list_cosine_similarity, which
+    errors/NaNs on a
     zero divisor — the oracle cannot express the lenient semantics, the
     same class as the r12/r13 NULL-element findings (ADVICE r13: the
     earlier wording here claimed the oracle "never sees" them, which is
