@@ -174,9 +174,12 @@ def h06_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     # casting NaN or a finite 1e300; Spark's ceil CLAMPS the overflow to
     # Long.Max, which is not a value), sign lands in INT (Spark ANSI
     # CAST_OVERFLOW on NaN), and sqrt is additionally DOMAIN-guarded to
-    # x >= 0 (DuckDB errors on any negative, Spark yields NaN).  abs,
-    # exp, and pow stay raw — their double landings agree NaN-for-NaN
-    # and Inf-for-Inf across engines, proven by the probes.
+    # x >= 0 (DuckDB errors on any negative, Spark yields NaN).  abs and
+    # exp stay raw — their double landings agree NaN-for-NaN and
+    # Inf-for-Inf across engines, proven by the probes; pow's double
+    # landing agrees too, but it receives the finite-guarded qty on both
+    # sides because it shares the input with the guarded sqrt leg
+    # (ADVICE r14: the guard is input-sharing, not a pow landing need).
     li = load_table(spark, sf_dir, "lineitem")
     price = representable_or_null("l_extendedprice", BIGINT_BOUND)
     qty = finite_or_null("l_quantity")

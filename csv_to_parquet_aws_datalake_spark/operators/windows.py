@@ -396,7 +396,11 @@ def e08_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     per = p.groupBy("p_size").agg(
         # a retailprice the exact-decimal landing cannot hold is MISSING
-        # on both engines (the _daily_revenue contract; r14 probes)
+        # on both engines (the _daily_revenue contract; r14 probes).
+        # The 1e14 bound is DELIBERATELY shared with _daily_revenue's
+        # DECIMAL(18,4) contract even though this landing is
+        # DECIMAL(18,2) (capacity ~1e16): one money-column bound, one
+        # oracle predicate — conservatism, not a divergence (ADVICE r14)
         F.sum(representable_or_null("p_retailprice", DECIMAL18_4_BOUND)
               .cast("decimal(18,2)"))
          .alias("_ssum"))

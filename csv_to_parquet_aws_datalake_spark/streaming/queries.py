@@ -183,7 +183,10 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-row dropping, observable only across micro-batches:
     events are replayed as 4 arrival-ordered files (≈5% shifted to arrive
     two files late), maxFilesPerTrigger=2 forces 2 batches — a +2-file
-    shift still lands exactly one batch after its peers — and a 30-min
+    shift moves chunk-0/1 events exactly one batch after their peers,
+    while chunk-2/3 shifts clamp (F.least) into file 3, the same batch 2
+    as their unshifted peers, so only the first two chunks' shifted
+    events actually arrive late (ADVICE r14) — and a 30-min
     watermark in append mode drops rows older than watermark and withholds
     unfinalized windows.  Two batches are the MINIMUM that observes a
     drop (batch 1 advances the watermark, batch 2 delivers rows behind
