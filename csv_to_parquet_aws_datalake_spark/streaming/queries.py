@@ -51,11 +51,55 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _run_to_memory(agg: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_to_memory(agg: DataFrame, name: str, mode: str,
+                   state_partitions: int | None = None,
+                   no_data_batch: bool = True) -> DataFrame:
+    """Drain ``agg`` through an availableNow memory sink.
+
+    Both tuning confs below are captured by the stream's CLONED session
+    at ``start()`` (StreamExecution clones the session state), so the
+    set-then-restore around ``start()`` scopes them to this one stream.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions``, which
+    becomes the stream's STATE partition count.  Stateful operators pay
+    a per-partition fixed cost every micro-batch — one state-store
+    instance (FOUR for a stream-stream join: keyToNumValues +
+    keyWithIndexToValue per side) with its own checkpoint delta files —
+    so a state-heavy stream sizes partitions to STATE VOLUME (the
+    standard production target is ~100 MB-1 GB of state per store), not
+    to scan parallelism; the default 32 here means 128 KB-scale stores
+    for j08's fixture and the store overhead dominates runtime
+    (measured sf0.01: 13.1 s at 32 partitions, 7.2 s at 8).  At 100 TB
+    the same knob goes UP for the same reason.  Results are
+    partitioning-invariant, so oracles are unaffected.
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``).  That batch
+    exists to advance the watermark once more so append-mode windowed
+    aggregations EMIT windows finalized by the last data batch — a
+    query whose output depends on it (j05's late-drop contract) must
+    keep the default.  Streams whose every output row is produced
+    inside data batches (update-mode stateful ops, stream-stream INNER
+    joins — the no-data batch only evicts their state) skip it: the
+    eviction pass costs a full state-store open/commit cycle across all
+    partitions and produces nothing the drain can observe (measured
+    sf0.01 on j08: 10.1 s with it, 3.3 s without)."""
     spark = agg.sparkSession
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.outputMode(mode).format("memory").queryName(sink)
-         .trigger(availableNow=True).start())
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "false")
+    try:
+        q = (agg.writeStream.outputMode(mode).format("memory")
+             .queryName(sink).trigger(availableNow=True).start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       old_ndb)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -175,7 +219,10 @@ def j04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_memory(dedup, "j04", "append")
+    # every first-seen row emits inside its data batch; the trailing
+    # no-data batch only expires dedup state (see _run_to_memory)
+    return _run_to_memory(dedup, "j04", "append", state_partitions=8,
+                          no_data_batch=False)
 
 
 @query("j05_stream_late_drop")  # batch-boundary-dependent -> rows-only (§7.3/7)
@@ -275,7 +322,12 @@ def j08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("pid", "cid")
-    return _run_to_memory(joined, "j08", "append")
+    # 4 state stores per partition (two per buffered side) — size the
+    # state partition count to the join state, not the scan; inner-join
+    # output is complete without the trailing eviction-only no-data
+    # batch (see _run_to_memory)
+    return _run_to_memory(joined, "j08", "append", state_partitions=8,
+                          no_data_batch=False)
 
 
 @query(
@@ -309,7 +361,12 @@ def j07_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(counted, "j07", "update")
+    # per-user GroupState is KB-scale here — size the state partition
+    # count to it; update-mode output needs no trailing no-data batch
+    # (NoTimeout state, nothing watermark-driven to emit — see
+    # _run_to_memory)
+    return _run_to_memory(counted, "j07", "update", state_partitions=8,
+                          no_data_batch=False)
 
 
 @query(
