@@ -2126,8 +2126,19 @@ _DECON_TAU = 1.10  # between the per-query score p95 and max at every SF
 
 def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNPINNED (query_id, doc_id, bm25) frame behind i64 — every
-    nonzero-scoring document for each benchmark probe (Okapi BM25,
-    k1=1.2, b=0.75, the Robertson/Sparck Jones formulation).
+    nonzero-scoring document for each benchmark probe; thin loader
+    wrapper over :func:`bm25_scores_frame` (factored out at r15
+    registration so tools/scale_stress.py drives the registered
+    formulation, the i65 kernel convention)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    return bm25_scores_frame(d)
+
+
+def bm25_scores_frame(d: DataFrame) -> DataFrame:
+    """The i64 kernel over any (doc_id, text) frame (Okapi BM25,
+    k1=1.2, b=0.75, the Robertson/Sparck Jones formulation); callers
+    pre-filter NULL text (the registered wrapper's contract).
 
     Determinism (the i57-era design carried to query sets): per-term
     contributions pivot into POSITION columns w1..w3 — every query has
@@ -2141,8 +2152,7 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats are broadcast 9-row/1-row frames; the pivot groupBy
     keys on (query_id, doc_id).  Doc lengths pin once (i08's
     rationale: stats + join branches, one scan)."""
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()))
+    spark = d.sparkSession
     dl = (d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
           .localCheckpoint())  # pin: stats + join branches, one scan
     st = F.broadcast(dl.agg(F.count(F.lit(1)).alias("nd"),

@@ -132,7 +132,15 @@ def i66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract on both engines (NULL text too, the r12 convention)."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
-         .select("doc_id", "lang", F.split("text", " ").alias("t"))
+         .select("doc_id", "lang", "text"))
+    return dsir_importance_frame(d)
+
+
+def dsir_importance_frame(d: DataFrame) -> DataFrame:
+    """The i66 kernel over any (doc_id, lang, text) frame — factored
+    out (the i65/i64 convention) so tools/scale_stress.py drives the
+    staged formulation; callers pre-filter NULL text."""
+    d = (d.select("doc_id", "lang", F.split("text", " ").alias("t"))
          .filter(F.size("t") >= 2))
     bg = d.select(
         "doc_id", "lang",

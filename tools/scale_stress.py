@@ -17,7 +17,11 @@ i40/i44 distributed-ranking core, driven as a table-sized total order)
 are the REGISTERED implementations
 (factored out of i34/i08/i07/i27/i48/e04 for exactly this tool); the dedup row is
 the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
-so the report never claims code it didn't run.  A second tranche
+so the report never claims code it didn't run.  The retrieval-scoring
+rows bm25_scores_frame (registered i64 kernel) and dsir_importance_frame
+(staged i66 kernel) run under duplicate-text amplification — their fixed
+query/bucket vocabularies make token-prefixing the wrong workload model
+(see the tranche comment in main()).  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
 drives the window-family kernels: sessionize (the registered e10 core)
 and asof_join_last_prior (the registered c09 core, on an events-derived
@@ -544,6 +548,32 @@ def main() -> int:
                     timed["semdedup-ann-m4[i59-sharded]"] = \
                         lambda _d, _e=embl, _k=k: \
                         semdedup_ann_sharded_kernel(_e, _k)
+        if sel("bm25[i64-kernel]") or sel("dsir[i66-kernel]"):
+            # duplicate-TEXT amplification (doc_id offset, tokens kept
+            # verbatim): both kernels score against FIXED vocabularies
+            # (9 query terms / 256 hash buckets), so the honest
+            # corpus-growth model keeps per-doc match density constant
+            # — the token-prefixing amplify() above would freeze the
+            # BM25 match set at replica 0 (measuring only the scan),
+            # and neither kernel dedups across replicas, so verbatim
+            # duplication introduces no cross-replica collisions
+            from csv_to_parquet_aws_datalake_spark.operators.llm_text \
+                import bm25_scores_frame
+            from csv_to_parquet_aws_datalake_spark.operators.staged_r15 \
+                import dsir_importance_frame
+            docs_l = (load_table(spark, sf_dir, "documents")
+                      .filter(F.col("text").isNotNull())
+                      .select("doc_id", "lang", "text"))
+            n0 = n0 or docs_l.count()
+            dbk = widen_if_narrow(shard_offset(
+                docs_l, k, ["doc_id"], ["lang", "text"])).localCheckpoint()
+            if sel("bm25[i64-kernel]"):
+                timed["bm25[i64-kernel]"] = \
+                    lambda _d, _b=dbk: bm25_scores_frame(
+                        _b.select("doc_id", "text"))
+            if sel("dsir[i66-kernel]"):
+                timed["dsir[i66-kernel]"] = \
+                    lambda _d, _b=dbk: dsir_importance_frame(_b)
         timed = {n: timed[n] for n in timed if sel(n)}
         if not timed:
             raise SystemExit(
