@@ -104,3 +104,58 @@ def test_i64_plan_shape(spark, sf_dir):
     assert splan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in splan
     assert "Window" not in splan
+
+
+def test_streaming_tuning_confs_restore(spark, sf_dir):
+    # the r15 state tuning scopes shuffle-partition and no-data-batch
+    # confs to one stream via the session clone captured at start();
+    # the shared session must come back untouched (a leaked conf would
+    # silently re-plan every later batch query in the suite)
+    keys = ("spark.sql.shuffle.partitions",
+            "spark.sql.streaming.noDataMicroBatches.enabled")
+    before = tuple(spark.conf.get(k) for k in keys)
+    from csv_to_parquet_aws_datalake_spark import registry
+
+    assert registry.QUERIES["j08_stream_stream_join"](
+        spark, sf_dir).count() > 0
+    assert tuple(spark.conf.get(k) for k in keys) == before
+
+
+def test_no_data_batch_is_load_bearing_for_append_windows(spark, tmp_path):
+    # mechanism pin for the r15 no_data_batch contract: an append-mode
+    # windowed aggregation EMITS only when the watermark passes a
+    # window's end, and after the last data batch that advancement
+    # happens in the trailing no-data batch — disabling it starves the
+    # final finalizable windows.  This is exactly why j05 keeps the
+    # default while j04/j07/j08 (whose rows all emit inside data
+    # batches) may skip it.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.streaming.queries import (
+        _run_to_memory,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(i, t0 + datetime.timedelta(minutes=i)) for i in range(120)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "event_id long, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+
+    def agg():
+        return (spark.readStream.schema("event_id long, ts timestamp")
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "30 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "n"))
+
+    with_ndb = _run_to_memory(agg(), "ndb_on", "append").count()
+    without = _run_to_memory(agg(), "ndb_off", "append",
+                             no_data_batch=False).count()
+    # one data batch: watermark is epoch DURING it, so nothing emits
+    # in-batch; the no-data batch advances it to 11:49 and finalizes
+    # windows ending <= 11:39 -> [10:00, 10:30, 11:00) = 3 windows
+    assert with_ndb == 3
+    assert without == 0
