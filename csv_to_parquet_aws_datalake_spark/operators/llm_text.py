@@ -1618,9 +1618,9 @@ _GRAMS_CTE = """
     )
 """
 
-# dup grams + their per-doc gaps-and-islands grouping, shared by i48's
-# oracle and the staged i60 histogram oracle (staged_r10.py — one edit
-# point for the span formulation, r9 review)
+# dup grams + their per-doc gaps-and-islands grouping: i48's oracle
+# formulation (was also shared by the staged i60 histogram oracle until
+# its r13 retirement — one edit point for the span formulation)
 _DUP_SPAN_HITS_CTE = """
         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
         hits AS (

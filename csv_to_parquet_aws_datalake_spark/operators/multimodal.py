@@ -330,3 +330,141 @@ def k15_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rms"), 6).alias("peak_rms"),
         F.expr("max_by(frame_id, rms + (-frame_id) * 1e-9)").alias("peak_frame"),
     )
+
+
+# ---- k17: pHash band near-dup (registered round 15, from the r10 bank) ----
+
+def phash_codes(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, phash): 8-bit average-hash codes,
+    k17's kernel (moved to staged_r10 when k16, the exact-bucket census
+    over the same codes, was retired in round 12 — k17's radius-0 pairs
+    ARE the exact matches, making k16 the weaker same-family form; moved
+    HERE with k17's round-15 registration).  Whole-batch numpy over Arrow
+    batches (k07's convention): one concatenated byte view, block sums
+    via cumsum gathers (no reduceat — its segment-end semantics
+    mis-bracket when a payload's tail bytes sit between block 7 and the
+    next payload), and the block-vs-overall mean test as an exact integer
+    cross-multiply ``bsum * L > tot * W`` so no float ever enters the
+    hash.  Callers must pre-filter payloads shorter than 8 bytes (W
+    would be 0)."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            ln = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                             count=len(payloads))
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+                .astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cat)])
+            starts = np.cumsum(ln) - ln
+            w = ln // 8
+            bstart = starts[:, None] + np.arange(8)[None, :] * w[:, None]
+            bsum = csum[bstart + w[:, None]] - csum[bstart]
+            tot = csum[starts + ln] - csum[starts]
+            bits = (bsum * ln[:, None]) > (tot[:, None] * w[:, None])
+            phash = (bits << (7 - np.arange(8))[None, :]).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": phash})
+
+    return binary_df.mapInPandas(hash_batches, "doc_id long, phash long")
+
+
+# the aHash computation for the k17 banding oracle (single-source
+# discipline); binds hashed(doc_id, phash).  Byte-TRUE since r13: the
+# original ord(substr) form indexed characters and code points — equal
+# to byte offsets/values only on ASCII, the divergence class the r13
+# unicode probe exposed in k07/k13/k14/k15 — so it extracts real UTF-8
+# bytes from hex(encode(text)) via the shared _hx_byte expression,
+# matching the kernel's byte view on ANY corpus.  The >= 8 filter stays
+# CHARACTER length to mirror the Spark side's F.length(text) pre-filter
+# (chars >= 8 implies bytes >= 8, so the kernel's W > 0 precondition
+# still holds).
+_PHASH_CTES_SQL = f"""
+        base AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS L,
+                   octet_length(encode(text)) // 8 AS W
+            FROM documents WHERE length(text) >= 8
+        ), wtot AS (
+            SELECT doc_id, hx, L, W,
+                   list_sum(list_transform(range(1, L + 1),
+                            i -> {_hx_byte("i")})) AS tot
+            FROM base
+        ), blocks AS (
+            SELECT doc_id, L, W, tot, b.b,
+                   list_sum(list_transform(
+                       range(b.b * W + 1, (b.b + 1) * W + 1),
+                       i -> {_hx_byte("i")})) AS bsum
+            FROM wtot CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bsum * L > tot * W
+                                 THEN 1 << (7 - CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks GROUP BY doc_id
+        )
+"""
+
+
+@query(
+    "k17_phash_band_neardup",
+    oracle=f"""
+        WITH {_PHASH_CTES_SQL}, bands AS (
+            SELECT doc_id, phash, 0 AS band, phash // 16 AS bval FROM hashed
+            UNION ALL
+            SELECT doc_id, phash, 1 AS band, phash % 16 AS bval FROM hashed
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+        )
+        SELECT da, db, hamming FROM cand WHERE hamming <= 1
+    """,
+)
+def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate media pairs at Hamming distance <= 1 over 8-bit
+    aHash codes (``phash_codes``) — the multimodal dedup operator: the
+    radius-0 pairs are exact-code duplicates (what the retired k16
+    census bucketed) and radius-1 pairs are the off-by-one-bit
+    perceptual near-misses an 8-bit aHash maps small image edits to.
+
+    EXACT by the i34 band guarantee: the 8-bit code splits into two
+    4-bit bands, and a pair at Hamming <= 1 differs in at most one bit,
+    so at least one band matches (pigeonhole) — the band equi-join
+    enumerates every qualifying pair, never all-pairs; candidates
+    sharing a band but differing by > 1 bit are dropped by the exact
+    integer bit_count(xor) verify.  Identical-code pairs match on both
+    bands, hence the DISTINCT.  Scale shape: map-side Arrow hashing
+    (phash_codes, pinned — both join sides consume it), one band-keyed
+    equi-join exactly like i34's MinHash bands, integer verify, no
+    window.  Output size is inherently quadratic in duplicate-GROUP
+    size (pair enumeration, the i34/i17 contract); production layers
+    an exact-code keep-first census over the same codes first (one
+    phash-keyed groupBy, the retired k16 form) and reserves this
+    for the near-miss tail, and a 64-bit production hash would band
+    into 4x16-bit chunks with the identical plan."""
+    from ..loader import widen_if_narrow
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = widen_if_narrow(
+        d.filter(F.length("text") >= 8)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    codes = phash_codes(binary).localCheckpoint()  # pin: both join sides
+    bands = codes.selectExpr(
+        "doc_id", "phash",
+        "stack(2, 0, phash div 16, 1, pmod(phash, 16)) AS (band, bval)")
+    a = bands.select(F.col("doc_id").alias("da"),
+                     F.col("phash").alias("pa"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("db"),
+                     F.col("phash").alias("pb"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db",
+                F.expr("CAST(bit_count(pa ^ pb) AS LONG)").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )

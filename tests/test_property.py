@@ -282,7 +282,7 @@ def test_dup_token_cover_matches_bruteforce_union(spark, texts):
 
 
 # ---------------------------------------------------------------------------
-# phash_codes (staged_r10.py, the k17 kernel): the whole-batch numpy
+# phash_codes (multimodal.py, the k17 kernel): the whole-batch numpy
 # cumsum-gather implementation vs a per-payload pure-Python reference —
 # the property pins the batch indexing (block boundaries, tail bytes
 # excluded beyond 8*W, strict mean inequality) that a fixed example
@@ -309,7 +309,7 @@ def _phash_py(payload: bytes) -> int:
 def test_phash_kernel_matches_pure_python(spark, texts):
     from pyspark.sql import functions as F
 
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r10 import (
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
         phash_codes,
     )
 

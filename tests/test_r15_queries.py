@@ -8,7 +8,15 @@ the retired i61 test's top-5 check — it recomputes every
 nonzero-scoring (query, doc) pair, so the registered i64 path plus this
 test cover everything the deleted sibling proved.  Oracle parity runs
 through the registry-wide differential suite (tests/test_differential.py)
-like every registered query."""
+like every registered query.
+
+The round's continuation session pulled the ledger's named r16 move
+forward: k17 pHash band near-dup registered (kernel ``phash_codes``
+moved to its family home in multimodal.py), draining the r10 bank to
+empty — its independent brute-force reference, kernel hand-compute, and
+plan pins migrated here from tests/test_staged_r10.py, and its multibyte
+parity check joined the permanent _BYTE_ARITHMETIC_QUERIES sweep in
+tests/test_differential.py."""
 
 from __future__ import annotations
 
@@ -104,6 +112,74 @@ def test_i64_plan_shape(spark, sf_dir):
     assert splan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in splan
     assert "Window" not in splan
+
+
+def test_k17_matches_bruteforce_python(spark, sf_dir):
+    # independent reference: brute-force all-pairs Hamming over
+    # pure-Python aHash codes (the banded join must find EXACTLY the
+    # radius<=1 pairs — the pigeonhole guarantee, verified against an
+    # algorithm with no banding at all)
+    from tests.test_property import _phash_py
+
+    got = {(r["da"], r["db"], r["hamming"])
+           for r in registry.QUERIES["k17_phash_band_neardup"](
+               spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    codes = {r["doc_id"]: _phash_py(r["text"].encode())
+             for r in docs if r["text"] is not None and len(r["text"]) >= 8}
+    ids = sorted(codes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(codes[a] ^ codes[b]).count("1")
+            if ham <= 1:
+                want.add((a, b, ham))
+    assert got == want
+    assert any(h == 0 for _, _, h in want)  # both distance classes
+    assert any(h == 1 for _, _, h in want)
+
+
+def test_k17_plan_shape(spark, sf_dir):
+    # band-keyed equi-join over the pinned codes: no cartesian, no
+    # window (the i34 shape)
+    plan = physical_plan(
+        registry.QUERIES["k17_phash_band_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    # the localCheckpoint pin hides the hashing lineage from the plan
+    # above — lint the UNPINNED codes frame separately (this pin moved
+    # here from the retired k16 census test): Arrow mapInPandas, never
+    # row-at-a-time Python, and map-side only (no exchange below it)
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
+        phash_codes,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binary = (d.filter(F.length("text") >= 8)
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    cplan = physical_plan(phash_codes(binary))
+    assert "MapInPandas" in cplan and "BatchEvalPython" not in cplan
+    assert "Exchange hashpartitioning" not in cplan
+
+
+def test_k17_kernel_hand_computed(spark):
+    # "aaaabbbb": L=8, W=1, tot=780; blocks 97*4 then 98*4 — bit b set
+    # iff bsum*8 > 780, so exactly the four 98-blocks: phash 0b00001111
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
+        phash_codes,
+    )
+
+    df = (spark.createDataFrame([(1, "aaaabbbb"), (2, "bbbbaaaa")],
+                                "doc_id long, text string")
+          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    got = {r["doc_id"]: r["phash"] for r in phash_codes(df).collect()}
+    assert got == {1: 0b00001111, 2: 0b11110000}
 
 
 def test_streaming_tuning_confs_restore(spark, sf_dir):
