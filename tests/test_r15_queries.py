@@ -10,13 +10,17 @@ test cover everything the deleted sibling proved.  Oracle parity runs
 through the registry-wide differential suite (tests/test_differential.py)
 like every registered query.
 
-The round's continuation session pulled the ledger's named r16 move
-forward: k17 pHash band near-dup registered (kernel ``phash_codes``
-moved to its family home in multimodal.py), draining the r10 bank to
-empty — its independent brute-force reference, kernel hand-compute, and
-plan pins migrated here from tests/test_staged_r10.py, and its multibyte
-parity check joined the permanent _BYTE_ARITHMETIC_QUERIES sweep in
-tests/test_differential.py."""
+The round's continuation session pulled the ledger's named r16 and r17
+moves forward: k17 pHash band near-dup registered (kernel
+``phash_codes`` moved to its family home in multimodal.py), draining
+the r10 bank to empty — its independent brute-force reference, kernel
+hand-compute, and plan pins migrated here from tests/test_staged_r10.py,
+and its multibyte parity check joined the permanent
+_BYTE_ARITHMETIC_QUERIES sweep in tests/test_differential.py; and i66
+DSIR importance registered (kernel ``dsir_importance_frame`` moved to
+its family home in llm_pipeline.py), draining the r15 bank too — its
+pure-Python reference, target-separation behavioral pin, and plan pin
+migrated here from tests/test_staged_r15.py."""
 
 from __future__ import annotations
 
@@ -235,3 +239,78 @@ def test_no_data_batch_is_load_bearing_for_append_windows(spark, tmp_path):
     # windows ending <= 11:39 -> [10:00, 10:30, 11:00) = 3 windows
     assert with_ndb == 3
     assert without == 0
+
+
+def test_i66_matches_pure_python_dsir(spark, sf_dir):
+    # independent reference: the whole scorer recomputed in Python from
+    # raw text (the shared-formula hazard guard — the oracle SQL mirrors
+    # the Spark expressions, so a both-engines-wrong transcription would
+    # pass the differential without this)
+    import hashlib
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        _DSIR_B,
+        _DSIR_SCALE,
+        _DSIR_TARGET_LANG,
+    )
+
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_e4"])
+           for r in registry.QUERIES["i66_dsir_importance"](
+               spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text").collect()
+
+    def buckets(text):
+        toks = text.split(" ")
+        return [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:2], 16)
+                for a, b in zip(toks, toks[1:])]
+
+    r = [0] * _DSIR_B
+    tt = [0] * _DSIR_B
+    feats = {}
+    langs = {}
+    for row in docs:
+        if row["text"] is None:
+            continue
+        bs = buckets(row["text"])
+        if not bs:
+            continue
+        feats[row["doc_id"]] = bs
+        langs[row["doc_id"]] = row["lang"]
+        for b in bs:
+            r[b] += 1
+            if row["lang"] == _DSIR_TARGET_LANG:
+                tt[b] += 1
+    rall, tall = sum(r), sum(tt)
+    w = [((tt[b] + 1) * (rall + _DSIR_B) * _DSIR_SCALE)
+         // ((r[b] + 1) * (tall + _DSIR_B)) for b in range(_DSIR_B)]
+    want = {doc: (len(bs), sum(w[b] for b in bs) // len(bs))
+            for doc, bs in feats.items()}
+    assert got == want
+
+    # behavioral pin: the importance score must actually rank the
+    # target slice above a non-target slice on average (a weight table
+    # that degenerated to the neutral 10000 everywhere would pass the
+    # differential — DSIR's point is the separation)
+    def mean_score(lang):
+        vals = [got[d][1] for d in got if langs[d] == lang]
+        return sum(vals) / len(vals)
+
+    assert mean_score(_DSIR_TARGET_LANG) > mean_score("zh")
+    assert mean_score(_DSIR_TARGET_LANG) > _DSIR_SCALE  # above neutral
+
+
+def test_i66_plan_shape(spark, sf_dir):
+    # one conditional aggregation feeds raw AND target counts; the
+    # weight table and totals attach as broadcasts; the per-doc mean is
+    # a hash aggregate — no window, no cartesian, no row-at-a-time
+    # Python anywhere
+    plan = physical_plan(
+        registry.QUERIES["i66_dsir_importance"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1   # 256-row weight table
+    # the 1-row totals attach is a broadcast nested loop, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan

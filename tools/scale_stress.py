@@ -19,7 +19,7 @@ are the REGISTERED implementations
 the representative fingerprint-groupBy shape of i01/i35, labeled "-shape"
 so the report never claims code it didn't run.  The retrieval-scoring
 rows bm25_scores_frame (registered i64 kernel) and dsir_importance_frame
-(staged i66 kernel) run under duplicate-text amplification — their fixed
+(registered i66 kernel) run under duplicate-text amplification — their fixed
 query/bucket vocabularies make token-prefixing the wrong workload model
 (see the tranche comment in main()).  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
@@ -559,7 +559,7 @@ def main() -> int:
             # duplication introduces no cross-replica collisions
             from csv_to_parquet_aws_datalake_spark.operators.llm_text \
                 import bm25_scores_frame
-            from csv_to_parquet_aws_datalake_spark.operators.staged_r15 \
+            from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline \
                 import dsir_importance_frame
             docs_l = (load_table(spark, sf_dir, "documents")
                       .filter(F.col("text").isNotNull())
