@@ -1,0 +1,281 @@
+"""Round-16 candidates, STAGED — implemented and oracle-tested but NOT
+registered (the staged_r9/r10/r15 discipline: full implementations with
+DuckDB oracles through the driver's own comparator, plan pins, and
+independent references, banked so a future registration is mechanical).
+
+Staged in the round-15 continuation session: registering k17 and i66
+drained both existing banks, so r16 and r17 need named moves.  Two
+candidates, each from a family axis with no registered member:
+
+- j11 streaming dedup with TTL re-emission — REGISTERS r16: the
+  j-family's j04 proves dropDuplicatesWithinWatermark in a single
+  availableNow drain (state never expires mid-run, so it is
+  behaviorally plain dedup); j11 replays a deterministic arrival
+  schedule in 5 watermark-advancing micro-batches so the TTL contract
+  itself is observable — a duplicate inside the TTL is dropped even
+  across batches, and a recurrence after state eviction legitimately
+  RE-EMITS.  That re-emission is the semantics production TTL dedup is
+  chosen for (suppress retransmissions, not history), and no other
+  registered query exercises it.
+- i67 RRF hybrid retrieval fusion — REGISTERS r17 unless the r16
+  verdict ranks something else higher: reciprocal-rank fusion
+  (Cormack et al. 2009) of the registered BM25 ranker (i64's kernel)
+  and the embedding-cosine ranker (i05's formulation) — the standard
+  hybrid-retrieval shape every RAG/decontamination stack runs, and the
+  registry's first operator that consumes TWO ranker families at once.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine
+from ..loader import load_table
+from ..registry import QueryFn
+from ..sources.io_paths import scratch_dir
+from .llm_text import _BM25_QUERY_SETS, _BM25_SCORED_CTES_SQL, bm25_query_scores
+from .llm_vectors import _valid_emb_sql, valid_embeddings
+
+# name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
+STAGED: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _stage(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---- j11: streaming dedup with TTL re-emission ----------------------------
+
+#: the j11 arrival schedule, shared by engine and oracle: all times are
+#: minute offsets from T0; the TTL (watermark delay) is 10 minutes.
+_J11_T0 = "2024-01-01 00:00:00"
+_J11_ECHO_MIN = 5        # duplicate echo inside the TTL -> dropped
+_J11_FILLERS = ((999001, 5), (999002, 90), (999003, 150))  # (key, minute)
+_J11_BURST1_MIN = 180    # recurrence far past eviction -> re-emits
+
+
+def _j11_ts(minutes: int) -> str:
+    return (f"timestamp'{_J11_T0}'"
+            f" + INTERVAL {minutes} MINUTES")
+
+
+@_stage(
+    "j11_stream_dedup_ttl",
+    oracle=f"""
+        WITH keys AS (SELECT DISTINCT user_id % 20 AS key FROM events)
+        SELECT key, TIMESTAMP '{_J11_T0}' AS ts FROM keys
+        UNION ALL
+        SELECT key, TIMESTAMP '{_J11_T0}'
+                    + INTERVAL {_J11_BURST1_MIN} MINUTES FROM keys
+        UNION ALL
+        SELECT * FROM (VALUES
+            {", ".join(f"(CAST({k} AS BIGINT), TIMESTAMP '{_J11_T0}'"
+                       f" + INTERVAL {m} MINUTES)"
+                       for k, m in _J11_FILLERS)}
+        ) f(key, ts)
+    """,
+)
+def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a TTL: ``dropDuplicatesWithinWatermark``
+    suppresses recurrences of a key only while its state lives (event
+    time within the 10-minute watermark delay); once the watermark
+    passes the first sighting's expiry the state is EVICTED and the
+    next recurrence re-emits.  j04 proves the suppress side in a single
+    drain; this query replays a deterministic 5-file arrival schedule
+    (maxFilesPerTrigger=1 -> 5 micro-batches) that makes the whole TTL
+    lifecycle observable and value-deterministic:
+
+      file 0  burst 0: every key x3 identical rows at T0      -> emit 1
+      file 1  echo: every key at T0+5min (inside the TTL)     -> DROPPED
+              + filler 999001 (advances the watermark)
+      file 2  filler 999002 at T0+90min   -- two watermark-advancing
+      file 3  filler 999003 at T0+150min  -- batches guarantee burst-0
+              state eviction BEFORE burst 1 arrives, independent of
+              whether the store evicts at batch start or commit (the
+              watermark for batch k derives from batches <= k-1, so
+              eviction lags one batch behind the data that justifies it)
+      file 4  burst 1: every key x2 at T0+180min              -> RE-EMIT
+
+    Every emission carries a value-unique (key, ts) — replicas inside a
+    burst are byte-identical rows — so although WHICH replica emits is
+    task-order-dependent, the output multiset is deterministic and the
+    batch oracle is exact: one row per key per burst plus the fillers.
+
+    Scale shape: the dedup state is one entry per live key, bounded by
+    the TTL window's key cardinality (NOT history — the point of the
+    operator); state partitions are sized to state volume and the
+    trailing no-data batch is skipped because every output row emits
+    inside its data batch (the j04/r15 tuning contract).  The arrival
+    fixture derives from the events table with no collect()."""
+    ev = load_table(spark, sf_dir, "events")
+    src = scratch_dir("j11", sf_dir, "ttl_arrivals_v1")
+    n_files = 5
+    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
+    if not all(os.path.exists(p) for p in expected):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        keys = ev.select((F.col("user_id") % 20).alias("key")).distinct()
+
+        def burst(minutes: int, replicas: int) -> DataFrame:
+            return (keys
+                    .withColumn("ts", F.expr(_j11_ts(minutes)))
+                    .crossJoin(F.broadcast(
+                        spark.range(replicas).select(F.lit(1).alias("_r"))))
+                    .drop("_r"))
+
+        def filler(key: int, minutes: int) -> DataFrame:
+            return spark.range(1).select(
+                F.lit(key).cast("long").alias("key"),
+                F.expr(_j11_ts(minutes)).alias("ts"))
+
+        files = [
+            burst(0, 3),
+            burst(_J11_ECHO_MIN, 1).unionByName(
+                filler(*_J11_FILLERS[0])),
+            filler(*_J11_FILLERS[1]),
+            filler(*_J11_FILLERS[2]),
+            burst(_J11_BURST1_MIN, 2),
+        ]
+        # sequential writes: the file stream source replays in
+        # (mtime, path) order, so both orders agree with the schedule
+        for i, df in enumerate(files):
+            d = os.path.join(src, f"f{i:02d}")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            os.rename(part, expected[i])
+            shutil.rmtree(d)
+    from ..streaming.queries import _run_to_memory
+
+    stream = (spark.readStream.schema("key long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    dedup = (stream.withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["key"])
+             .select("key", "ts"))
+    return _run_to_memory(dedup, "j11", "append", state_partitions=8,
+                          no_data_batch=False)
+
+
+# ---- i67: RRF hybrid retrieval fusion --------------------------------------
+
+#: probe surface shared by both engines: each BM25 benchmark query pairs
+#: with a query VECTOR (vec_ids 1-3 — data-derived contract rows the
+#: null-embeddings fixture keeps intact, the i05 convention for vec 0),
+#: each ranker contributes its top-N, and RRF sums 1/(K + rank) in e6
+#: fixed point.
+_RRF_PROBES = tuple(
+    (qid, vec) for (qid, _), vec in zip(_BM25_QUERY_SETS, (1, 2, 3)))
+_RRF_K = 60
+_RRF_TOPN = 20
+_RRF_SCALE = 1_000_000
+
+
+@_stage(
+    "i67_rrf_hybrid_rank",
+    oracle=f"""
+        WITH {_BM25_SCORED_CTES_SQL},
+        bm AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM scored
+            QUALIFY rnk <= {_RRF_TOPN}
+        ),
+        pmap AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"('{q}', {v})" for q, v in _RRF_PROBES)}
+            ) p(query_id, vid)
+        ),
+        cq AS (
+            SELECT p.query_id, p.vid,
+                   CAST(e.embedding AS DOUBLE[]) AS qv
+            FROM pmap p JOIN embeddings e ON e.vec_id = p.vid
+            WHERE {_valid_emb_sql("e.embedding")}
+        ),
+        cs AS (
+            SELECT query_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), qv), 6) DESC,
+                           vec_id) AS rnk
+            FROM embeddings, cq
+            WHERE vec_id <> vid AND {_valid_emb_sql()}
+            QUALIFY rnk <= {_RRF_TOPN}
+        ),
+        u AS (SELECT query_id, doc_id, rnk FROM bm
+              UNION ALL SELECT query_id, doc_id, rnk FROM cs)
+        SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+               CAST(sum({_RRF_SCALE} // ({_RRF_K} + rnk)) AS BIGINT)
+                   AS rrf_e6
+        FROM u GROUP BY 1, 2
+    """,
+)
+def i67_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    registered ranker families per benchmark probe: the BM25 lexical
+    ranker (i64's ``bm25_query_scores`` kernel) and the embedding-cosine
+    ranker (i05's formulation, query vectors vec_id 1-3 mapped to the
+    three probes).  Each ranker contributes its top-{_RRF_TOPN}
+    candidates; a fused candidate scores sum(1e6 div ({_RRF_K} + rank))
+    over the rankers that ranked it — the standard hybrid-retrieval
+    shape (lexical recall + semantic recall, rank-space fusion so the
+    incomparable score scales never mix).
+
+    Determinism: ranks are row_numbers over ROUNDED scores (bm25 and
+    cosine both e6-rounded, the family convention) with id tie-breaks,
+    and the fused score is a sum of integer divisions of non-negative
+    operands — exact on both engines, no float ever aggregated.
+
+    Scale shape: the heavy step — selecting top-N from millions of
+    scored candidates — is per-probe TakeOrderedAndProject branches (the
+    i64 convention; a probe-partitioned window over the FULL candidate
+    sets would funnel every scoring doc into |probes| unsplittable
+    partitions, the i48 hazard class).  The rank window then runs over
+    the CAPPED union (<= |probes| x {_RRF_TOPN} rows per ranker), so its
+    partitioning is irrelevant to scale; the fusion groupBy is over
+    <= 2 x probes x N rows.  The BM25 scored frame is pinned once and
+    feeds all three probe branches (the i64 localCheckpoint contract);
+    each query vector is a broadcast 1-row attach (the i05 shape)."""
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+    scored = bm25_query_scores(spark, sf_dir).localCheckpoint()
+    bm_branches = [
+        scored.filter(F.col("query_id") == qid)
+        .select("query_id", "doc_id", F.col("bm25").alias("score"))
+        .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
+        for qid, _ in _RRF_PROBES
+    ]
+    cos_branches = []
+    for qid, vec in _RRF_PROBES:
+        qv = (emb.filter(F.col("vec_id") == vec)
+              .select(F.col("embedding").alias("qv")))
+        cos_branches.append(
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != vec)
+            .select(F.lit(qid).alias("query_id"),
+                    F.col("vec_id").alias("doc_id"),
+                    F.round(cosine("embedding", "qv"), 6).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN))
+
+    def ranked(branches: list[DataFrame]) -> DataFrame:
+        side = branches[0]
+        for b in branches[1:]:
+            side = side.unionByName(b)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+        return (side.withColumn("rnk", F.row_number().over(w))
+                .select("query_id", "doc_id", "rnk"))
+
+    fused = ranked(bm_branches).unionByName(ranked(cos_branches))
+    return (fused.groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_rankers"),
+                 F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
+                 .alias("rrf_e6")))
