@@ -453,15 +453,30 @@ def k17_phash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.length("text") >= 8)
         .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     codes = phash_codes(binary).localCheckpoint()  # pin: both join sides
+    return phash_band_pairs(codes)
+
+
+def phash_band_pairs(codes: DataFrame,
+                     shard_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The k17 banding kernel over any (doc_id, phash) frame — factored
+    out (the i65/i64/i66 convention) so tools/scale_stress.py drives the
+    registered formulation.  ``shard_cols`` extend the band key for the
+    stress harness's replica-disjoint amplification (the i18 keep_rep
+    precedent: folding the replica id into the join key models the
+    production hash space growing with the corpus — an 8-bit toy code
+    over an ever-larger corpus would instead measure the CONTRACTUAL
+    quadratic growth of pair enumeration inside giant code-collision
+    groups, not the algorithm).  Callers pin ``codes``: both join sides
+    consume it."""
     bands = codes.selectExpr(
-        "doc_id", "phash",
+        *shard_cols, "doc_id", "phash",
         "stack(2, 0, phash div 16, 1, pmod(phash, 16)) AS (band, bval)")
-    a = bands.select(F.col("doc_id").alias("da"),
+    a = bands.select(*shard_cols, F.col("doc_id").alias("da"),
                      F.col("phash").alias("pa"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("db"),
+    b = bands.select(*shard_cols, F.col("doc_id").alias("db"),
                      F.col("phash").alias("pb"), "band", "bval")
     return (
-        a.join(b, ["band", "bval"])
+        a.join(b, ["band", "bval", *shard_cols])
         .filter(F.col("da") < F.col("db"))
         .select("da", "db",
                 F.expr("CAST(bit_count(pa ^ pb) AS LONG)").alias("hamming"))

@@ -21,7 +21,11 @@ so the report never claims code it didn't run.  The retrieval-scoring
 rows bm25_scores_frame (registered i64 kernel) and dsir_importance_frame
 (registered i66 kernel) run under duplicate-text amplification — their fixed
 query/bucket vocabularies make token-prefixing the wrong workload model
-(see the tranche comment in main()).  A second tranche
+(see the tranche comment in main()).  The phash-neardup row drives the
+registered k17 kernels (phash_codes + phash_band_pairs) under
+replica-DISJOINT shards with the replica folded into the band key — the
+honest model for a hash space that grows with the corpus (see the block
+comment in main()).  A second tranche
 amplifies the EVENTS table (disjoint user-id shards, timestamps kept) and
 drives the window-family kernels: sessionize (the registered e10 core)
 and asof_join_last_prior (the registered c09 core, on an events-derived
@@ -574,6 +578,38 @@ def main() -> int:
             if sel("dsir[i66-kernel]"):
                 timed["dsir[i66-kernel]"] = \
                     lambda _d, _b=dbk: dsir_importance_frame(_b)
+        if sel("phash-neardup[k17-kernel]"):
+            # replica-DISJOINT amplification (shard_offset + the replica
+            # folded into the band key via phash_band_pairs' shard_cols —
+            # the srp keep_rep precedent): an 8-bit toy code over an
+            # ever-larger corpus would otherwise measure the CONTRACTUAL
+            # quadratic pair enumeration inside giant code-collision
+            # groups; production uses a 64-bit hash whose space grows
+            # with the corpus, which disjoint shards model.  The rep is
+            # recovered from the 2^40 id offset because phash_codes'
+            # Arrow schema is fixed at (doc_id, phash).
+            from csv_to_parquet_aws_datalake_spark.operators.multimodal \
+                import phash_band_pairs, phash_codes
+            docs_h = (load_table(spark, sf_dir, "documents")
+                      .filter(F.length("text") >= 8)
+                      .select("doc_id", "text"))
+            n0 = n0 or docs_h.count()
+            hk = shard_offset(docs_h, k, ["doc_id"], ["text"])
+            binary = widen_if_narrow(hk.select(
+                "doc_id", F.encode("text", "utf-8").alias("payload"))) \
+                .localCheckpoint()
+
+            def _phash_row(_d, _b=binary):
+                # the full registered shape: Arrow hashing + the pinned
+                # codes feeding both band-join sides (k17's own pin) —
+                # the checkpoint materialization is part of the timing
+                codes = (phash_codes(_b)
+                         .withColumn("rep",
+                                     F.expr(f"doc_id div {1 << 40}"))
+                         .localCheckpoint())
+                return phash_band_pairs(codes, ("rep",))
+
+            timed["phash-neardup[k17-kernel]"] = _phash_row
         timed = {n: timed[n] for n in timed if sel(n)}
         if not timed:
             raise SystemExit(
