@@ -700,8 +700,12 @@ def i66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer divisions of NON-NEGATIVE operands (Spark ``div`` truncates
     toward zero, DuckDB ``//`` floors — they agree only there), and the
     per-doc sum is an integer sum, fold-order-free.  The scaled-integer
-    weight product (tt+1)*(R+B)*1e4 needs BIGINT headroom; it
-    overflows past R ~ 9e14 total bigrams, where a production run
+    weight product (tt_b+1)*(R+B)*1e4 needs BIGINT headroom; since the
+    per-bucket target count tt_b itself grows with the corpus
+    (~f*R/B for target fraction f under uniform hashing), the product
+    overflows once tt_max * R approaches 9e14 — around R ~ 1e9-1e10
+    total bigrams for a substantial target slice, NOT at R ~ 9e14 as
+    this contract originally claimed.  Past that, a production run
     swaps the weight expression for the paper's double log-ratio (one
     expression, plan unchanged) and accepts float summation.
 

@@ -2237,9 +2237,9 @@ def i64_bm25_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bm25").alias("top_bm25"))
         for q, _ in _BM25_QUERY_SETS
     ]
-    top = tops[0]
-    for t in tops[1:]:
-        top = top.unionByName(t)
+    from functools import reduce
+
+    top = reduce(DataFrame.unionByName, tops)
     census = cand.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_candidates"))
     return (census.join(top, "query_id")

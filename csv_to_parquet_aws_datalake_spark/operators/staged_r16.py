@@ -267,9 +267,9 @@ def i67_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN))
 
     def ranked(branches: list[DataFrame]) -> DataFrame:
-        side = branches[0]
-        for b in branches[1:]:
-            side = side.unionByName(b)
+        from functools import reduce
+
+        side = reduce(DataFrame.unionByName, branches)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
         return (side.withColumn("rnk", F.row_number().over(w))
                 .select("query_id", "doc_id", "rnk"))

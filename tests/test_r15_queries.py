@@ -236,7 +236,9 @@ def test_no_data_batch_is_load_bearing_for_append_windows(spark, tmp_path):
                              no_data_batch=False).count()
     # one data batch: watermark is epoch DURING it, so nothing emits
     # in-batch; the no-data batch advances it to 11:49 and finalizes
-    # windows ending <= 11:39 -> [10:00, 10:30, 11:00) = 3 windows
+    # windows ending <= 11:49 — starts 10:00/10:30/11:00 (ends
+    # 10:30/11:00/11:30) emit, start 11:30 (end 12:00) is withheld
+    # -> 3 windows
     assert with_ndb == 3
     assert without == 0
 

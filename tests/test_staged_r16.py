@@ -93,9 +93,13 @@ def test_i67_matches_pure_python_rrf(spark, sf_dir):
                    for x in r["embedding"])}
 
     def cos(a, b):
+        # half-up like Spark F.round / DuckDB round — builtin round()'s
+        # banker's rounding could flip a rank on an exact 6-decimal tie
+        from tests.differential import round6_half_up
+
         num = sum(x * y for x, y in zip(a, b))
         den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return round(num / den, 6)
+        return round6_half_up(num / den)
 
     want: dict[tuple[str, int], list[int]] = {}
     for qid, vec in _RRF_PROBES:
