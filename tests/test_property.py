@@ -508,3 +508,54 @@ def test_measure_guards_match_sql_twins(spark, vals):
 
     assert {k: norm(k, v) for k, v in got.items()} == \
            {k: norm(k, v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_frame (llm_pipeline.py, the registered i66 kernel) vs a
+# per-corpus pure-Python reference — the property sweeps the degenerate
+# corpus shapes the fixture can't: all-target (tall == rall), NO-target
+# (tall == 0), single-doc corpora, docs at the 2-token bigram minimum,
+# and repeated bigrams within one doc (r counts OCCURRENCES, not
+# distinct features).
+
+
+@given(docs=st.lists(
+    st.tuples(
+        st.sampled_from(["en", "zh", "de"]),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=2, max_size=6)),
+    min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_dsir_kernel_matches_pure_python(spark, docs):
+    import hashlib
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        _DSIR_B,
+        _DSIR_SCALE,
+        _DSIR_TARGET_LANG,
+        dsir_importance_frame,
+    )
+
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["n_feats"], r["dsir_e4"])
+           for r in dsir_importance_frame(df).collect()}
+
+    r_cnt = [0] * _DSIR_B
+    t_cnt = [0] * _DSIR_B
+    feats = {}
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")
+        bs = [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:2], 16)
+              for a, b in zip(toks, toks[1:])]
+        feats[doc_id] = bs
+        for b in bs:
+            r_cnt[b] += 1
+            if lang == _DSIR_TARGET_LANG:
+                t_cnt[b] += 1
+    rall, tall = sum(r_cnt), sum(t_cnt)
+    w = [((t_cnt[b] + 1) * (rall + _DSIR_B) * _DSIR_SCALE)
+         // ((r_cnt[b] + 1) * (tall + _DSIR_B)) for b in range(_DSIR_B)]
+    want = {doc: (len(bs), sum(w[b] for b in bs) // len(bs))
+            for doc, bs in feats.items()}
+    assert got == want
