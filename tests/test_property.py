@@ -559,3 +559,48 @@ def test_dsir_kernel_matches_pure_python(spark, docs):
     want = {doc: (len(bs), sum(w[b] for b in bs) // len(bs))
             for doc, bs in feats.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# the j12 per-ROW MinHash signature formulation (staged_r16.py — the
+# stream-safe array_min-over-transform restatement of the i34 slot
+# contract) vs a pure-Python recomputation of the kernel's definition:
+# the property sweeps the short-doc boundary (exactly 3 tokens = one
+# shingle) and repeated-shingle texts (array_distinct load-bearing),
+# complementing the corpus-level slot-equality pin in
+# tests/test_staged_r16.py.
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["x", "y", "zz", "w"]), min_size=3, max_size=9),
+    min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_row_signature_matches_slot_contract(spark, texts):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+        _ROW_SHINGLES,
+        _row_sig_cols,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .withColumn("t", F.split("text", " "))
+          .filter(F.size("t") >= 3)
+          .withColumn("shd", F.expr(_ROW_SHINGLES))
+          .selectExpr("doc_id", *_row_sig_cols()))
+    got = {r["doc_id"]: tuple(r[f"s{k}"] for k in range(8))
+           for r in df.collect()}
+
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        hexes = {seed: [hashlib.md5(f"{seed}|{sh}".encode()).hexdigest()
+                        for sh in shingles] for seed in (0, 1)}
+        want[doc_id] = tuple(
+            min(h[(k % 4) * 8:(k % 4) * 8 + 8] for h in hexes[k // 4])
+            for k in range(8))
+    assert got == want and got
