@@ -5,8 +5,8 @@ independent references, banked so a future registration is mechanical).
 
 Staged in the round-15 continuation session: registering k17 and i66
 drained both existing banks, so the forward rounds need named moves.
-Three candidates, each from a family axis with no registered member
-(ledger: j11 -> r16, i67 -> r17, j12 -> r18):
+Four candidates, each from a family axis with no registered member
+(ledger: j11 -> r16, i67 -> r17, j12 -> r18, a19 -> r19):
 
 - j11 streaming dedup with TTL re-emission — REGISTERS r16: the
   j-family's j04 proves dropDuplicatesWithinWatermark in a single
@@ -31,6 +31,11 @@ Three candidates, each from a family axis with no registered member
   streaming x LSH composition, with the i34 signature contract
   restated as map-side per-row expressions so no streaming
   aggregation is needed before the band join.
+- a19 XML roundtrip — REGISTERS r19: the a-family's remaining source
+  format (Spark 4 ships XML natively; CSV/JSON/ORC/text/gzip/
+  jsonlines/glob/catalog/Python-datasource are all registered), with
+  byte-exact text fidelity through XML escaping proven by md5 columns
+  against an oracle over the ORIGINAL table.
 """
 
 from __future__ import annotations
@@ -441,3 +446,64 @@ def j12_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_band_hits")))
     return _run_to_memory(hits, "j12", "complete", state_partitions=8,
                           no_data_batch=False)
+
+
+# ---- a19: XML roundtrip (native Spark 4 XML source) -----------------------
+
+#: read-back schema — declared, never inferred (the a02/a04 contract:
+#: inference is a separate operator's concern; a roundtrip must land in
+#: the exact source types)
+_A19_SCHEMA = ("doc_id long, lang string,"
+               " meta struct<source:string, n_chars:bigint>, text string")
+
+
+@_stage(
+    "a19_xml_roundtrip",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(text) AS BIGINT) AS n_texts,
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
+               CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_meta_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+        FROM documents GROUP BY 1
+    """,
+)
+def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> XML (native Spark 4 XML source, no external package)
+    -> declared-schema read-back -> per-language census whose md5
+    min/max/distinct columns prove the text survived BYTE-EXACT through
+    XML escaping (&, <, >, quotes), newlines, tabs, multibyte unicode,
+    empty strings, and NULLs (absent elements) — the oracle runs on the
+    ORIGINAL table, so any serialization loss breaks the hash.  The
+    nested ``meta`` struct exercises XML's element nesting (the format's
+    point vs CSV), verified through sum_meta_chars.
+
+    ``ignoreSurroundingSpaces=false`` is load-bearing on the read: the
+    default trims element text, corrupting any document with leading or
+    trailing whitespace (probed before design was frozen; all the edge
+    classes above roundtrip exactly under this option).
+
+    Scale shape: XML is a RAW-ZONE interchange format — per-FILE
+    parallel (a rowTag record can span lines, so intra-file splits are
+    not generally safe); the roundtrip's job at 100 TB is exactly this
+    query's: convert to parquet once, aggregate from columnar after.
+    The census itself is one map-side-combined hash aggregate."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.struct("source", "n_chars").alias("meta"), "text"))
+    xml_dir = scratch_dir("a19", sf_dir, "xml")
+    d.write.mode("overwrite").option("rowTag", "doc").xml(xml_dir)
+    back = (spark.read.schema(_A19_SCHEMA)
+            .option("rowTag", "doc")
+            .option("ignoreSurroundingSpaces", "false")
+            .xml(xml_dir))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("text").alias("n_texts"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("sum_chars"),
+        F.coalesce(F.sum("meta.n_chars"), F.lit(0)).alias("sum_meta_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.max(F.md5("text")).alias("max_md5"),
+    )
