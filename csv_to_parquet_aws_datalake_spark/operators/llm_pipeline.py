@@ -639,6 +639,24 @@ _DSIR_B = 256
 _DSIR_TARGET_LANG = "en"
 _DSIR_SCALE = 10000
 
+#: the per-bucket weight expression WITH its BIGINT-headroom guard: the
+#: scaled numerator (tt+1)*(rall+B)*SCALE binds first (the denominator
+#: lacks the SCALE factor), and past the bound a non-ANSI session wraps
+#: silently into wrong scores rather than erroring (ADVICE r15) — so
+#: both products are pre-checked with divisions (overflow-free by
+#: construction) and a corpus past the bound raises with the named
+#: remedy instead.  Evaluated only over the {B}-row weight table, so
+#: the guard costs nothing at any scale.
+_DSIR_WB_SQL = (
+    f"CASE WHEN (tt + 1) > (9223372036854775807 div {_DSIR_SCALE})"
+    f" div (rall + {_DSIR_B})"
+    f" OR (r + 1) > 9223372036854775807 div (tall + {_DSIR_B})"
+    " THEN CAST(raise_error('i66: weight product exceeds BIGINT headroom;"
+    " switch to the DSIR log-ratio form') AS BIGINT)"
+    f" ELSE ((tt + 1) * (rall + {_DSIR_B}) * {_DSIR_SCALE})"
+    f" div ((r + 1) * (tall + {_DSIR_B})) END AS wb"
+)
+
 
 @query(
     "i66_dsir_importance",
@@ -705,9 +723,13 @@ def i66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~f*R/B for target fraction f under uniform hashing), the product
     overflows once tt_max * R approaches 9e14 — around R ~ 1e9-1e10
     total bigrams for a substantial target slice, NOT at R ~ 9e14 as
-    this contract originally claimed.  Past that, a production run
-    swaps the weight expression for the paper's double log-ratio (one
-    expression, plan unchanged) and accepts float summation.
+    this contract originally claimed.  The bound is ENFORCED, not just
+    documented (ADVICE r15): `_DSIR_WB_SQL` pre-checks both products
+    with overflow-free divisions and raises with the named remedy past
+    it, so a non-ANSI session can never wrap silently into wrong
+    scores.  Past the bound, a production run swaps the weight
+    expression for the paper's double log-ratio (one expression, plan
+    unchanged) and accepts float summation.
 
     Scale shape: ONE conditional aggregation computes raw and target
     counts together (count + count-if-target over the same exploded
@@ -747,10 +769,7 @@ def dsir_importance_frame(d: DataFrame) -> DataFrame:
     #                         each derivation re-runs the corpus pass
     tot = F.broadcast(freq.agg(F.sum("r").alias("rall"),
                                F.sum("tt").alias("tall")))
-    w = F.broadcast(freq.crossJoin(tot).selectExpr(
-        "b",
-        f"((tt + 1) * (rall + {_DSIR_B}) * {_DSIR_SCALE})"
-        f" div ((r + 1) * (tall + {_DSIR_B})) AS wb"))
+    w = F.broadcast(freq.crossJoin(tot).selectExpr("b", _DSIR_WB_SQL))
     return (bg.join(w, "b")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_feats"),

@@ -51,7 +51,7 @@ from pyspark.sql.window import Window
 from ..functions.vector import cosine
 from ..loader import load_table
 from ..registry import QueryFn
-from ..sources.io_paths import scratch_dir
+from ..sources.io_paths import schedule_tag, scratch_dir
 from .llm_text import _BM25_QUERY_SETS, _BM25_SCORED_CTES_SQL, bm25_query_scores
 from .llm_vectors import _valid_emb_sql, valid_embeddings
 
@@ -131,7 +131,13 @@ def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside its data batch (the j04/r15 tuning contract).  The arrival
     fixture derives from the events table with no collect()."""
     ev = load_table(spark, sf_dir, "events")
-    src = scratch_dir("j11", sf_dir, "ttl_arrivals_v1")
+    # fixture identity tracks the arrival-schedule constants (ADVICE
+    # r15): editing any of them regenerates instead of replaying stale
+    src = scratch_dir(
+        "j11", sf_dir,
+        "ttl_arrivals_" + schedule_tag(
+            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
+            (3, 1, 2)))
     n_files = 5
     expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
     if not all(os.path.exists(p) for p in expected):
@@ -322,8 +328,12 @@ def _row_sig_cols() -> list[str]:
 #: collide with its corpus original (identical text -> identical
 #: shingles -> identical bands, the minhash_band_pairs no-false-negative
 #: guarantee) — the output is non-empty at every SF by construction,
-#: plus whatever genuine near-dups banding surfaces.
-_J12_REKEY = 1_000_000
+#: plus whatever genuine near-dups banding surfaces.  1 << 40 is the
+#: repo's shard_offset convention (every other id-amplification path
+#: offsets by rep * 2^40), far above any real doc_id space — a small
+#: additive constant could collide batch ids with genuine corpus ids
+#: at larger scale factors (ADVICE r15).
+_J12_REKEY = 1 << 40
 
 
 def _j12_oracle() -> str:
@@ -418,20 +428,38 @@ def j12_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus_bands = bands_of(d).localCheckpoint()
 
-    src = scratch_dir("j12", sf_dir, "ingest_batch_v2")
+    # fixture identity tracks the schedule constants (ADVICE r15): any
+    # edit to the rekey offset, source slice, or split scheme lands in a
+    # fresh directory instead of silently replaying a stale fixture
+    src = scratch_dir(
+        "j12", sf_dir,
+        f"ingest_batch_{schedule_tag(_J12_REKEY, 'src19', 'rownum-parity')}")
     expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(2)]
     if not all(os.path.exists(p) for p in expected):
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src)
+        # split by row_number parity, not doc_id parity: a scale factor
+        # whose src19 slice is single-parity would leave one micro-batch
+        # file empty and silently degrade the 2-batch contract (ADVICE
+        # r15); row_number guarantees both shards non-empty whenever the
+        # slice has >= 2 docs, and fewer fails loudly below
         batch = (d.filter(F.col("source") == "src19")
                  .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),
-                         "text"))
+                         "text")
+                 .withColumn("_rn", F.row_number().over(
+                     Window.orderBy("doc_id"))))
+        if batch.count() < 2:
+            raise RuntimeError(
+                "j12 ingest fixture needs >= 2 src19 docs to fill both "
+                "micro-batch files")
         for i in range(2):
             part_dir = os.path.join(src, f"f{i:02d}")
-            (batch.filter(F.col("doc_id") % 2 == i)
+            (batch.filter(F.col("_rn") % 2 == i).drop("_rn")
              .coalesce(1).write.mode("overwrite").parquet(part_dir))
-            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-            os.rename(part, expected[i])
+            parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if not parts:
+                raise RuntimeError(f"j12 fixture shard {i} wrote no file")
+            os.rename(parts[0], expected[i])
             shutil.rmtree(part_dir)
 
     from ..streaming.queries import _run_to_memory

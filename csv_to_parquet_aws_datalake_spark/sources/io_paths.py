@@ -50,6 +50,20 @@ def _source_fingerprint(norm_dir: str) -> str:
     return h.hexdigest()[:8]
 
 
+def schedule_tag(*parts: object) -> str:
+    """Short content hash of a fixture's schedule constants.
+
+    Reuse-aware fixtures (j05/j11/j12 arrival replays) skip regeneration
+    when the expected files exist, so fixture identity must track the
+    CONTRACT, not a hand-bumped version suffix — editing a schedule
+    constant without bumping the leaf would silently replay a stale
+    fixture against a new oracle (ADVICE r15).  Folding the constants'
+    repr into the leaf name makes any schedule edit land in a fresh
+    directory automatically, exactly like `_source_fingerprint` does for
+    source-data regeneration."""
+    return hashlib.sha1(repr(parts).encode()).hexdigest()[:8]
+
+
 def scratch_dir(query_id: str, sf_dir: str, leaf: str = "") -> str:
     # tag = basename + short hash of (full path + source file identity):
     # two data directories sharing a leaf name must not collide, and a

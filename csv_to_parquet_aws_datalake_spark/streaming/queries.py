@@ -239,12 +239,14 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop (batch 1 advances the watermark, batch 2 delivers rows behind
     it) and prove the identical invariant the earlier 5-batch replay did
     at 2.5x the state-store churn (r14 suite-time work, VERDICT r13
-    item 2; the leaf name is versioned because the scratch tag does not
-    encode fixture shape)."""
+    item 2; the leaf name hashes the schedule constants so fixture
+    identity tracks the contract — ADVICE r15)."""
     from ..loader import load_table
+    from ..sources.io_paths import schedule_tag
     ev = load_table(spark, sf_dir, "events")
-    src = scratch_dir("j05", sf_dir, "arrivals_v2")
     n_files = 4
+    src = scratch_dir("j05", sf_dir,
+                      "arrivals_" + schedule_tag(n_files, 20, 2))
     expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
     if not all(os.path.exists(p) for p in expected):
         # deterministic arrival schedule: chunk by event_id; every 20th

@@ -1125,3 +1125,42 @@ def test_scan_split_estimate_mixed_directory(spark, tmp_path):
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
         else:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_dsir_weight_guard_fires_past_bigint_headroom(spark):
+    # ADVICE r15: the i66 weight product (tt+1)*(rall+B)*SCALE had a
+    # documented-but-unenforced BIGINT bound — in a non-ANSI session a
+    # corpus past it would wrap silently into wrong scores.  The guard
+    # in _DSIR_WB_SQL must (1) be exact-identical to the unguarded
+    # formula in range, and (2) raise with the named remedy past the
+    # bound, on both the numerator (tt side) and denominator (r side).
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_pipeline import (
+        _DSIR_B,
+        _DSIR_SCALE,
+        _DSIR_WB_SQL,
+    )
+
+    schema = "b long, r long, tt long, rall long, tall long"
+
+    def wb(rows):
+        return [r["wb"] for r in spark.createDataFrame(rows, schema)
+                .selectExpr("b", _DSIR_WB_SQL).orderBy("b").collect()]
+
+    in_range = [(0, 9, 3, 100, 30), (1, 0, 0, 100, 30),
+                (2, 10**6, 10**5, 10**8, 10**7)]
+    want = [((tt + 1) * (rall + _DSIR_B) * _DSIR_SCALE)
+            // ((r + 1) * (tall + _DSIR_B))
+            for _, r, tt, rall, tall in in_range]
+    assert wb(in_range) == want
+
+    big = 9223372036854775807
+    # numerator overflow: tt * rall * SCALE past BIGINT
+    with pytest.raises(SparkRuntimeException, match="log-ratio"):
+        wb([(0, 10**10, 10**9, 10**11, 10**10)])
+    # denominator overflow with the numerator IN range (tt=0, tiny
+    # rall), so the OR's second arm is the one that fires
+    with pytest.raises(SparkRuntimeException, match="log-ratio"):
+        wb([(0, big // 2, 0, 100, big // 2)])
