@@ -5,19 +5,12 @@ independent references, banked so a future registration is mechanical).
 
 Staged in the round-15 continuation session: registering k17 and i66
 drained both existing banks, so the forward rounds need named moves.
-Four candidates, each from a family axis with no registered member
-(ledger: j11 -> r16, i67 -> r17, j12 -> r18, a19 -> r19):
+Four candidates were banked, each from a family axis with no registered
+member (ledger: j11 -> r16, i67 -> r17, j12 -> r18, a19 -> r19).
+j11_stream_dedup_ttl REGISTERED on schedule in round 16 (moved to its
+family home in streaming/queries.py; lifecycle pins graduated to
+tests/test_r16_queries.py).  Three candidates remain:
 
-- j11 streaming dedup with TTL re-emission — REGISTERS r16: the
-  j-family's j04 proves dropDuplicatesWithinWatermark in a single
-  availableNow drain (state never expires mid-run, so it is
-  behaviorally plain dedup); j11 replays a deterministic arrival
-  schedule in 5 watermark-advancing micro-batches so the TTL contract
-  itself is observable — a duplicate inside the TTL is dropped even
-  across batches, and a recurrence after state eviction legitimately
-  RE-EMITS.  That re-emission is the semantics production TTL dedup is
-  chosen for (suppress retransmissions, not history), and no other
-  registered query exercises it.
 - i67 RRF hybrid retrieval fusion — REGISTERS r17 unless the r16
   verdict ranks something else higher: reciprocal-rank fusion
   (Cormack et al. 2009) of the registered BM25 ranker (i64's kernel)
@@ -65,123 +58,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# ---- j11: streaming dedup with TTL re-emission ----------------------------
-
-#: the j11 arrival schedule, shared by engine and oracle: all times are
-#: minute offsets from T0; the TTL (watermark delay) is 10 minutes.
-_J11_T0 = "2024-01-01 00:00:00"
-_J11_ECHO_MIN = 5        # duplicate echo inside the TTL -> dropped
-_J11_FILLERS = ((999001, 5), (999002, 90), (999003, 150))  # (key, minute)
-_J11_BURST1_MIN = 180    # recurrence far past eviction -> re-emits
-
-
-def _j11_ts(minutes: int) -> str:
-    return (f"timestamp'{_J11_T0}'"
-            f" + INTERVAL {minutes} MINUTES")
-
-
-@_stage(
-    "j11_stream_dedup_ttl",
-    oracle=f"""
-        WITH keys AS (SELECT DISTINCT user_id % 20 AS key FROM events)
-        SELECT key, TIMESTAMP '{_J11_T0}' AS ts FROM keys
-        UNION ALL
-        SELECT key, TIMESTAMP '{_J11_T0}'
-                    + INTERVAL {_J11_BURST1_MIN} MINUTES FROM keys
-        UNION ALL
-        SELECT * FROM (VALUES
-            {", ".join(f"(CAST({k} AS BIGINT), TIMESTAMP '{_J11_T0}'"
-                       f" + INTERVAL {m} MINUTES)"
-                       for k, m in _J11_FILLERS)}
-        ) f(key, ts)
-    """,
-)
-def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup with a TTL: ``dropDuplicatesWithinWatermark``
-    suppresses recurrences of a key only while its state lives (event
-    time within the 10-minute watermark delay); once the watermark
-    passes the first sighting's expiry the state is EVICTED and the
-    next recurrence re-emits.  j04 proves the suppress side in a single
-    drain; this query replays a deterministic 5-file arrival schedule
-    (maxFilesPerTrigger=1 -> 5 micro-batches) that makes the whole TTL
-    lifecycle observable and value-deterministic:
-
-      file 0  burst 0: every key x3 identical rows at T0      -> emit 1
-      file 1  echo: every key at T0+5min (inside the TTL)     -> DROPPED
-              + filler 999001 (advances the watermark)
-      file 2  filler 999002 at T0+90min   -- two watermark-advancing
-      file 3  filler 999003 at T0+150min  -- batches guarantee burst-0
-              state eviction BEFORE burst 1 arrives, independent of
-              whether the store evicts at batch start or commit (the
-              watermark for batch k derives from batches <= k-1, so
-              eviction lags one batch behind the data that justifies it)
-      file 4  burst 1: every key x2 at T0+180min              -> RE-EMIT
-
-    Every emission carries a value-unique (key, ts) — replicas inside a
-    burst are byte-identical rows — so although WHICH replica emits is
-    task-order-dependent, the output multiset is deterministic and the
-    batch oracle is exact: one row per key per burst plus the fillers.
-
-    Scale shape: the dedup state is one entry per live key, bounded by
-    the TTL window's key cardinality (NOT history — the point of the
-    operator); state partitions are sized to state volume and the
-    trailing no-data batch is skipped because every output row emits
-    inside its data batch (the j04/r15 tuning contract).  The arrival
-    fixture derives from the events table with no collect()."""
-    ev = load_table(spark, sf_dir, "events")
-    # fixture identity tracks the arrival-schedule constants (ADVICE
-    # r15): editing any of them regenerates instead of replaying stale
-    src = scratch_dir(
-        "j11", sf_dir,
-        "ttl_arrivals_" + schedule_tag(
-            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
-            (3, 1, 2)))
-    n_files = 5
-    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
-    if not all(os.path.exists(p) for p in expected):
-        shutil.rmtree(src, ignore_errors=True)
-        os.makedirs(src)
-        keys = ev.select((F.col("user_id") % 20).alias("key")).distinct()
-
-        def burst(minutes: int, replicas: int) -> DataFrame:
-            return (keys
-                    .withColumn("ts", F.expr(_j11_ts(minutes)))
-                    .crossJoin(F.broadcast(
-                        spark.range(replicas).select(F.lit(1).alias("_r"))))
-                    .drop("_r"))
-
-        def filler(key: int, minutes: int) -> DataFrame:
-            return spark.range(1).select(
-                F.lit(key).cast("long").alias("key"),
-                F.expr(_j11_ts(minutes)).alias("ts"))
-
-        files = [
-            burst(0, 3),
-            burst(_J11_ECHO_MIN, 1).unionByName(
-                filler(*_J11_FILLERS[0])),
-            filler(*_J11_FILLERS[1]),
-            filler(*_J11_FILLERS[2]),
-            burst(_J11_BURST1_MIN, 2),
-        ]
-        # sequential writes: the file stream source replays in
-        # (mtime, path) order, so both orders agree with the schedule
-        for i, df in enumerate(files):
-            d = os.path.join(src, f"f{i:02d}")
-            df.coalesce(1).write.mode("overwrite").parquet(d)
-            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-            os.rename(part, expected[i])
-            shutil.rmtree(d)
-    from ..streaming.queries import _run_to_memory
-
-    stream = (spark.readStream.schema("key long, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    dedup = (stream.withWatermark("ts", "10 minutes")
-             .dropDuplicatesWithinWatermark(["key"])
-             .select("key", "ts"))
-    return _run_to_memory(dedup, "j11", "append", state_partitions=8,
-                          no_data_batch=False)
 
 
 # ---- i67: RRF hybrid retrieval fusion --------------------------------------

@@ -225,6 +225,127 @@ def j04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           no_data_batch=False)
 
 
+# ---- j11: streaming dedup with TTL re-emission (registered round 16,
+# ---- from the r16 staging bank — the §7.12 ledger's named move)
+
+#: the j11 arrival schedule, shared by engine and oracle: all times are
+#: minute offsets from T0; the TTL (watermark delay) is 10 minutes.
+_J11_T0 = "2024-01-01 00:00:00"
+_J11_ECHO_MIN = 5        # duplicate echo inside the TTL -> dropped
+_J11_FILLERS = ((999001, 5), (999002, 90), (999003, 150))  # (key, minute)
+_J11_BURST1_MIN = 180    # recurrence far past eviction -> re-emits
+
+
+def _j11_ts(minutes: int) -> str:
+    return (f"timestamp'{_J11_T0}'"
+            f" + INTERVAL {minutes} MINUTES")
+
+
+@query(
+    "j11_stream_dedup_ttl",
+    oracle=f"""
+        WITH keys AS (SELECT DISTINCT user_id % 20 AS key FROM events)
+        SELECT key, TIMESTAMP '{_J11_T0}' AS ts FROM keys
+        UNION ALL
+        SELECT key, TIMESTAMP '{_J11_T0}'
+                    + INTERVAL {_J11_BURST1_MIN} MINUTES FROM keys
+        UNION ALL
+        SELECT * FROM (VALUES
+            {", ".join(f"(CAST({k} AS BIGINT), TIMESTAMP '{_J11_T0}'"
+                       f" + INTERVAL {m} MINUTES)"
+                       for k, m in _J11_FILLERS)}
+        ) f(key, ts)
+    """,
+)
+def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a TTL: ``dropDuplicatesWithinWatermark``
+    suppresses recurrences of a key only while its state lives (event
+    time within the 10-minute watermark delay); once the watermark
+    passes the first sighting's expiry the state is EVICTED and the
+    next recurrence re-emits.  j04 proves the suppress side in a single
+    drain; this query replays a deterministic 5-file arrival schedule
+    (maxFilesPerTrigger=1 -> 5 micro-batches) that makes the whole TTL
+    lifecycle observable and value-deterministic:
+
+      file 0  burst 0: every key x3 identical rows at T0      -> emit 1
+      file 1  echo: every key at T0+5min (inside the TTL)     -> DROPPED
+              + filler 999001 (advances the watermark)
+      file 2  filler 999002 at T0+90min   -- two watermark-advancing
+      file 3  filler 999003 at T0+150min  -- batches guarantee burst-0
+              state eviction BEFORE burst 1 arrives, independent of
+              whether the store evicts at batch start or commit (the
+              watermark for batch k derives from batches <= k-1, so
+              eviction lags one batch behind the data that justifies it)
+      file 4  burst 1: every key x2 at T0+180min              -> RE-EMIT
+
+    Every emission carries a value-unique (key, ts) — replicas inside a
+    burst are byte-identical rows — so although WHICH replica emits is
+    task-order-dependent, the output multiset is deterministic and the
+    batch oracle is exact: one row per key per burst plus the fillers.
+
+    Scale shape: the dedup state is one entry per live key, bounded by
+    the TTL window's key cardinality (NOT history — the point of the
+    operator); state partitions are sized to state volume and the
+    trailing no-data batch is skipped because every output row emits
+    inside its data batch (the j04/r15 tuning contract).  The arrival
+    fixture derives from the events table with no collect()."""
+    import glob
+
+    from ..loader import load_table
+    from ..sources.io_paths import schedule_tag
+    ev = load_table(spark, sf_dir, "events")
+    # fixture identity tracks the arrival-schedule constants (ADVICE
+    # r15): editing any of them regenerates instead of replaying stale
+    src = scratch_dir(
+        "j11", sf_dir,
+        "ttl_arrivals_" + schedule_tag(
+            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
+            (3, 1, 2)))
+    n_files = 5
+    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
+    if not all(os.path.exists(p) for p in expected):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        keys = ev.select((F.col("user_id") % 20).alias("key")).distinct()
+
+        def burst(minutes: int, replicas: int) -> DataFrame:
+            return (keys
+                    .withColumn("ts", F.expr(_j11_ts(minutes)))
+                    .crossJoin(F.broadcast(
+                        spark.range(replicas).select(F.lit(1).alias("_r"))))
+                    .drop("_r"))
+
+        def filler(key: int, minutes: int) -> DataFrame:
+            return spark.range(1).select(
+                F.lit(key).cast("long").alias("key"),
+                F.expr(_j11_ts(minutes)).alias("ts"))
+
+        files = [
+            burst(0, 3),
+            burst(_J11_ECHO_MIN, 1).unionByName(
+                filler(*_J11_FILLERS[0])),
+            filler(*_J11_FILLERS[1]),
+            filler(*_J11_FILLERS[2]),
+            burst(_J11_BURST1_MIN, 2),
+        ]
+        # sequential writes: the file stream source replays in
+        # (mtime, path) order, so both orders agree with the schedule
+        for i, df in enumerate(files):
+            d = os.path.join(src, f"f{i:02d}")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            os.rename(part, expected[i])
+            shutil.rmtree(d)
+
+    stream = (spark.readStream.schema("key long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    dedup = (stream.withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["key"])
+             .select("key", "ts"))
+    return _run_to_memory(dedup, "j11", "append", state_partitions=8,
+                          no_data_batch=False)
+
+
 @query("j05_stream_late_drop")  # batch-boundary-dependent -> rows-only (§7.3/7)
 def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-row dropping, observable only across micro-batches:

@@ -1,9 +1,10 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's four named moves (j11 TTL dedup, slated r16; i67 RRF hybrid
-fusion, slated r17; j12 streaming near-dup ingest, slated r18; a19 XML
-roundtrip, slated r19)."""
+bank's named moves (i67 RRF hybrid fusion, slated r17; j12 streaming
+near-dup ingest, slated r18; a19 XML roundtrip, slated r19).  The
+bank's fourth candidate, j11 TTL dedup, registered on schedule in r16 —
+its lifecycle pins graduated to tests/test_r16_queries.py."""
 
 from __future__ import annotations
 
@@ -48,30 +49,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_j11_ttl_lifecycle_pins(spark, sf_dir):
-    # mechanism pins behind the oracle: (1) burst keys emit EXACTLY
-    # twice — once at first sight, once at the post-eviction
-    # recurrence; (2) the T0+5min echo (inside the TTL, in a LATER
-    # micro-batch than the first sighting) never emits for a burst key,
-    # proving cross-batch suppression, not just intra-batch distinct;
-    # (3) the re-emission timestamp is the burst-1 time, proving state
-    # was evicted rather than the first row replayed
-    import collections
-    import datetime
-
-    rows = STAGED["j11_stream_dedup_ttl"][0](spark, sf_dir).collect()
-    t0 = datetime.datetime(2024, 1, 1, 0, 0)
-    per_key = collections.defaultdict(list)
-    for r in rows:
-        per_key[r["key"]].append(r["ts"])
-    burst_keys = [k for k in per_key if k < 100]
-    assert burst_keys
-    for k in burst_keys:
-        assert sorted(per_key[k]) == [
-            t0, t0 + datetime.timedelta(minutes=180)]
-    assert all(len(per_key[k]) == 1 for k in per_key if k >= 100)
 
 
 def test_i67_matches_pure_python_rrf(spark, sf_dir):
