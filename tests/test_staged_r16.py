@@ -230,3 +230,89 @@ def test_a19_survives_hostile_xml_content(spark, tmp_path):
             .option("ignoreSurroundingSpaces", "false").xml(out))
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_j13_outer_join_pins(spark, sf_dir):
+    # mechanism pins behind the oracle: (1) OUTER semantics observable —
+    # NULL-padded rows exist, and specifically for purchases in the last
+    # delay+range of event time, the rows a sentinel-less drain would
+    # withhold (the flush-sentinel's whole point); (2) the matched
+    # subset equals the registered j08 INNER join row for row; (3) no
+    # sentinel id leaks through the post-drain filter
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = STAGED["j13_stream_outer_join"][0](spark, sf_dir).collect()
+    got = {(r["pid"], r["cid"]) for r in rows}
+    assert all(pid >= 0 for pid, _ in got)
+    unmatched = {pid for pid, cid in got if cid is None}
+    assert unmatched
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("event_type") == "purchase"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    pts = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts")
+           .collect() if r["ts"] is not None}
+    max_ts = max(pts.values())
+    flush_window = max_ts - datetime.timedelta(minutes=70)  # delay+range
+    assert any(pts[pid] > flush_window for pid in unmatched), (
+        "no late-tail unmatched purchase emitted — the sentinel flush "
+        "is not observable on this fixture")
+
+    inner = {(r["pid"], r["cid"]) for r in registry.QUERIES[
+        "j08_stream_stream_join"](spark, sf_dir).collect()}
+    assert {(p, c) for p, c in got if c is not None} == inner
+
+
+def test_k18_matches_pure_python_segments(spark, sf_dir):
+    # independent reference: framing, integer energy threshold, and
+    # run-length census recomputed in Python from raw text bytes (the
+    # shared-formula hazard guard), plus non-vacuity: the threshold
+    # must actually segment (some multi-segment doc exists)
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+        _K18_TAU2,
+    )
+
+    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
+                         r["longest_run"], r["first_active_frame"])
+           for r in STAGED["k18_audio_silence_segments"][0](
+               spark, sf_dir).collect()}
+
+    want = {}
+    for r in (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text").collect()):
+        if r["text"] is None:
+            continue
+        b = r["text"].encode("utf-8")
+        runs, cur = [], 0
+        first = None
+        for fi in range(len(b) // 64):
+            frame = b[fi * 64:(fi + 1) * 64]
+            if sum(x * x for x in frame) >= _K18_TAU2:
+                if first is None:
+                    first = fi
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            want[r["doc_id"]] = (len(runs), sum(runs), max(runs), first)
+    assert got == want and got
+    assert any(n > 1 for n, _, _, _ in want.values())
+
+
+def test_k18_plan_shape(spark, sf_dir):
+    # the framing kernel must be ONE ArrowEvalPython/mapInPandas stage
+    # straight over the scan with no exchange before the threshold
+    # filter, and the islands window must be doc_id-partitioned (the
+    # registry-wide anti-pattern sweep rejects unpartitioned windows;
+    # this pins the positive form)
+    fn, _ = STAGED["k18_audio_silence_segments"]
+    plan = physical_plan(fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
