@@ -1099,3 +1099,130 @@ def i59_semdedup_census_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     return semdedup_census_ann(emb)
 
+
+
+# ---- i67: RRF hybrid retrieval fusion (registered round 16, pulled
+# ---- forward from the r16 bank's r17 slot — the r15 k17/i66 precedent)
+
+#: probe surface shared by both engines: each BM25 benchmark query pairs
+#: with a query VECTOR (vec_ids 1-3 — data-derived contract rows the
+#: null-embeddings fixture keeps intact, the i05 convention for vec 0),
+#: each ranker contributes its top-N, and RRF sums 1/(K + rank) in e6
+#: fixed point.
+def _rrf_probes() -> tuple:
+    from .llm_text import _BM25_QUERY_SETS
+    return tuple(
+        (qid, vec) for (qid, _), vec in zip(_BM25_QUERY_SETS, (1, 2, 3)))
+
+
+_RRF_K = 60
+_RRF_TOPN = 20
+_RRF_SCALE = 1_000_000
+
+
+def _i67_oracle() -> str:
+    from .llm_text import _BM25_SCORED_CTES_SQL
+    return f"""
+        WITH {_BM25_SCORED_CTES_SQL},
+        bm AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM scored
+            QUALIFY rnk <= {_RRF_TOPN}
+        ),
+        pmap AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"('{q}', {v})" for q, v in _rrf_probes())}
+            ) p(query_id, vid)
+        ),
+        cq AS (
+            SELECT p.query_id, p.vid,
+                   CAST(e.embedding AS DOUBLE[]) AS qv
+            FROM pmap p JOIN embeddings e ON e.vec_id = p.vid
+            WHERE {_valid_emb_sql("e.embedding")}
+        ),
+        cs AS (
+            SELECT query_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), qv), 6) DESC,
+                           vec_id) AS rnk
+            FROM embeddings, cq
+            WHERE vec_id <> vid AND {_valid_emb_sql()}
+            QUALIFY rnk <= {_RRF_TOPN}
+        ),
+        u AS (SELECT query_id, doc_id, rnk FROM bm
+              UNION ALL SELECT query_id, doc_id, rnk FROM cs)
+        SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+               CAST(sum({_RRF_SCALE} // ({_RRF_K} + rnk)) AS BIGINT)
+                   AS rrf_e6
+        FROM u GROUP BY 1, 2
+    """
+
+
+@query("i67_rrf_hybrid_rank", oracle=_i67_oracle())
+def i67_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    registered ranker families per benchmark probe: the BM25 lexical
+    ranker (i64's ``bm25_query_scores`` kernel) and the embedding-cosine
+    ranker (i05's formulation, query vectors vec_id 1-3 mapped to the
+    three probes).  Each ranker contributes its top-{_RRF_TOPN}
+    candidates; a fused candidate scores sum(1e6 div ({_RRF_K} + rank))
+    over the rankers that ranked it — the standard hybrid-retrieval
+    shape (lexical recall + semantic recall, rank-space fusion so the
+    incomparable score scales never mix).
+
+    Determinism: ranks are row_numbers over ROUNDED scores (bm25 and
+    cosine both e6-rounded, the family convention) with id tie-breaks,
+    and the fused score is a sum of integer divisions of non-negative
+    operands — exact on both engines, no float ever aggregated.
+
+    Scale shape: the heavy step — selecting top-N from millions of
+    scored candidates — is per-probe TakeOrderedAndProject branches (the
+    i64 convention; a probe-partitioned window over the FULL candidate
+    sets would funnel every scoring doc into |probes| unsplittable
+    partitions, the i48 hazard class).  The rank window then runs over
+    the CAPPED union (<= |probes| x {_RRF_TOPN} rows per ranker), so its
+    partitioning is irrelevant to scale; the fusion groupBy is over
+    <= 2 x probes x N rows.  The BM25 scored frame is pinned once and
+    feeds all three probe branches (the i64 localCheckpoint contract);
+    each query vector is a broadcast 1-row attach (the i05 shape)."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from .llm_text import bm25_query_scores
+
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+    scored = bm25_query_scores(spark, sf_dir).localCheckpoint()
+    bm_branches = [
+        scored.filter(F.col("query_id") == qid)
+        .select("query_id", "doc_id", F.col("bm25").alias("score"))
+        .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
+        for qid, _ in _rrf_probes()
+    ]
+    cos_branches = []
+    for qid, vec in _rrf_probes():
+        qv = (emb.filter(F.col("vec_id") == vec)
+              .select(F.col("embedding").alias("qv")))
+        cos_branches.append(
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != vec)
+            .select(F.lit(qid).alias("query_id"),
+                    F.col("vec_id").alias("doc_id"),
+                    F.round(cosine("embedding", "qv"), 6).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN))
+
+    def ranked(branches: list[DataFrame]) -> DataFrame:
+        side = reduce(DataFrame.unionByName, branches)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+        return (side.withColumn("rnk", F.row_number().over(w))
+                .select("query_id", "doc_id", "rnk"))
+
+    fused = ranked(bm_branches).unionByName(ranked(cos_branches))
+    return (fused.groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_rankers"),
+                 F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
+                 .alias("rrf_e6")))

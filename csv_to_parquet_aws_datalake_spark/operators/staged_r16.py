@@ -4,36 +4,29 @@ DuckDB oracles through the driver's own comparator, plan pins, and
 independent references, banked so a future registration is mechanical).
 
 Staged in the round-15 continuation session: registering k17 and i66
-drained both existing banks, so the forward rounds need named moves.
-Four candidates were banked, each from a family axis with no registered
-member (ledger: j11 -> r16, i67 -> r17, j12 -> r18, a19 -> r19).
-j11_stream_dedup_ttl REGISTERED on schedule in round 16 (moved to its
-family home in streaming/queries.py; lifecycle pins graduated to
-tests/test_r16_queries.py).  Three candidates remain:
+drained both existing banks, so the forward rounds were given named
+moves (original ledger: j11 -> r16, i67 -> r17, j12 -> r18,
+a19 -> r19).  Round 16 executed j11 ON schedule (moved to its family
+home in streaming/queries.py; lifecycle pins graduated to
+tests/test_r16_queries.py) and PULLED i67 FORWARD (the r15 k17/i66
+precedent; moved to its family home in llm_vectors.py, reference and
+plan pins graduated to tests/test_r16_queries.py), then staged two new
+candidates so every remaining round keeps one named move.  REVISED
+ledger: j12 -> r17, a19 -> r18, j13 -> r19, k18 -> r20.
 
-- i67 RRF hybrid retrieval fusion — REGISTERS r17 unless the r16
-  verdict ranks something else higher: reciprocal-rank fusion
-  (Cormack et al. 2009) of the registered BM25 ranker (i64's kernel)
-  and the embedding-cosine ranker (i05's formulation) — the standard
-  hybrid-retrieval shape every RAG/decontamination stack runs, and the
-  registry's first operator that consumes TWO ranker families at once.
-- j12 streaming near-dup ingest check — REGISTERS r18: an incoming
+- j12 streaming near-dup ingest check — REGISTERS r17: an incoming
   document batch streamed against the static corpus's MinHash LSH
   bands (dedup-on-ingest, the pattern that keeps an ingestion
   pipeline from re-admitting near-copies) — the registry's first
   streaming x LSH composition, with the i34 signature contract
   restated as map-side per-row expressions so no streaming
   aggregation is needed before the band join.
-- a19 XML roundtrip — REGISTERS r19: the a-family's remaining source
+- a19 XML roundtrip — REGISTERS r18: the a-family's remaining source
   format (Spark 4 ships XML natively; CSV/JSON/ORC/text/gzip/
   jsonlines/glob/catalog/Python-datasource are all registered), with
   byte-exact text fidelity through XML escaping proven by md5 columns
   against an oracle over the ORIGINAL table.
-
-Round-16 session additions, extending the ledger so the final round has
-named moves too (j13 -> r20, k18 -> r20):
-
-- j13 stream-stream LEFT OUTER join — REGISTERS r20: j08 proves the
+- j13 stream-stream LEFT OUTER join — REGISTERS r19: j08 proves the
   inner stream-stream join, whose output is complete after one drain;
   the OUTER side's defining semantics — a NULL-padded row emitted only
   when the watermark proves no match can still arrive — is a different
@@ -42,7 +35,8 @@ named moves too (j13 -> r20, k18 -> r20):
   state never emits).  j13 closes that with the flush-sentinel pattern
   (a far-future punctuation row per side, excluded post-drain), making
   the batch LEFT JOIN an exact oracle.
-- k18 audio silence segmentation — REGISTERS r20: the k15 framing
+- k18 audio silence segmentation — REGISTERS r20 (the final round's
+  named move): the k15 framing
   composed with gaps-and-islands — threshold per-frame energy
   (exact integer sum-of-squares, no float ever compared) and census
   the active RUNS per clip: the silence-trim primitive k15's docstring
@@ -59,12 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine
 from ..loader import load_table
 from ..registry import QueryFn
 from ..sources.io_paths import schedule_tag, scratch_dir
-from .llm_text import _BM25_QUERY_SETS, _BM25_SCORED_CTES_SQL, bm25_query_scores
-from .llm_vectors import _valid_emb_sql, valid_embeddings
 from .multimodal import _hx_byte
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
@@ -77,122 +68,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# ---- i67: RRF hybrid retrieval fusion --------------------------------------
-
-#: probe surface shared by both engines: each BM25 benchmark query pairs
-#: with a query VECTOR (vec_ids 1-3 — data-derived contract rows the
-#: null-embeddings fixture keeps intact, the i05 convention for vec 0),
-#: each ranker contributes its top-N, and RRF sums 1/(K + rank) in e6
-#: fixed point.
-_RRF_PROBES = tuple(
-    (qid, vec) for (qid, _), vec in zip(_BM25_QUERY_SETS, (1, 2, 3)))
-_RRF_K = 60
-_RRF_TOPN = 20
-_RRF_SCALE = 1_000_000
-
-
-@_stage(
-    "i67_rrf_hybrid_rank",
-    oracle=f"""
-        WITH {_BM25_SCORED_CTES_SQL},
-        bm AS (
-            SELECT query_id, doc_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY bm25 DESC, doc_id) AS rnk
-            FROM scored
-            QUALIFY rnk <= {_RRF_TOPN}
-        ),
-        pmap AS (
-            SELECT * FROM (VALUES
-                {", ".join(f"('{q}', {v})" for q, v in _RRF_PROBES)}
-            ) p(query_id, vid)
-        ),
-        cq AS (
-            SELECT p.query_id, p.vid,
-                   CAST(e.embedding AS DOUBLE[]) AS qv
-            FROM pmap p JOIN embeddings e ON e.vec_id = p.vid
-            WHERE {_valid_emb_sql("e.embedding")}
-        ),
-        cs AS (
-            SELECT query_id, vec_id AS doc_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(list_cosine_similarity(
-                           CAST(embedding AS DOUBLE[]), qv), 6) DESC,
-                           vec_id) AS rnk
-            FROM embeddings, cq
-            WHERE vec_id <> vid AND {_valid_emb_sql()}
-            QUALIFY rnk <= {_RRF_TOPN}
-        ),
-        u AS (SELECT query_id, doc_id, rnk FROM bm
-              UNION ALL SELECT query_id, doc_id, rnk FROM cs)
-        SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
-               CAST(sum({_RRF_SCALE} // ({_RRF_K} + rnk)) AS BIGINT)
-                   AS rrf_e6
-        FROM u GROUP BY 1, 2
-    """,
-)
-def i67_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
-    registered ranker families per benchmark probe: the BM25 lexical
-    ranker (i64's ``bm25_query_scores`` kernel) and the embedding-cosine
-    ranker (i05's formulation, query vectors vec_id 1-3 mapped to the
-    three probes).  Each ranker contributes its top-{_RRF_TOPN}
-    candidates; a fused candidate scores sum(1e6 div ({_RRF_K} + rank))
-    over the rankers that ranked it — the standard hybrid-retrieval
-    shape (lexical recall + semantic recall, rank-space fusion so the
-    incomparable score scales never mix).
-
-    Determinism: ranks are row_numbers over ROUNDED scores (bm25 and
-    cosine both e6-rounded, the family convention) with id tie-breaks,
-    and the fused score is a sum of integer divisions of non-negative
-    operands — exact on both engines, no float ever aggregated.
-
-    Scale shape: the heavy step — selecting top-N from millions of
-    scored candidates — is per-probe TakeOrderedAndProject branches (the
-    i64 convention; a probe-partitioned window over the FULL candidate
-    sets would funnel every scoring doc into |probes| unsplittable
-    partitions, the i48 hazard class).  The rank window then runs over
-    the CAPPED union (<= |probes| x {_RRF_TOPN} rows per ranker), so its
-    partitioning is irrelevant to scale; the fusion groupBy is over
-    <= 2 x probes x N rows.  The BM25 scored frame is pinned once and
-    feeds all three probe branches (the i64 localCheckpoint contract);
-    each query vector is a broadcast 1-row attach (the i05 shape)."""
-    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
-
-    scored = bm25_query_scores(spark, sf_dir).localCheckpoint()
-    bm_branches = [
-        scored.filter(F.col("query_id") == qid)
-        .select("query_id", "doc_id", F.col("bm25").alias("score"))
-        .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
-        for qid, _ in _RRF_PROBES
-    ]
-    cos_branches = []
-    for qid, vec in _RRF_PROBES:
-        qv = (emb.filter(F.col("vec_id") == vec)
-              .select(F.col("embedding").alias("qv")))
-        cos_branches.append(
-            emb.crossJoin(F.broadcast(qv))
-            .filter(F.col("vec_id") != vec)
-            .select(F.lit(qid).alias("query_id"),
-                    F.col("vec_id").alias("doc_id"),
-                    F.round(cosine("embedding", "qv"), 6).alias("score"))
-            .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN))
-
-    def ranked(branches: list[DataFrame]) -> DataFrame:
-        from functools import reduce
-
-        side = reduce(DataFrame.unionByName, branches)
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-        return (side.withColumn("rnk", F.row_number().over(w))
-                .select("query_id", "doc_id", "rnk"))
-
-    fused = ranked(bm_branches).unionByName(ranked(cos_branches))
-    return (fused.groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("n_rankers"),
-                 F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
-                 .alias("rrf_e6")))
 
 
 # ---- j12: streaming near-dup ingest check (stream-vs-corpus LSH) ----------

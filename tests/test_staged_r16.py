@@ -1,23 +1,19 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's named moves (i67 RRF hybrid fusion, slated r17; j12 streaming
-near-dup ingest, slated r18; a19 XML roundtrip, slated r19).  The
-bank's fourth candidate, j11 TTL dedup, registered on schedule in r16 —
-its lifecycle pins graduated to tests/test_r16_queries.py."""
+bank's named moves (revised r16 ledger: j12 streaming near-dup ingest,
+slated r17; a19 XML roundtrip, slated r18; j13 outer stream join,
+slated r19; k18 audio silence segmentation, slated r20).  The original
+bank's j11 TTL dedup registered on schedule in r16 and i67 RRF fusion
+was pulled forward to r16 — their pins graduated to
+tests/test_r16_queries.py."""
 
 from __future__ import annotations
 
 import pytest
 
 from csv_to_parquet_aws_datalake_spark import registry
-from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-    _RRF_K,
-    _RRF_PROBES,
-    _RRF_SCALE,
-    _RRF_TOPN,
-    STAGED,
-)
+from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import STAGED
 from csv_to_parquet_aws_datalake_spark.plans.checks import (
     assert_no_antipatterns,
     physical_plan,
@@ -49,67 +45,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_i67_matches_pure_python_rrf(spark, sf_dir):
-    # independent reference: both rankers and the fusion recomputed in
-    # Python from raw text/embeddings (the shared-formula hazard guard);
-    # bm25 comes from the r15 reference helper so the two tests share
-    # one ground truth for the lexical side
-    from tests.test_r15_queries import _python_bm25
-
-    got = {(r["query_id"], r["doc_id"]): (r["n_rankers"], r["rrf_e6"])
-           for r in STAGED["i67_rrf_hybrid_rank"][0](
-               spark, sf_dir).collect()}
-
-    bm_scores = _python_bm25(spark, sf_dir)
-    emb = {r["vec_id"]: r["embedding"]
-           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .collect()
-           if r["embedding"] is not None and len(r["embedding"]) > 0
-           and all(x is not None and x == x and abs(x) < 1e12
-                   for x in r["embedding"])}
-
-    def cos(a, b):
-        # half-up like Spark F.round / DuckDB round — builtin round()'s
-        # banker's rounding could flip a rank on an exact 6-decimal tie
-        from tests.differential import round6_half_up
-
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return round6_half_up(num / den)
-
-    want: dict[tuple[str, int], list[int]] = {}
-    for qid, vec in _RRF_PROBES:
-        bm_top = sorted(
-            ((d, s) for (q, d), s in bm_scores.items() if q == qid),
-            key=lambda x: (-x[1], x[0]))[:_RRF_TOPN]
-        qv = emb[vec]
-        cs_top = sorted(
-            ((v, cos(e, qv)) for v, e in emb.items() if v != vec),
-            key=lambda x: (-x[1], x[0]))[:_RRF_TOPN]
-        for side in (bm_top, cs_top):
-            for rnk, (d, _) in enumerate(side, start=1):
-                want.setdefault((qid, d), []).append(rnk)
-    expected = {k: (len(rs), sum(_RRF_SCALE // (_RRF_K + r) for r in rs))
-                for k, rs in want.items()}
-    assert got == expected
-    # the fusion must actually fuse on this fixture: at least one doc
-    # ranked by both sides (recomputed above, not assumed)
-    assert any(n == 2 for n, _ in expected.values())
-
-
-def test_i67_plan_shape(spark, sf_dir):
-    # top-N extraction is per-probe TakeOrderedAndProject branches (3
-    # bm25 + 3 cosine — the i64 convention; never a window over the
-    # full candidate sets), no cartesian, no row-at-a-time Python; the
-    # rank windows run over the capped union and are partitioned
-    # (assert_no_antipatterns in the oracle test covers that)
-    fn, _ = STAGED["i67_rrf_hybrid_rank"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert plan.count("TakeOrderedAndProject") == 6
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
 
 
 def test_j12_row_signatures_match_kernel(spark, sf_dir):
