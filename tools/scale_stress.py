@@ -198,6 +198,15 @@ def stream_kernels(spark, stream_path: str):
                          "user_id")
                 .agg(F.count(F.lit(1)).alias("n")))
 
+    def ttl_dedup():
+        # the j11 shape (registered r16): dropDuplicatesWithinWatermark
+        # keyed per entity — dedup state is one entry per live key, so
+        # the disjoint user shards grow state exactly K-fold while the
+        # TTL bounds its lifetime (the operator's 100 TB contract)
+        return (read().withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["user_id"])
+                .select("user_id", "ts"))
+
     def sjoin():
         left = (read().filter(F.minute("ts") % 5 == 0)
                 .withWatermark("ts", "1 hour")
@@ -219,6 +228,7 @@ def stream_kernels(spark, stream_path: str):
 
     builds = {"stream-tumbling[j01-shape]": (tumbling, "update"),
               "stream-session[j03-shape]": (session, "append"),
+              "stream-dedup-ttl[j11-shape]": (ttl_dedup, "append"),
               "stream-join[j08-shape]": (sjoin, "append")}
     assert set(builds) == set(STREAM_ROW_NAMES)  # main()'s gate keys on it
     return {name: (lambda _d, _b=b, _m=m: run(_b, _m))
@@ -229,6 +239,7 @@ def stream_kernels(spark, stream_path: str):
 #: kernel rename cannot silently drop the row from the report (r10 review)
 STREAM_ROW_NAMES = ("stream-tumbling[j01-shape]",
                     "stream-session[j03-shape]",
+                    "stream-dedup-ttl[j11-shape]",
                     "stream-join[j08-shape]")
 
 
