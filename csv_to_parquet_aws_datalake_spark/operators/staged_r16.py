@@ -480,6 +480,17 @@ def k18_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id (never global — per-clip work is bounded by clip length,
     the i38 chunking pre-pass bounding it further for pathological
     clips), and both aggregations are doc-keyed with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = (d.filter(F.col("text").isNotNull())
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return audio_segments_frame(binary)
+
+
+def audio_segments_frame(binary: DataFrame) -> DataFrame:
+    """The k18 kernel over any (doc_id, payload binary) frame — factored
+    out (the i65/i64 convention) so crafted-frame tests and
+    tools/scale_stress.py drive the exact staged formulation; callers
+    pre-filter NULL payloads."""
     import numpy as np
     import pandas as pd
 
@@ -501,9 +512,6 @@ def k18_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ssq": (x * x).sum(axis=1),
             })
 
-    d = load_table(spark, sf_dir, "documents")
-    binary = (d.filter(F.col("text").isNotNull())
-              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     frames = binary.mapInPandas(
         ssq_batches, "doc_id long, frame_id long, ssq long")
     act = frames.filter(F.col("ssq") >= _K18_TAU2)

@@ -251,3 +251,39 @@ def test_k18_plan_shape(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_k18_kernel_on_crafted_payloads(spark):
+    # the corpus may not exercise every boundary class — prove the
+    # kernel on a crafted frame: payload shorter than one frame
+    # (excluded), a single all-silent frame (excluded), a single active
+    # frame, active-silent-active alternation (two segments), multibyte
+    # text whose BYTE framing differs from its character count, and a
+    # payload whose tail bytes past the last full frame must be ignored
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+        _K18_TAU2,
+        audio_segments_frame,
+    )
+
+    rows = [
+        (1, "x" * 30),                       # < 64 bytes: no frame
+        (2, " " * 64),                       # one silent frame (32^2*64)
+        (3, "z" * 64),                       # one active frame (122^2*64)
+        (4, "z" * 64 + " " * 64 + "z" * 64),  # active,silent,active
+        (5, "é" * 64),                  # 128 BYTES -> 2 active frames
+        (6, "z" * 64 + " " * 40),            # 40 tail bytes ignored
+    ]
+    assert 32 * 32 * 64 < _K18_TAU2 <= 122 * 122 * 64  # classes as built
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
+                         r["longest_run"], r["first_active_frame"])
+           for r in audio_segments_frame(df).collect()}
+    assert got == {
+        3: (1, 1, 1, 0),
+        4: (2, 2, 1, 0),
+        5: (1, 2, 2, 0),
+        6: (1, 1, 1, 0),
+    }
