@@ -396,3 +396,26 @@ def test_i68_exact_duplicates_land_in_bucket_8(spark):
     got = {(r["da"], r["db"]): r["n_sig_match"] for r in pairs.collect()}
     assert got == {(1, 2): 8}
     assert counts[1] == counts[2]  # identical shingle sets -> J = 1.0
+
+
+def test_h26_variant_try_semantics(spark, sf_dir):
+    # the try-typed extraction contract, pinned per shape: the numeric
+    # shape types every k (n_k_typed = n), the string shape types NONE
+    # (its "id<k>" never casts to bigint) while the untyped extraction
+    # sees all of them, and the meta-less shape extracts nothing; and
+    # the whole path stays JVM-side map-side (no Python, no cartesian)
+    rows = {r["kind"]: r for r in STAGED["h26_variant_semistructured"][0](
+        spark, sf_dir).collect()}
+    assert set(rows) == {"click", "buy", "ping"}
+    click, buy, ping = rows["click"], rows["buy"], rows["ping"]
+    assert click["n_k_typed"] == click["n"] == click["n_k_any"]
+    assert buy["n_k_typed"] == 0 and buy["n_k_any"] == buy["n"]
+    assert buy["sum_k"] == 0
+    assert ping["n_k_typed"] == ping["n_k_any"] == 0
+    assert ping["sum_k"] == ping["sum_path1"] == 0
+    assert click["sum_path1"] > 0
+
+    fn, _ = STAGED["h26_variant_semistructured"]
+    plan = physical_plan(fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
