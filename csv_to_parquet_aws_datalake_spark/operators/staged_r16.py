@@ -846,3 +846,56 @@ def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("kb").alias("n_k_typed"),
         F.count("ks").alias("n_k_any"),
         F.coalesce(F.sum("p1"), F.lit(0)).alias("sum_path1"))
+
+
+# ---- h27: collated grouping (Spark 4 native string collations) -------------
+
+@_stage(
+    "h27_collated_grouping",
+    oracle="""
+        WITH src AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                        ELSE event_type END AS x
+            FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT min(x) AS k, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN x = upper(x) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ucase,
+               CAST(count(DISTINCT x) AS BIGINT) AS n_variants
+        FROM src GROUP BY lower(x)
+    """,
+)
+def h27_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's native string
+    COLLATIONS (ICU UTF8_LCASE — the type-level form of the
+    lower()-wrapping workaround every pre-collation pipeline carries):
+    a mixed-case domain (upper-cased on even event ids) groups under a
+    COLLATED key, and the census proves the merge — n_variants counts
+    the distinct BINARY spellings each collated group absorbed, n_ucase
+    how many rows arrived upper-cased.  The group representative is the
+    binary min of the RAW column (deterministic; the collated key
+    itself has no canonical spelling, which is exactly why it is
+    dropped from the output).
+
+    Domain contract: the constructed keys are ASCII-only (event types),
+    where ICU lowercase folding and the oracle's lower() agree
+    byte-for-byte; non-ASCII is deliberately out of scope — ICU FULL
+    case folding diverges from simple lower() (the classic eszett ->
+    'ss'), so a corpus-text collation would need an ICU-faithful
+    oracle, not a lower() mirror.
+
+    Scale shape: the collated groupBy is one hash aggregate with
+    map-side combine, identical exchange shape to a binary groupBy —
+    collation changes the comparator, not the plan."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isNotNull()))
+    src = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type")).alias("x"))
+    return (src.groupBy(F.expr("collate(x, 'UTF8_LCASE')").alias("xc"))
+            .agg(F.min("x").alias("k"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("x") == F.upper("x"), 1)
+                       .otherwise(0)).alias("n_ucase"),
+                 F.countDistinct("x").alias("n_variants"))
+            .select("k", "n", "n_ucase", "n_variants"))

@@ -419,3 +419,16 @@ def test_h26_variant_try_semantics(spark, sf_dir):
     plan = physical_plan(fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_h27_collation_actually_merges(spark, sf_dir):
+    # non-vacuity: every collated group must have absorbed BOTH binary
+    # spellings (the fixture's even/odd split guarantees each type has
+    # upper and lower rows), the representative is the uppercase binary
+    # min, and the upper-cased share is strictly inside (0, n)
+    rows = STAGED["h27_collated_grouping"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_variants"] == 2, r
+        assert r["k"] == r["k"].upper(), r
+        assert 0 < r["n_ucase"] < r["n"], r
