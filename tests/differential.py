@@ -117,11 +117,18 @@ def check_dtypes(spark_df, con, sql: str) -> None:
             f"duckdb={d_types[c]}({df_}) — driver hash will diverge"
 
 
-def compare(spark_df, con, sql: str) -> None:
-    """Raise AssertionError with a diff summary on any mismatch."""
+def compare(spark_df, con, sql: str, s_rows=None) -> None:
+    """Raise AssertionError with a diff summary on any mismatch.
+
+    ``s_rows`` lets a caller that already collected the DataFrame (to
+    memoize results for its mechanism pins — the r16 suite-time audit)
+    hand the rows in instead of paying a second full execution; dtype
+    and schema checks still run against the DataFrame itself."""
     check_dtypes(spark_df, con, sql)
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    if s_rows is None:
+        s_rows = spark_df.collect()
+    s_rows = [tuple(r) for r in s_rows]
     cur = con.execute(sql)
     d_cols = [c[0] for c in cur.description]
     d_rows = cur.fetchall()

@@ -27,13 +27,31 @@ def test_staged_r16_not_registered():
     assert not set(STAGED) & set(registry.QUERIES)
 
 
+#: (name, sf_dir) -> collected rows, populated by the oracle test so
+#: the mechanism-pin tests below reuse results instead of re-executing
+#: the full query (several staged rows are streaming drains — the r16
+#: suite-time audit found each pin paying a second drain for rows the
+#: oracle test had already collected and discarded).  Pins fall back
+#: to executing when the memo is cold (e.g. under -k selection).
+_ROWS_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _staged_rows(name: str, spark, sf_dir: str) -> list:
+    key = (name, sf_dir)
+    if key not in _ROWS_MEMO:
+        _ROWS_MEMO[key] = STAGED[name][0](spark, sf_dir).collect()
+    return _ROWS_MEMO[key]
+
+
 @pytest.mark.parametrize("name", sorted(STAGED))
 def test_staged_r16_matches_oracle(name, spark, oracle, sf_dir):
     fn, sql = STAGED[name]
     df = fn(spark, sf_dir)
     assert_no_antipatterns(name, df)
     assert sql is not None
-    compare(df, oracle, sql)
+    rows = df.collect()
+    _ROWS_MEMO[(name, sf_dir)] = rows
+    compare(df, oracle, sql, s_rows=rows)
 
 
 @pytest.mark.parametrize("name", sorted(STAGED))
@@ -99,7 +117,7 @@ def test_j12_reingest_guarantee(spark, sf_dir):
         _J12_REKEY,
     )
 
-    rows = STAGED["j12_stream_neardup_ingest"][0](spark, sf_dir).collect()
+    rows = _staged_rows("j12_stream_neardup_ingest", spark, sf_dir)
     hits = {(r["batch_doc"], r["corpus_doc"]): r["n_band_hits"]
             for r in rows}
     originals = [
@@ -178,7 +196,7 @@ def test_j13_outer_join_pins(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    rows = STAGED["j13_stream_outer_join"][0](spark, sf_dir).collect()
+    rows = _staged_rows("j13_stream_outer_join", spark, sf_dir)
     got = {(r["pid"], r["cid"]) for r in rows}
     assert all(pid >= 0 for pid, _ in got)
     unmatched = {pid for pid, cid in got if cid is None}
@@ -212,8 +230,8 @@ def test_k18_matches_pure_python_segments(spark, sf_dir):
 
     got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
                          r["longest_run"], r["first_active_frame"])
-           for r in STAGED["k18_audio_silence_segments"][0](
-               spark, sf_dir).collect()}
+           for r in _staged_rows("k18_audio_silence_segments",
+                                 spark, sf_dir)}
 
     want = {}
     for r in (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -361,8 +379,8 @@ def test_i68_calibration_invariants(spark, sf_dir):
     # the lowest populated bucket.  (The corpus carries no byte-exact
     # text duplicates at the test SFs — probed — so the exact-dup
     # jacc = 1.0 identity is pinned on a crafted frame instead.)
-    rows = {r["n_sig_match"]: r for r in STAGED["i68_lsh_calibration"][0](
-        spark, sf_dir).collect()}
+    rows = {r["n_sig_match"]: r
+            for r in _staged_rows("i68_lsh_calibration", spark, sf_dir)}
     assert rows and all(2 <= b <= 8 for b in rows)
     assert 8 in rows
     lo = min(rows)
@@ -404,8 +422,9 @@ def test_h26_variant_try_semantics(spark, sf_dir):
     # (its "id<k>" never casts to bigint) while the untyped extraction
     # sees all of them, and the meta-less shape extracts nothing; and
     # the whole path stays JVM-side map-side (no Python, no cartesian)
-    rows = {r["kind"]: r for r in STAGED["h26_variant_semistructured"][0](
-        spark, sf_dir).collect()}
+    rows = {r["kind"]: r
+            for r in _staged_rows("h26_variant_semistructured",
+                                  spark, sf_dir)}
     assert set(rows) == {"click", "buy", "ping"}
     click, buy, ping = rows["click"], rows["buy"], rows["ping"]
     assert click["n_k_typed"] == click["n"] == click["n_k_any"]
@@ -426,7 +445,7 @@ def test_h27_collation_actually_merges(spark, sf_dir):
     # spellings (the fixture's even/odd split guarantees each type has
     # upper and lower rows), the representative is the uppercase binary
     # min, and the upper-cased share is strictly inside (0, n)
-    rows = STAGED["h27_collated_grouping"][0](spark, sf_dir).collect()
+    rows = _staged_rows("h27_collated_grouping", spark, sf_dir)
     assert rows
     for r in rows:
         assert r["n_variants"] == 2, r
@@ -446,7 +465,7 @@ def test_j14_state_metadata_pins(spark, sf_dir):
         scratch_dir,
     )
 
-    STAGED["j14_state_store_inspection"][0](spark, sf_dir)  # builds ckpt
+    _staged_rows("j14_state_store_inspection", spark, sf_dir)  # ckpt built
     ck = scratch_dir("j14", sf_dir) + "/ckpt"
     meta = spark.read.format("state-metadata").load(ck).collect()
     assert len(meta) == 1
