@@ -386,18 +386,28 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src)
         real = ev.select(*cols)
-        max_ts = real.agg(F.max("ts")).collect()[0][0]
-        sentinel = (spark.createDataFrame(
-            [(-1, -1, "purchase"), (-2, -1, "click")],
-            "event_id long, user_id long, event_type string")
-            .withColumn("ts", F.lit(max_ts)
-                        + F.expr(f"INTERVAL {_J13_SENTINEL_DAYS} DAYS"))
-            .select(*cols))
+        # sentinel rows derived frame-side from the max-ts aggregate —
+        # no driver collect() (the j11 fixture convention), one row per
+        # side so BOTH watermarks advance
+        sentinel = (real.agg(F.max("ts").alias("mt"))
+                    .select(F.explode(F.array(
+                        F.lit("purchase"), F.lit("click"))).alias("event_type"),
+                        F.col("mt"))
+                    .select(
+                        F.when(F.col("event_type") == "purchase", -1)
+                        .otherwise(-2).cast("long").alias("event_id"),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        "event_type",
+                        (F.col("mt") + F.expr(
+                            f"INTERVAL {_J13_SENTINEL_DAYS} DAYS")).alias("ts"))
+                    .select(*cols))
         for i, df in enumerate([real, sentinel]):
             d = os.path.join(src, f"f{i:02d}")
             df.coalesce(1).write.mode("overwrite").parquet(d)
-            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-            os.rename(part, expected[i])
+            parts = glob.glob(os.path.join(d, "part-*.parquet"))
+            if not parts:
+                raise RuntimeError(f"j13 fixture file {i} wrote no part")
+            os.rename(parts[0], expected[i])
             shutil.rmtree(d)
 
     from ..streaming.queries import _run_to_memory
@@ -557,10 +567,13 @@ def _c18_bit_pos(col: str, seed: str):
     """md5-derived bit position in [0, 2^16): first 4 hex digits of
     md5('<seed>|<key>') — the family's deterministic-hash idiom
     (i36/_bucket256), exact on any engine, no seed state."""
+    # 4 hex digits span [0, 2^16) exactly — _C18_BITS by construction,
+    # so no modulo is needed (changing the geometry means changing the
+    # substring length with it)
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(seed + "|"),
                                    F.col(col).cast("string"))), 1, 4),
-        16, 10).cast("long") % F.lit(_C18_BITS)
+        16, 10).cast("long")
 
 
 @_stage(

@@ -333,8 +333,10 @@ def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, df in enumerate(files):
             d = os.path.join(src, f"f{i:02d}")
             df.coalesce(1).write.mode("overwrite").parquet(d)
-            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-            os.rename(part, expected[i])
+            parts = glob.glob(os.path.join(d, "part-*.parquet"))
+            if not parts:
+                raise RuntimeError(f"j11 fixture file {i} wrote no part")
+            os.rename(parts[0], expected[i])
             shutil.rmtree(d)
 
     stream = (spark.readStream.schema("key long, ts timestamp")
