@@ -371,10 +371,6 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel costs one row per side per drain; on a real cluster the
     same row is a scheduled heartbeat topic, the standard way to close
     windows over quiet partitions."""
-    import glob
-
-    from ..sources.io_paths import schedule_tag
-
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("ts").isNotNull()))
     cols = ["event_id", "user_id", "event_type", "ts"]

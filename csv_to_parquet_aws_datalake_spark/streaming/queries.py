@@ -241,6 +241,18 @@ def _j11_ts(minutes: int) -> str:
             f" + INTERVAL {minutes} MINUTES")
 
 
+def j11_fixture_dir(sf_dir: str) -> str:
+    """The j11 arrival fixture's scratch directory — shared with the
+    fixture-order test so the schedule-tag inputs cannot drift apart
+    (fixture identity tracks the schedule constants; ADVICE r15)."""
+    from ..sources.io_paths import schedule_tag
+    return scratch_dir(
+        "j11", sf_dir,
+        "ttl_arrivals_" + schedule_tag(
+            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
+            (3, 1, 2)))
+
+
 @query(
     "j11_stream_dedup_ttl",
     oracle=f"""
@@ -292,15 +304,8 @@ def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     from ..loader import load_table
-    from ..sources.io_paths import schedule_tag
     ev = load_table(spark, sf_dir, "events")
-    # fixture identity tracks the arrival-schedule constants (ADVICE
-    # r15): editing any of them regenerates instead of replaying stale
-    src = scratch_dir(
-        "j11", sf_dir,
-        "ttl_arrivals_" + schedule_tag(
-            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
-            (3, 1, 2)))
+    src = j11_fixture_dir(sf_dir)
     n_files = 5
     expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(n_files)]
     if not all(os.path.exists(p) for p in expected):

@@ -43,23 +43,12 @@ def test_j11_fixture_is_five_ordered_files(spark, sf_dir):
     # agreeing — or "eviction before burst 1" is no longer guaranteed
     import os
 
-    from csv_to_parquet_aws_datalake_spark.sources.io_paths import (
-        schedule_tag,
-        scratch_dir,
-    )
     from csv_to_parquet_aws_datalake_spark.streaming.queries import (
-        _J11_BURST1_MIN,
-        _J11_ECHO_MIN,
-        _J11_FILLERS,
-        _J11_T0,
+        j11_fixture_dir,
     )
 
     registry.QUERIES["j11_stream_dedup_ttl"](spark, sf_dir)  # builds it
-    src = scratch_dir(
-        "j11", sf_dir,
-        "ttl_arrivals_" + schedule_tag(
-            _J11_T0, _J11_ECHO_MIN, _J11_FILLERS, _J11_BURST1_MIN,
-            (3, 1, 2)))
+    src = j11_fixture_dir(sf_dir)
     names = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
     assert names == [f"{i:02d}.parquet" for i in range(5)]
     mtimes = [os.stat(os.path.join(src, f)).st_mtime_ns for f in names]

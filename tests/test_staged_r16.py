@@ -334,7 +334,7 @@ def test_c18_bloom_reduces_without_false_negatives(spark, sf_dir):
         out = []
         for seed in _C18_SEEDS:
             h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
-            out.append(int(h[:4], 16) % (1 << 16))
+            out.append(int(h[:4], 16))  # 4 hex digits span [0, 2^16)
         return out
 
     bitmap = set()

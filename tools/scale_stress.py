@@ -327,9 +327,20 @@ def kernels():
         gopher_rule_breakdown, minhash_band_pairs, quality_classifier_scores,
         span_dedup_spans, tfidf_top_terms, token_tf_df,
     )
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+        audio_segments_frame,
+    )
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
         global_row_number,
     )
+
+    def audio_segments(d):
+        # the staged k18 kernel (slated r20): byte framing + integer
+        # threshold + per-doc islands; token-prefixed replicas grow
+        # total bytes ~K-fold and the islands window partitions by
+        # doc_id, so per-task work is bounded by doc length
+        return audio_segments_frame(
+            d.select("doc_id", F.encode("text", "utf-8").alias("payload")))
 
     def rank_all(d):
         # the r7 distributed global ranking (e04/e05/i40/i44 core): a
@@ -371,7 +382,8 @@ def kernels():
             "span[i48-kernel]": span_dedup_spans,
             "rank[grn-kernel]": rank_all,
             "quality-rules[i56-kernel]": rules_i56,
-            "quality-model[i65-kernel]": quality_classifier_scores}
+            "quality-model[i65-kernel]": quality_classifier_scores,
+            "audio-segments[k18-kernel]": audio_segments}
 
 
 def _semdedup_bits(k: int) -> int:
