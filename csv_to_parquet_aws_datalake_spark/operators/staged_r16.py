@@ -180,7 +180,7 @@ def j12_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys statelessly, inner-joins the static bands, and counts
     band hits per (batch_doc, corpus_doc) as a complete-mode streaming
     aggregation drained through availableNow in 2 micro-batches
-    (doc-parity file split, maxFilesPerTrigger=1 — the count state
+    (row-number-parity file split, maxFilesPerTrigger=1 — the count state
     accumulates across batches, proving the aggregation is genuinely
     streaming, and complete mode makes the final table chunk-invariant).
 
@@ -327,6 +327,13 @@ def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the sentinel pair can only match each other (filtered post-drain).
 _J13_SENTINEL_DAYS = 30
 
+#: sf_dir -> the PRE-filter drained memory table from the latest j13
+#: drain, kept so the sentinel pin can prove the post-drain filter
+#: removed EXACTLY the (-1, -2) self-match — asserting on the filtered
+#: output alone is vacuous (ADVICE r16).  Output is deterministic, so
+#: any drain's table is representative.
+_J13_PRE_FILTER: dict[str, DataFrame] = {}
+
 
 @_stage(
     "j13_stream_outer_join",
@@ -428,6 +435,7 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("pts") + F.expr("INTERVAL 10 MINUTES")),
         "left_outer").select("pid", "cid")
     out = _run_to_memory(joined, "j13", "append", state_partitions=8)
+    _J13_PRE_FILTER[sf_dir] = out
     # post-drain batch filter over the memory sink (see docstring)
     return out.filter(F.col("pid") >= 0)
 

@@ -26,9 +26,21 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: names whose fn() DRAINS a Structured Streaming query and returns the
+#: sink as a batch frame.  Consumers that must not pre-execute a drain
+#: (the exchange-budget sweep) key their skip on THIS set, not on the
+#: "j" name prefix — a naming-convention proxy would silently exempt a
+#: future non-streaming query that happens to start with "j" (ADVICE
+#: r16), and would miss a streaming query homed in another family.
+STREAMING: set[str] = set()
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None."""
+
+def query(name: str, oracle: str | None = None,
+          streaming: bool = False) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is DuckDB SQL or None.
+
+    ``streaming=True`` marks fn as a stream-drain (see :data:`STREAMING`).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -36,6 +48,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if streaming:
+            STREAMING.add(name)
         return fn
 
     return deco

@@ -111,6 +111,7 @@ def _run_to_memory(agg: DataFrame, name: str, mode: str,
                count(*) AS n, round(sum(value), 2) AS sv
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
+    streaming=True,
 )
 def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-timestamped events cannot enter an event-time window — Spark's
@@ -137,6 +138,7 @@ def j01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
+    streaming=True,
 )
 def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-hour window sliding every 15 min: each event lands in 4 windows;
@@ -172,6 +174,7 @@ def j02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_events
         FROM sessions GROUP BY user_id, sess
     """,
+    streaming=True,
 )
 def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap).  session_window's end is
@@ -209,6 +212,7 @@ def j03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j04_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
+    streaming=True,
 )
 def j04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming dedup with state eviction bounded by the watermark; a single
@@ -268,6 +272,7 @@ def j11_fixture_dir(sf_dir: str) -> str:
                        for k, m in _J11_FILLERS)}
         ) f(key, ts)
     """,
+    streaming=True,
 )
 def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with a TTL: ``dropDuplicatesWithinWatermark``
@@ -353,7 +358,7 @@ def j11_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                           no_data_batch=False)
 
 
-@query("j05_stream_late_drop")  # batch-boundary-dependent -> rows-only (§7.3/7)
+@query("j05_stream_late_drop", streaming=True)  # batch-boundary-dependent -> rows-only (§7.3/7)
 def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-row dropping, observable only across micro-batches:
     events are replayed as 4 arrival-ordered files (≈5% shifted to arrive
@@ -422,6 +427,7 @@ def j05_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE
                       AND p.ts + INTERVAL 10 MINUTE
     """,
+    streaming=True,
 )
 def j08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases joined to clicks of the same
@@ -463,6 +469,7 @@ def j08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j07_stateful_custom",
     oracle="SELECT user_id, count(*) AS n FROM events GROUP BY 1",
+    streaming=True,
 )
 def j07_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
@@ -506,6 +513,7 @@ def j07_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type IN ('click', 'purchase')
         GROUP BY 1
     """,
+    streaming=True,
 )
 def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end stream -> parquet files + checkpoint (exactly-once file
@@ -538,6 +546,7 @@ def j06_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
         FROM events GROUP BY 1
     """,
+    streaming=True,
 )
 def j09_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch — the production sink escape hatch: each micro-batch
@@ -575,6 +584,7 @@ def j09_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1
     """,
+    streaming=True,
 )
 def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich a stream with a batch dimension (the

@@ -308,7 +308,15 @@ def test_registry_exchange_budget(spark, monkeypatch):
 
     budget = plan_audit.load_budget()
     assert budget, "tools/plan_budget.json missing — run plan_audit.py --write-budget"
-    results = plan_audit.sweep(spark, "/root/testdata/sf0.001")
+    # changed-family gating (SURVEY §7.15 / r16 suite-time levers): only
+    # queries whose module import-closure changed since the last GREEN
+    # sweep are re-swept; a shared-input change (session/loader/sources/
+    # budgets/testdata layout) re-sweeps everything.  A new query's module
+    # necessarily changed, so the unbudgeted gate still catches it.
+    names, new_state = plan_audit.changed_subset("/root/testdata/sf0.001")
+    if names is not None and not names:
+        return  # nothing changed since the last green sweep
+    results = plan_audit.sweep(spark, "/root/testdata/sf0.001", names=names)
 
     over, unbudgeted = [], []
     for name, counts in results.items():
@@ -326,6 +334,7 @@ def test_registry_exchange_budget(spark, monkeypatch):
     assert not unbudgeted, (
         "new queries need budgets (plan_audit.py --write-budget): "
         + ", ".join(unbudgeted))
+    plan_audit.record_green_sweep(new_state)  # only after a green sweep
 
 
 def test_global_window_linter_detects_and_clears(spark, sf_dir):

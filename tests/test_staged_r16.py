@@ -198,7 +198,24 @@ def test_j13_outer_join_pins(spark, sf_dir):
 
     rows = _staged_rows("j13_stream_outer_join", spark, sf_dir)
     got = {(r["pid"], r["cid"]) for r in rows}
-    assert all(pid >= 0 for pid, _ in got)
+    # sentinel pin UPSTREAM of the post-drain filter (asserting pid >= 0
+    # on the filtered output is vacuous — ADVICE r16): the pre-filter
+    # drained table must contain the (-1, -2) sentinel self-match, no
+    # OTHER negative row on either column, and dropping that one pair
+    # must yield exactly the registered output — proving the filter
+    # removed the sentinel pair and nothing else
+    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+        _J13_PRE_FILTER,
+    )
+    if sf_dir not in _J13_PRE_FILTER:  # memo warm but drain table cold
+        _ROWS_MEMO[("j13_stream_outer_join", sf_dir)] = (
+            STAGED["j13_stream_outer_join"][0](spark, sf_dir).collect())
+        got = {(r["pid"], r["cid"])
+               for r in _ROWS_MEMO[("j13_stream_outer_join", sf_dir)]}
+    pre = {(r["pid"], r["cid"]) for r in _J13_PRE_FILTER[sf_dir].collect()}
+    assert {(p, c) for p, c in pre if p < 0} == {(-1, -2)}
+    assert not any(c is not None and c < 0 for p, c in pre if p >= 0)
+    assert {(p, c) for p, c in pre if p >= 0} == got
     unmatched = {pid for pid, cid in got if cid is None}
     assert unmatched
 

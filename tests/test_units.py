@@ -1164,3 +1164,68 @@ def test_dsir_weight_guard_fires_past_bigint_headroom(spark):
     # rall), so the OR's second arm is the one that fires
     with pytest.raises(SparkRuntimeException, match="log-ratio"):
         wb([(0, big // 2, 0, 100, big // 2)])
+
+
+def test_streaming_marker_is_explicit_and_complete():
+    # ADVICE r16: the budget sweep's streaming skip keys on
+    # registry.STREAMING, not the "j" name prefix.  Pin the marker's
+    # integrity: every marked name is registered, and (today's layout)
+    # the marked set is exactly the stream-drain registrations homed in
+    # streaming/queries.py plus any stream-drain registered elsewhere —
+    # so a j-named BATCH query would not silently bypass the gate, and
+    # an unmarked stream-drain fails here instead of drain-sweeping.
+    from csv_to_parquet_aws_datalake_spark import registry
+
+    registry.load_all()
+    assert registry.STREAMING <= set(registry.QUERIES)
+    drains = {n for n, fn in registry.QUERIES.items()
+              if fn.__module__.endswith("streaming.queries")}
+    assert registry.STREAMING == drains and drains
+
+
+def test_changed_family_gate_mechanics(monkeypatch, tmp_path):
+    # the in-suite sweep's changed-family gate (SURVEY §7.15 item 4):
+    # (1) the import closure follows cross-module kernel reuse
+    # (llm_vectors pulls BM25 from llm_text at call time, so an
+    # llm_text edit must re-sweep i67); (2) after a recorded green
+    # sweep an unchanged tree selects NOTHING; (3) a module-hash drift
+    # selects exactly that module's batch queries; (4) a shared-input
+    # (global) drift re-sweeps everything.
+    import json
+    import sys
+
+    monkeypatch.syspath_prepend("/root/repo/tools")
+    import plan_audit
+
+    pkg = "csv_to_parquet_aws_datalake_spark"
+    closure = plan_audit._import_closure(f"{pkg}.operators.llm_vectors")
+    assert f"{pkg}.operators.llm_text" in closure
+    assert f"{pkg}.functions.vector" in closure
+
+    state_path = str(tmp_path / "state.json")
+    monkeypatch.setattr(plan_audit, "STATE_PATH", state_path)
+    sf = "/root/testdata/sf0.001"
+
+    names, new_state = plan_audit.changed_subset(sf)
+    assert names is None  # no state recorded yet -> sweep everything
+    plan_audit.record_green_sweep(new_state)
+
+    names, _ = plan_audit.changed_subset(sf)
+    assert names == set()  # unchanged tree -> nothing to re-sweep
+
+    with open(state_path) as fh:
+        tampered = json.load(fh)
+    tampered["modules"][f"{pkg}.operators.joins"] = "drift"
+    with open(state_path, "w") as fh:
+        json.dump(tampered, fh)
+    names, _ = plan_audit.changed_subset(sf)
+    from csv_to_parquet_aws_datalake_spark import registry
+    assert names == {n for n, fn in registry.QUERIES.items()
+                     if fn.__module__ == f"{pkg}.operators.joins"}
+    assert names
+
+    tampered["global"] = "drift"
+    with open(state_path, "w") as fh:
+        json.dump(tampered, fh)
+    names, _ = plan_audit.changed_subset(sf)
+    assert names is None

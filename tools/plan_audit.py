@@ -64,11 +64,13 @@ def count_smells(plan: str) -> dict:
     }
 
 
-def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",)) -> dict:
+def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",),
+          names: set[str] | None = None) -> dict:
     """Build every matching registry query's physical plan and count smells.
 
     Returns {name: counts-dict}; queries whose plan cannot be pre-executed
-    here (streaming) are omitted.
+    here (streaming) are omitted.  ``names`` (if given) restricts the sweep
+    to that subset — the changed-family gate's hook.
     """
     from csv_to_parquet_aws_datalake_spark import registry
 
@@ -77,13 +79,16 @@ def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",)) -> dict:
     for name, fn in sorted(registry.QUERIES.items()):
         if not name.startswith(prefixes):
             continue
-        if name.startswith("j"):
-            # streaming rows: fn() DRAINS a real stream and returns a
-            # memory-table (or re-read parquet) frame, so the "plan"
-            # this sweep would budget is a vacuous table scan bought at
-            # the price of a full drain per sweep (r16 suite-time
-            # audit).  Their real scale contracts are gated by the
-            # j-family tests (state partitioning, no-data-batch,
+        if names is not None and name not in names:
+            continue
+        if name in registry.STREAMING:
+            # streaming rows (the registry's explicit marker, not the
+            # "j" name prefix — ADVICE r16): fn() DRAINS a real stream
+            # and returns a memory-table (or re-read parquet) frame, so
+            # the "plan" this sweep would budget is a vacuous table
+            # scan bought at the price of a full drain per sweep (r16
+            # suite-time audit).  Their real scale contracts are gated
+            # by the j-family tests (state partitioning, no-data-batch,
             # per-query pins), not by an exchange count.
             out[name] = {"skipped": "streaming-drain"}
             continue
@@ -94,6 +99,146 @@ def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",)) -> dict:
             continue
         out[name] = count_smells(plan)
     return out
+
+
+# ---- changed-family gating of the in-suite sweep (SURVEY §7.15 item 4) ----
+#
+# The full sweep builds ~200 physical plans and executes write-query fixture
+# setups — 26-37 s of every pytest run even when no operator changed.  The
+# honest trim (the sf0.001 re-point was probed and REJECTED in r16): sweep
+# only queries whose defining module — or anything in that module's
+# package-internal import closure — changed since the last GREEN sweep, and
+# everything whenever a shared input (session confs, loader, sources,
+# budgets, this tool, the sf0.001 data layout) changed.  State lives in
+# tools/plan_sweep_state.json, written ONLY after a green sweep, so a red or
+# interrupted run always re-sweeps.
+
+STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "plan_sweep_state.json")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = os.path.join(_REPO, "csv_to_parquet_aws_datalake_spark")
+
+
+def _sha_file(path: str) -> str:
+    import hashlib
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def _resolve_rel_import(mod_name: str, dots: str, target: str) -> str | None:
+    """Module name for ``from <dots><target> import ...`` seen in mod_name."""
+    parts = mod_name.split(".")
+    base = parts[:-len(dots)] if len(dots) <= len(parts) else []
+    full = ".".join(base + ([target] if target else []))
+    return full or None
+
+
+def _module_file(mod_name: str) -> str | None:
+    rel = mod_name.split(".")[1:]  # drop the package root
+    cand = os.path.join(_PKG, *rel) + ".py"
+    if os.path.exists(cand):
+        return cand
+    cand = os.path.join(_PKG, *rel, "__init__.py")
+    return cand if os.path.exists(cand) else None
+
+
+def _import_closure(mod_name: str) -> set[str]:
+    """mod_name plus every package-internal module it (transitively)
+    imports, found by scanning source for relative-import statements —
+    cross-family kernel reuse (llm_vectors -> llm_text's BM25, operators ->
+    functions.scalar) must invalidate the importer when the imported file
+    changes."""
+    import re
+    seen: set[str] = set()
+    todo = [mod_name]
+    while todo:
+        m = todo.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        path = _module_file(m)
+        if path is None:
+            continue
+        with open(path) as fh:
+            src = fh.read()
+        for dots, target in re.findall(
+                r"^\s*from\s+(\.+)([\w.]*)\s+import", src, re.M):
+            nxt = _resolve_rel_import(m, dots, target)
+            if nxt and nxt.startswith("csv_to_parquet_aws_datalake_spark"):
+                todo.append(nxt)
+    return {m for m in seen if _module_file(m)}
+
+
+def _fingerprints(sf_dir: str) -> dict:
+    """{"global": sha, "modules": {module: closure-sha}} for the gate."""
+    import glob as _glob
+    import hashlib
+
+    from csv_to_parquet_aws_datalake_spark import registry
+
+    registry.load_all()
+    shared = sorted(
+        [os.path.join(_PKG, "registry.py"),
+         os.path.join(_PKG, "session.py"),
+         os.path.join(_PKG, "loader.py"),
+         os.path.abspath(__file__).rstrip("c"),
+         BUDGET_PATH,
+         os.path.join(_REPO, "tests", "conftest.py")]
+        + _glob.glob(os.path.join(_PKG, "sources", "*.py")))
+    g = hashlib.sha256()
+    for p in shared:
+        if os.path.exists(p):
+            g.update(p.encode() + b"\0" + _sha_file(p).encode())
+    # the sf layout: budgets were written at sf0.001 and the INITIAL
+    # adaptive plan's join strategies depend on scan-size estimates, so a
+    # regenerated testdata tree must re-sweep everything
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        g.update(f"{os.path.basename(p)}:{os.path.getsize(p)}".encode())
+
+    file_sha: dict[str, str] = {}
+    mods: dict[str, str] = {}
+    for name, fn in registry.QUERIES.items():
+        if name in registry.STREAMING:
+            continue
+        m = fn.__module__
+        if m in mods:
+            continue
+        h = hashlib.sha256()
+        for dep in sorted(_import_closure(m)):
+            p = _module_file(dep)
+            if p not in file_sha:
+                file_sha[p] = _sha_file(p)
+            h.update(dep.encode() + b"\0" + file_sha[p].encode())
+        mods[m] = h.hexdigest()
+    return {"global": g.hexdigest(), "modules": mods}
+
+
+def changed_subset(sf_dir: str) -> tuple[set[str] | None, dict]:
+    """(names whose module closure changed since the last green sweep —
+    None means sweep everything, empty set means nothing changed), plus
+    the new state to record after a green sweep."""
+    from csv_to_parquet_aws_datalake_spark import registry
+
+    new_state = _fingerprints(sf_dir)
+    try:
+        with open(STATE_PATH) as fh:
+            old = json.load(fh)
+    except (OSError, ValueError):
+        return None, new_state
+    if old.get("global") != new_state["global"]:
+        return None, new_state
+    old_mods = old.get("modules", {})
+    changed = {m for m, h in new_state["modules"].items()
+               if old_mods.get(m) != h}
+    names = {n for n, fn in registry.QUERIES.items()
+             if n not in registry.STREAMING and fn.__module__ in changed}
+    return names, new_state
+
+
+def record_green_sweep(new_state: dict) -> None:
+    with open(STATE_PATH, "w") as fh:
+        json.dump(new_state, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 def load_budget() -> dict[str, int]:
