@@ -1120,6 +1120,46 @@ _RRF_TOPN = 20
 _RRF_SCALE = 1_000_000
 
 
+#: the i67 rank construction, exported piecewise so the tie-at-the-cut
+#: pin (tests/test_units.py) can drive the EXACT operators on a crafted
+#: frame — the fusion formula has a pure-Python reference in
+#: tests/test_r16_queries.py, but rank construction (rounded-score
+#: ties, doc_id tie-breaks, the top-N cut) shares rank-then-sum
+#: arithmetic with the oracle (§5's both-engines-wrong class), so it
+#: gets its own from-scratch recomputation on deliberate boundary ties.
+def rrf_topn_branch(scored: DataFrame, qid, topn: int) -> DataFrame:
+    """One probe's capped candidate branch: top-``topn`` of
+    ``(query_id, doc_id, score)`` by (score DESC, doc_id) — ties at the
+    cut keep the LOWEST doc_ids (TakeOrderedAndProject, never a full
+    sort)."""
+    return (scored.filter(F.col("query_id") == qid)
+            .select("query_id", "doc_id", "score")
+            .orderBy(F.desc("score"), "doc_id").limit(topn))
+
+
+def rrf_ranked(branches: list[DataFrame]) -> DataFrame:
+    """Union one ranker's capped branches and rank per probe — the
+    window runs only over the capped union (<= |probes| x N rows), so
+    its partitioning is irrelevant to scale."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    side = reduce(DataFrame.unionByName, branches)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (side.withColumn("rnk", F.row_number().over(w))
+            .select("query_id", "doc_id", "rnk"))
+
+
+def rrf_fuse(ranked_union: DataFrame) -> DataFrame:
+    """Sum ``SCALE div (K + rank)`` per (query_id, doc_id) — integer
+    divisions of non-negative operands, exact on both engines."""
+    return (ranked_union.groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_rankers"),
+                 F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
+                 .alias("rrf_e6")))
+
+
 def _i67_oracle() -> str:
     from .llm_text import _BM25_SCORED_CTES_SQL
     return f"""
@@ -1188,41 +1228,25 @@ def i67_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 2 x probes x N rows.  The BM25 scored frame is pinned once and
     feeds all three probe branches (the i64 localCheckpoint contract);
     each query vector is a broadcast 1-row attach (the i05 shape)."""
-    from functools import reduce
-
-    from pyspark.sql.window import Window
-
     from .llm_text import bm25_query_scores
 
     emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
 
-    scored = bm25_query_scores(spark, sf_dir).localCheckpoint()
-    bm_branches = [
-        scored.filter(F.col("query_id") == qid)
-        .select("query_id", "doc_id", F.col("bm25").alias("score"))
-        .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
-        for qid, _ in _rrf_probes()
-    ]
+    scored = (bm25_query_scores(spark, sf_dir)
+              .withColumnRenamed("bm25", "score").localCheckpoint())
+    bm_branches = [rrf_topn_branch(scored, qid, _RRF_TOPN)
+                   for qid, _ in _rrf_probes()]
     cos_branches = []
     for qid, vec in _rrf_probes():
         qv = (emb.filter(F.col("vec_id") == vec)
               .select(F.col("embedding").alias("qv")))
-        cos_branches.append(
+        cos_scored = (
             emb.crossJoin(F.broadcast(qv))
             .filter(F.col("vec_id") != vec)
             .select(F.lit(qid).alias("query_id"),
                     F.col("vec_id").alias("doc_id"),
-                    F.round(cosine("embedding", "qv"), 6).alias("score"))
-            .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN))
+                    F.round(cosine("embedding", "qv"), 6).alias("score")))
+        cos_branches.append(rrf_topn_branch(cos_scored, qid, _RRF_TOPN))
 
-    def ranked(branches: list[DataFrame]) -> DataFrame:
-        side = reduce(DataFrame.unionByName, branches)
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-        return (side.withColumn("rnk", F.row_number().over(w))
-                .select("query_id", "doc_id", "rnk"))
-
-    fused = ranked(bm_branches).unionByName(ranked(cos_branches))
-    return (fused.groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("n_rankers"),
-                 F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
-                 .alias("rrf_e6")))
+    return rrf_fuse(
+        rrf_ranked(bm_branches).unionByName(rrf_ranked(cos_branches)))

@@ -12,15 +12,11 @@ tests/test_r16_queries.py) and PULLED i67 FORWARD (the r15 k17/i66
 precedent; moved to its family home in llm_vectors.py, reference and
 plan pins graduated to tests/test_r16_queries.py), then staged two new
 candidates so every remaining round keeps one named move.  REVISED
-ledger: j12 -> r17, a19 -> r18, j13 -> r19, k18 -> r20.
+ledger: j12 -> r17, a19 -> r18, j13 -> r19, k18 -> r20.  Round 17
+executed j12 ON schedule (moved to its family home in
+streaming/queries.py; signature-equality and reingest pins graduated
+to tests/test_r17_queries.py).
 
-- j12 streaming near-dup ingest check — REGISTERS r17: an incoming
-  document batch streamed against the static corpus's MinHash LSH
-  bands (dedup-on-ingest, the pattern that keeps an ingestion
-  pipeline from re-admitting near-copies) — the registry's first
-  streaming x LSH composition, with the i34 signature contract
-  restated as map-side per-row expressions so no streaming
-  aggregation is needed before the band join.
 - a19 XML roundtrip — REGISTERS r18: the a-family's remaining source
   format (Spark 4 ships XML natively; CSV/JSON/ORC/text/gzip/
   jsonlines/glob/catalog/Python-datasource are all registered), with
@@ -82,182 +78,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# ---- j12: streaming near-dup ingest check (stream-vs-corpus LSH) ----------
-
-#: per-ROW MinHash signature expressions — the i34 slot contract
-#: (slot k = min over distinct shingles of hex digits [8*(k%4)+1, +8)
-#: of md5(seed(k//4) || shingle)) restated as map-side higher-order
-#: functions: a STREAM cannot run i34's shingle-explode + groupBy-min
-#: (a per-doc streaming aggregation would need watermark state), but
-#: min-over-a-row's-own-shingles needs no aggregation at all —
-#: array_min(transform(...)) is stateless, so the signature computes
-#: inside any micro-batch.  Equality with the registered kernel's
-#: groupBy formulation is pinned in tests.
-_ROW_SHINGLES = ("array_distinct(transform(sequence(1, size(t) - 2),"
-                 " i -> concat_ws(' ', slice(t, i, 3))))")
-
-
-def _row_sig_cols() -> list[str]:
-    return [
-        f"array_min(transform(shd, sh -> substring(md5(concat('{k // 4}|',"
-        f" sh)), {(k % 4) * 8 + 1}, 8))) AS s{k}"
-        for k in range(8)
-    ]
-
-
-#: re-keying offset for the simulated re-crawl batch: src19 documents
-#: re-submitted under new ids, so every batch doc is GUARANTEED to
-#: collide with its corpus original (identical text -> identical
-#: shingles -> identical bands, the minhash_band_pairs no-false-negative
-#: guarantee) — the output is non-empty at every SF by construction,
-#: plus whatever genuine near-dups banding surfaces.  1 << 40 is the
-#: repo's shard_offset convention (every other id-amplification path
-#: offsets by rep * 2^40), far above any real doc_id space — a small
-#: additive constant could collide batch ids with genuine corpus ids
-#: at larger scale factors (ADVICE r15).
-_J12_REKEY = 1 << 40
-
-
-def _j12_oracle() -> str:
-    mins = ",\n                   ".join(
-        f"min(substr(h{k // 4}, {(k % 4) * 8 + 1}, 8)) AS s{k}"
-        for k in range(8))
-    bands = "\n            UNION ALL ".join(
-        f"SELECT doc_id, source, {j} AS b, md5(s{2*j} || s{2*j+1}) AS bk"
-        f" FROM sig" for j in range(4))
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, source, string_split(text, ' ') AS t
-            FROM documents
-            WHERE text IS NOT NULL
-              AND len(string_split(text, ' ')) >= 3
-        ), sh AS (
-            SELECT DISTINCT doc_id, source,
-                   unnest(list_transform(range(1, len(t) - 1),
-                          i -> array_to_string(t[i:i+2], ' '))) AS sh
-            FROM toks
-        ), hashed AS (
-            SELECT doc_id, source, md5('0|' || sh) AS h0,
-                   md5('1|' || sh) AS h1
-            FROM sh
-        ), sig AS (
-            SELECT doc_id, source,
-                   {mins}
-            FROM hashed GROUP BY 1, 2
-        ), bands AS (
-            {bands}
-        )
-        SELECT n.doc_id + {_J12_REKEY} AS batch_doc,
-               c.doc_id AS corpus_doc,
-               CAST(count(*) AS BIGINT) AS n_band_hits
-        FROM bands n JOIN bands c ON n.b = c.b AND n.bk = c.bk
-        WHERE n.source = 'src19'
-        GROUP BY 1, 2
-    """
-
-
-@_stage("j12_stream_neardup_ingest", oracle=_j12_oracle())
-def j12_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-on-ingest: a STREAMED batch of re-crawled documents (the
-    i35 convention's src19 slice, re-submitted under new ids — the
-    `_J12_REKEY` offset) is checked for near-duplicates against the
-    static corpus via MinHash LSH banding — the production pattern that
-    keeps an ingestion pipeline from re-admitting near-copies of what
-    the corpus already holds, and the registry's first streaming x LSH
-    composition (j04/j11 dedup exact keys in-stream; i34/i35 dedup in
-    batch).  Every re-crawled doc is guaranteed to surface its corpus
-    original (identical text -> identical bands, n_band_hits = 4), so
-    the check is non-vacuous at every SF.
-
-    Mechanics: the corpus side's (band, key) frame is computed ONCE in
-    batch and pinned (localCheckpoint — a stream-static join re-reads
-    the static side every micro-batch, so an unpinned plan would
-    re-shingle the whole corpus per trigger); the stream side computes
-    per-row signatures with the map-side `_ROW_SIG_COLS` formulation
-    (no streaming aggregation — see `_ROW_SHINGLES`), explodes its 4
-    band keys statelessly, inner-joins the static bands, and counts
-    band hits per (batch_doc, corpus_doc) as a complete-mode streaming
-    aggregation drained through availableNow in 2 micro-batches
-    (row-number-parity file split, maxFilesPerTrigger=1 — the count state
-    accumulates across batches, proving the aggregation is genuinely
-    streaming, and complete mode makes the final table chunk-invariant).
-
-    Scale shape: band equi-join (never all-pairs, the i34 guarantee);
-    the stream side's per-row work is O(tokens) map-side; state is one
-    counter per candidate PAIR — bounded by band-collision counts, the
-    LSH knob.  State partitions sized to state volume; the trailing
-    no-data batch is skipped (complete-mode aggs emit with the data —
-    the j04/r15 tuning contract)."""
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()))
-
-    def bands_of(frame: DataFrame) -> DataFrame:
-        sig = (frame
-               .withColumn("t", F.split("text", " "))
-               .filter(F.size("t") >= 3)
-               .withColumn("shd", F.expr(_ROW_SHINGLES))
-               .selectExpr("doc_id", *_row_sig_cols()))
-        return sig.select(
-            "doc_id",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(j).alias("b"),
-                    F.md5(F.concat(F.col(f"s{2*j}"),
-                                   F.col(f"s{2*j+1}"))).alias("bk"))
-                for j in range(4)
-            ])).alias("band"),
-        ).select("doc_id", "band.b", "band.bk")
-
-    corpus_bands = bands_of(d).localCheckpoint()
-
-    # fixture identity tracks the schedule constants (ADVICE r15): any
-    # edit to the rekey offset, source slice, or split scheme lands in a
-    # fresh directory instead of silently replaying a stale fixture
-    src = scratch_dir(
-        "j12", sf_dir,
-        f"ingest_batch_{schedule_tag(_J12_REKEY, 'src19', 'rownum-parity')}")
-    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(2)]
-    if not all(os.path.exists(p) for p in expected):
-        shutil.rmtree(src, ignore_errors=True)
-        os.makedirs(src)
-        # split by row_number parity, not doc_id parity: a scale factor
-        # whose src19 slice is single-parity would leave one micro-batch
-        # file empty and silently degrade the 2-batch contract (ADVICE
-        # r15); row_number guarantees both shards non-empty whenever the
-        # slice has >= 2 docs, and fewer fails loudly below
-        batch = (d.filter(F.col("source") == "src19")
-                 .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),
-                         "text")
-                 .withColumn("_rn", F.row_number().over(
-                     Window.orderBy("doc_id"))))
-        if batch.count() < 2:
-            raise RuntimeError(
-                "j12 ingest fixture needs >= 2 src19 docs to fill both "
-                "micro-batch files")
-        for i in range(2):
-            part_dir = os.path.join(src, f"f{i:02d}")
-            (batch.filter(F.col("_rn") % 2 == i).drop("_rn")
-             .coalesce(1).write.mode("overwrite").parquet(part_dir))
-            parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if not parts:
-                raise RuntimeError(f"j12 fixture shard {i} wrote no file")
-            os.rename(parts[0], expected[i])
-            shutil.rmtree(part_dir)
-
-    from ..streaming.queries import _run_to_memory
-
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    hits = (bands_of(stream)
-            .withColumnRenamed("doc_id", "batch_doc")
-            .join(corpus_bands.withColumnRenamed("doc_id", "corpus_doc"),
-                  ["b", "bk"])
-            .groupBy("batch_doc", "corpus_doc")
-            .agg(F.count(F.lit(1)).alias("n_band_hits")))
-    return _run_to_memory(hits, "j12", "complete", state_partitions=8,
-                          no_data_batch=False)
 
 
 # ---- a19: XML roundtrip (native Spark 4 XML source) -----------------------

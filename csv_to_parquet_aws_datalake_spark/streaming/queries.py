@@ -1,4 +1,6 @@
-"""Structured Streaming operators (SURVEY.md §2.10, rows j01-j09).
+"""Structured Streaming operators (SURVEY.md §2.10, rows j01-j06, plus
+the extension rows j07-j12 — stateful custom ops, stream-stream joins,
+TTL dedup, and the j12 streaming-x-LSH ingest check).
 
 Testability strategy (§2.10): stream FROM the driver parquet itself via
 ``readStream.schema(...).parquet(...)`` with ``trigger(availableNow=True)``
@@ -16,16 +18,19 @@ logical plan is unchanged (§7.4).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from ..loader import load_table
 from ..registry import query
 from ..session import configure
-from ..sources.io_paths import scratch_dir
+from ..sources.io_paths import schedule_tag, scratch_dir
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a DIRECTORY; expose the single events
@@ -607,3 +612,185 @@ def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("sv")))
     return _run_to_memory(agg, "j10", "complete")
+
+
+# ---- j12: streaming near-dup ingest check (stream-vs-corpus LSH) ----------
+
+#: per-ROW MinHash signature expressions — the i34 slot contract
+#: (slot k = min over distinct shingles of hex digits [8*(k%4)+1, +8)
+#: of md5(seed(k//4) || shingle)) restated as map-side higher-order
+#: functions: a STREAM cannot run i34's shingle-explode + groupBy-min
+#: (a per-doc streaming aggregation would need watermark state), but
+#: min-over-a-row's-own-shingles needs no aggregation at all —
+#: array_min(transform(...)) is stateless, so the signature computes
+#: inside any micro-batch.  Equality with the registered kernel's
+#: groupBy formulation is pinned in tests.
+_ROW_SHINGLES = ("array_distinct(transform(sequence(1, size(t) - 2),"
+                 " i -> concat_ws(' ', slice(t, i, 3))))")
+
+
+def _row_sig_cols() -> list[str]:
+    return [
+        f"array_min(transform(shd, sh -> substring(md5(concat('{k // 4}|',"
+        f" sh)), {(k % 4) * 8 + 1}, 8))) AS s{k}"
+        for k in range(8)
+    ]
+
+
+#: re-keying offset for the simulated re-crawl batch: src19 documents
+#: re-submitted under new ids, so every batch doc is GUARANTEED to
+#: collide with its corpus original (identical text -> identical
+#: shingles -> identical bands, the minhash_band_pairs no-false-negative
+#: guarantee) — the output is non-empty at every SF by construction,
+#: plus whatever genuine near-dups banding surfaces.  1 << 40 is the
+#: repo's shard_offset convention (every other id-amplification path
+#: offsets by rep * 2^40), far above any real doc_id space — a small
+#: additive constant could collide batch ids with genuine corpus ids
+#: at larger scale factors (ADVICE r15).
+_J12_REKEY = 1 << 40
+
+
+
+def j12_bands_frame(frame: DataFrame) -> DataFrame:
+    """(doc_id, b, bk) LSH band keys of a (doc_id, text) frame via the
+    per-ROW signature formulation — stateless map-side expressions, so
+    it applies unchanged to a STREAM (no aggregation before the band
+    join) and to the static corpus side; the batch-twin plan pin in
+    tests/test_r17_queries.py builds on it too."""
+    sig = (frame
+           .withColumn("t", F.split("text", " "))
+           .filter(F.size("t") >= 3)
+           .withColumn("shd", F.expr(_ROW_SHINGLES))
+           .selectExpr("doc_id", *_row_sig_cols()))
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("b"),
+                F.md5(F.concat(F.col(f"s{2*j}"),
+                               F.col(f"s{2*j+1}"))).alias("bk"))
+            for j in range(4)
+        ])).alias("band"),
+    ).select("doc_id", "band.b", "band.bk")
+
+
+def _j12_oracle() -> str:
+    mins = ",\n                   ".join(
+        f"min(substr(h{k // 4}, {(k % 4) * 8 + 1}, 8)) AS s{k}"
+        for k in range(8))
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, source, {j} AS b, md5(s{2*j} || s{2*j+1}) AS bk"
+        f" FROM sig" for j in range(4))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+            WHERE text IS NOT NULL
+              AND len(string_split(text, ' ')) >= 3
+        ), sh AS (
+            SELECT DISTINCT doc_id, source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks
+        ), hashed AS (
+            SELECT doc_id, source, md5('0|' || sh) AS h0,
+                   md5('1|' || sh) AS h1
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, source,
+                   {mins}
+            FROM hashed GROUP BY 1, 2
+        ), bands AS (
+            {bands}
+        )
+        SELECT n.doc_id + {_J12_REKEY} AS batch_doc,
+               c.doc_id AS corpus_doc,
+               CAST(count(*) AS BIGINT) AS n_band_hits
+        FROM bands n JOIN bands c ON n.b = c.b AND n.bk = c.bk
+        WHERE n.source = 'src19'
+        GROUP BY 1, 2
+    """
+
+
+@query("j12_stream_neardup_ingest", oracle=_j12_oracle(), streaming=True)
+def j12_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: a STREAMED batch of re-crawled documents (the
+    i35 convention's src19 slice, re-submitted under new ids — the
+    `_J12_REKEY` offset) is checked for near-duplicates against the
+    static corpus via MinHash LSH banding — the production pattern that
+    keeps an ingestion pipeline from re-admitting near-copies of what
+    the corpus already holds, and the registry's first streaming x LSH
+    composition (j04/j11 dedup exact keys in-stream; i34/i35 dedup in
+    batch).  Every re-crawled doc is guaranteed to surface its corpus
+    original (identical text -> identical bands, n_band_hits = 4), so
+    the check is non-vacuous at every SF.
+
+    Mechanics: the corpus side's (band, key) frame is computed ONCE in
+    batch and pinned (localCheckpoint — a stream-static join re-reads
+    the static side every micro-batch, so an unpinned plan would
+    re-shingle the whole corpus per trigger); the stream side computes
+    per-row signatures with the map-side `_ROW_SIG_COLS` formulation
+    (no streaming aggregation — see `_ROW_SHINGLES`), explodes its 4
+    band keys statelessly, inner-joins the static bands, and counts
+    band hits per (batch_doc, corpus_doc) as a complete-mode streaming
+    aggregation drained through availableNow in 2 micro-batches
+    (row-number-parity file split, maxFilesPerTrigger=1 — the count state
+    accumulates across batches, proving the aggregation is genuinely
+    streaming, and complete mode makes the final table chunk-invariant).
+
+    Scale shape: band equi-join (never all-pairs, the i34 guarantee);
+    the stream side's per-row work is O(tokens) map-side; state is one
+    counter per candidate PAIR — bounded by band-collision counts, the
+    LSH knob.  State partitions sized to state volume; the trailing
+    no-data batch is skipped (complete-mode aggs emit with the data —
+    the j04/r15 tuning contract)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    corpus_bands = j12_bands_frame(d).localCheckpoint()
+
+    # fixture identity tracks the schedule constants (ADVICE r15): any
+    # edit to the rekey offset, source slice, or split scheme lands in a
+    # fresh directory instead of silently replaying a stale fixture
+    src = scratch_dir(
+        "j12", sf_dir,
+        f"ingest_batch_{schedule_tag(_J12_REKEY, 'src19', 'rownum-parity')}")
+    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(2)]
+    if not all(os.path.exists(p) for p in expected):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        # split by row_number parity, not doc_id parity: a scale factor
+        # whose src19 slice is single-parity would leave one micro-batch
+        # file empty and silently degrade the 2-batch contract (ADVICE
+        # r15); row_number guarantees both shards non-empty whenever the
+        # slice has >= 2 docs, and fewer fails loudly below
+        batch = (d.filter(F.col("source") == "src19")
+                 .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),
+                         "text")
+                 .withColumn("_rn", F.row_number().over(
+                     Window.orderBy("doc_id"))))
+        if batch.count() < 2:
+            raise RuntimeError(
+                "j12 ingest fixture needs >= 2 src19 docs to fill both "
+                "micro-batch files")
+        for i in range(2):
+            part_dir = os.path.join(src, f"f{i:02d}")
+            (batch.filter(F.col("_rn") % 2 == i).drop("_rn")
+             .coalesce(1).write.mode("overwrite").parquet(part_dir))
+            parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if not parts:
+                raise RuntimeError(f"j12 fixture shard {i} wrote no file")
+            os.rename(parts[0], expected[i])
+            shutil.rmtree(part_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    hits = (j12_bands_frame(stream)
+            .withColumnRenamed("doc_id", "batch_doc")
+            .join(corpus_bands.withColumnRenamed("doc_id", "corpus_doc"),
+                  ["b", "bk"])
+            .groupBy("batch_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).alias("n_band_hits")))
+    return _run_to_memory(hits, "j12", "complete", state_partitions=8,
+                          no_data_batch=False)
+
+

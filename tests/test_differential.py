@@ -169,10 +169,14 @@ def _null_events_dir(sf_dir: str) -> str:
 
 
 def _batch_events_queries() -> list[str]:
-    # every oracle that reads the events view, minus the streaming family
+    # every oracle that reads the events view, minus the stream-drains
+    # (the registry's explicit marker, not the "j" name prefix — ADVICE
+    # r16): each streaming member is swept once at staging/registration
+    # and recorded in SURVEY instead (a per-run drain is suite time the
+    # r12 convention rejects)
     return sorted(
         n for n, sql in registry.ORACLES.items()
-        if "events" in sql and not n.startswith("j"))
+        if "events" in sql and n not in registry.STREAMING)
 
 
 @pytest.mark.parametrize("name", _batch_events_queries())
@@ -212,8 +216,12 @@ def _null_docs_dir() -> str:
 
 
 def _documents_queries() -> list[str]:
+    # stream-drains excluded like the events sweep (j12 is the first
+    # documents-reading streaming query): swept once at registration —
+    # null-docs probe recorded in SURVEY §7.16 — not per-run
     return sorted(
-        n for n, sql in registry.ORACLES.items() if "documents" in sql)
+        n for n, sql in registry.ORACLES.items()
+        if "documents" in sql and n not in registry.STREAMING)
 
 
 @pytest.mark.parametrize("name", _documents_queries())

@@ -1,12 +1,12 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's named moves (revised r16 ledger: j12 streaming near-dup ingest,
-slated r17; a19 XML roundtrip, slated r18; j13 outer stream join,
-slated r19; k18 audio silence segmentation, slated r20).  The original
-bank's j11 TTL dedup registered on schedule in r16 and i67 RRF fusion
-was pulled forward to r16 — their pins graduated to
-tests/test_r16_queries.py."""
+bank's named moves (revised r16 ledger: a19 XML roundtrip, slated r18;
+j13 outer stream join, slated r19; k18 audio silence segmentation,
+slated r20).  The original bank's j11 TTL dedup registered on schedule
+in r16, i67 RRF fusion was pulled forward to r16, and j12 streaming
+near-dup ingest registered on schedule in r17 — their pins graduated
+to tests/test_r16_queries.py / test_r17_queries.py."""
 
 from __future__ import annotations
 
@@ -63,74 +63,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_j12_row_signatures_match_kernel(spark, sf_dir):
-    # the per-ROW signature formulation (array_min over transform — the
-    # stream-safe form) must equal the registered i34 kernel's
-    # shingle-explode + groupBy-min formulation slot for slot: same
-    # distinct shingle set, same md5 slot substrings, same (string) min
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _ROW_SHINGLES,
-        _row_sig_cols,
-    )
-
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .filter(F.col("text").isNotNull()))
-    row_sig = (d.withColumn("t", F.split("text", " "))
-               .filter(F.size("t") >= 3)
-               .withColumn("shd", F.expr(_ROW_SHINGLES))
-               .selectExpr("doc_id", *_row_sig_cols()))
-
-    toks = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        _SHINGLES_SPARK,
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"))
-    hashed = sh.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("0|"), F.col("sh"))).alias("h0"),
-        F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"))
-    kern_sig = hashed.groupBy("doc_id").agg(*[
-        F.min(F.substring(f"h{k // 4}", (k % 4) * 8 + 1, 8)).alias(f"s{k}")
-        for k in range(8)])
-
-    got = {r["doc_id"]: tuple(r[f"s{k}"] for k in range(8))
-           for r in row_sig.collect()}
-    want = {r["doc_id"]: tuple(r[f"s{k}"] for k in range(8))
-            for r in kern_sig.collect()}
-    assert got == want and got
-
-
-def test_j12_reingest_guarantee(spark, sf_dir):
-    # every re-crawled src19 doc with >= 3 tokens must surface its
-    # corpus original at n_band_hits = 4 (identical text -> identical
-    # bands on all 4 — the minhash_band_pairs no-false-negative
-    # guarantee, observed through the streaming path)
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _J12_REKEY,
-    )
-
-    rows = _staged_rows("j12_stream_neardup_ingest", spark, sf_dir)
-    hits = {(r["batch_doc"], r["corpus_doc"]): r["n_band_hits"]
-            for r in rows}
-    originals = [
-        r["doc_id"]
-        for r in (spark.read.parquet(f"{sf_dir}/documents.parquet")
-                  .filter(F.col("source") == "src19")
-                  .filter(F.col("text").isNotNull())
-                  .filter(F.size(F.split("text", " ")) >= 3)
-                  .select("doc_id").collect())
-    ]
-    assert originals
-    for doc in originals:
-        assert hits.get((doc + _J12_REKEY, doc)) == 4, doc
 
 
 def test_a19_roundtrip_is_byte_exact(spark, sf_dir):

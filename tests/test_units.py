@@ -1229,3 +1229,61 @@ def test_changed_family_gate_mechanics(monkeypatch, tmp_path):
         json.dump(tampered, fh)
     names, _ = plan_audit.changed_subset(sf)
     assert names is None
+
+
+def test_i67_rank_construction_ties_at_the_cut(spark):
+    # VERDICT r16 item 6: i67's fusion FORMULA has a pure-Python
+    # reference (tests/test_r16_queries.py), but the RANK CONSTRUCTION
+    # (rounded-score ties, doc_id tie-breaks, the top-N cut) shares
+    # rank-then-sum arithmetic with the oracle — the both-engines-wrong
+    # class.  Drive the exact exported operators on a hand-built frame
+    # where a 3-way score tie STRADDLES the top-N boundary, and check
+    # against an independent pure-Python ranking.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        _RRF_K,
+        _RRF_SCALE,
+        rrf_fuse,
+        rrf_ranked,
+        rrf_topn_branch,
+    )
+
+    TOPN = 3
+    # ranker A, probe q: tie at score 8.0 across docs 12/7/30 straddles
+    # the N=3 cut (positions 2-4); the cut must keep docs 7 and 12 (the
+    # LOWEST ids among the tied), never doc 30
+    side_a = [("q", 5, 9.0), ("q", 12, 8.0), ("q", 7, 8.0),
+              ("q", 30, 8.0), ("q", 2, 7.0)]
+    # ranker B overlaps on docs 7/5: docs 40 and 9 tie at 1.5 filling
+    # positions 2-3 (id order decides WHICH rank each gets), pushing
+    # docs 5 and 99 past B's cut — doc 5 must then fuse from A alone
+    side_b = [("q", 7, 3.5), ("q", 40, 1.5), ("q", 9, 1.5),
+              ("q", 5, 0.5), ("q", 99, 0.25)]
+    schema = "query_id string, doc_id long, score double"
+    df_a = spark.createDataFrame(side_a, schema)
+    df_b = spark.createDataFrame(side_b, schema)
+
+    fused = rrf_fuse(
+        rrf_ranked([rrf_topn_branch(df_a, "q", TOPN)]).unionByName(
+            rrf_ranked([rrf_topn_branch(df_b, "q", TOPN)])))
+    got = {(r["query_id"], r["doc_id"]): (r["n_rankers"], r["rrf_e6"])
+           for r in fused.collect()}
+
+    # independent pure-Python recomputation of the whole contract
+    def py_ranks(rows):
+        top = sorted(rows, key=lambda r: (-r[2], r[1]))[:TOPN]
+        return {doc: i + 1 for i, (_, doc, _) in enumerate(top)}
+
+    want = {}
+    for ranks in (py_ranks(side_a), py_ranks(side_b)):
+        for doc, rnk in ranks.items():
+            n, s = want.get(("q", doc), (0, 0))
+            want[("q", doc)] = (n + 1, s + _RRF_SCALE // (_RRF_K + rnk))
+    assert got == want
+    # the tie-straddle is real: doc 30 (tied at 8.0, highest id) is cut
+    # from A, docs 7/12 survive; in B the 1.5 tie ranks doc 9 (lower id)
+    # rank 2 and doc 40 rank 3, so their fused scores DIFFER; doc 5,
+    # pushed past B's cut by the tie pair, fuses from A alone
+    assert ("q", 30) not in got and ("q", 12) in got
+    assert got[("q", 7)][0] == 2  # fused across both rankers
+    assert got[("q", 9)][1] > got[("q", 40)][1]
+    assert got[("q", 5)][0] == 1 and ("q", 99) not in got
