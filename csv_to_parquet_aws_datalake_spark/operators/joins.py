@@ -532,3 +532,100 @@ def c17_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.st").alias("st"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---- c18: Bloom-filter semi-join reduction (first principles) --------------
+
+#: Bloom geometry: 2^16 bits packed into 1024 longs, K=2 md5-derived
+#: hashes.  At the dim side's ~20% key selectivity the false-positive
+#: rate is (1 - e^(-2n/m))^2 ~ 0.3% at sf0.1 (n ~ 30k urgent orders,
+#: m = 65536) — and CORRECTNESS never depends on it: false positives
+#: are removed by the real join that follows; false negatives are
+#: impossible by construction (every dim key sets its own bits).
+_C18_BITS = 1 << 16
+_C18_SEEDS = ("b0", "b1")
+
+
+def _c18_bit_pos(col: str, seed: str):
+    """md5-derived bit position in [0, 2^16): first 4 hex digits of
+    md5('<seed>|<key>') — the family's deterministic-hash idiom
+    (i36/_bucket256), exact on any engine, no seed state."""
+    # 4 hex digits span [0, 2^16) exactly — _C18_BITS by construction,
+    # so no modulo is needed (changing the geometry means changing the
+    # substring length with it)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"),
+                                   F.col(col).cast("string"))), 1, 4),
+        16, 10).cast("long")
+
+
+@query(
+    "c18_bloom_semijoin_reduce",
+    oracle="""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
+)
+def c18_bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, built from first principles
+    (Spark's BloomFilterAggregate exists but is not SQL-public, and the
+    optimizer's runtime row-level filtering only fires on its own cost
+    heuristics — this operator makes the technique explicit and
+    plan-pinned): the selective dim side (urgent orders, ~20% of keys)
+    builds a {_C18_BITS}-bit Bloom bitmap as a <= 1024-row (word, bits)
+    table — one `bit_or(shiftleft(1L, pos % 64))` aggregation over the
+    exploded K=2 md5 bit positions — which is BROADCAST to the fact
+    side; each fact row probes both its bit positions with two broadcast
+    equi-joins on the word index + a bit test, dropping non-member rows
+    MAP-SIDE before the real join's exchange.  The real join then
+    removes Bloom false positives, so the result is EXACTLY the plain
+    join (the oracle runs the plain join — a single false NEGATIVE, the
+    bug class that silently drops rows, breaks the hash).
+
+    At 100 TB this is the shape that matters when the dim side exceeds
+    the broadcast budget: the full dim must shuffle, but its KEY BITMAP
+    (8 KB here, fixed by geometry not by SF) still broadcasts, so the
+    80% non-matching fact rows die before the shuffle instead of
+    traveling through it.  The bitmap table carries an explicit
+    broadcast hint — legitimate under the r11 broadcast-bound audit
+    because its size is bounded by the Bloom GEOMETRY (1024 rows), not
+    by the scale factor.  The main join carries NO hint (orders is
+    SF-proportional; the planner decides, the c07/j10 rule)."""
+    return bloom_semijoin_agg(load_table(spark, sf_dir, "orders"),
+                              load_table(spark, sf_dir, "lineitem"))
+
+
+def bloom_semijoin_agg(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """The c18 pipeline over explicit frames — the registered kernel
+    the scale-stress harness drives on amplified disjoint-orderkey
+    shards (tools/scale_stress.py, row bloom-semijoin[c18-kernel])."""
+    dim = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    words = F.broadcast(
+        dim.select(F.explode(F.array(*[
+            _c18_bit_pos("o_orderkey", s) for s in _C18_SEEDS
+        ])).alias("p"))
+        .groupBy(F.expr("p div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint),"
+                    " cast(p % 64 as int)))").alias("bits")))
+
+    fact = li.select("l_orderkey", "l_returnflag",
+                     "l_extendedprice", "l_discount")
+    for i, seed in enumerate(_C18_SEEDS):
+        pos, w, bits = f"_p{i}", f"_w{i}", f"bits{i}"
+        fact = (fact.withColumn(pos, _c18_bit_pos("l_orderkey", seed))
+                .withColumn(w, F.expr(f"{pos} div 64"))
+                .join(words.select(F.col("w").alias(w),
+                                   F.col("bits").alias(bits)), w)
+                .filter(F.expr(f"(shiftright({bits},"
+                               f" cast({pos} % 64 as int)) & 1) = 1"))
+                .drop(pos, w, bits))
+
+    joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"))

@@ -4,8 +4,11 @@ ledger's named fate): the signature-equality and reingest-guarantee
 mechanism pins, migrated from tests/test_staged_r16.py, plus a
 batch-twin exchange pin (the streaming drain is skipped by the
 exchange-budget sweep by design, so the shuffle shape is gated here).
-Oracle parity runs through the registry-wide differential suite
-(tests/test_differential.py) like every registered query."""
+Also c18 Bloom-filter semi-join reduction (pulled forward from the
+bank's spares — the r15/r16 precedent): its false-negative and
+plan-shape pins, migrated likewise.  Oracle parity runs through the
+registry-wide differential suite (tests/test_differential.py) like
+every registered query."""
 
 from __future__ import annotations
 
@@ -118,3 +121,67 @@ def test_j12_batch_twin_plan_shape(spark, sf_dir):
             + plan.count("Exchange rangepartitioning")
             + plan.count("Exchange SinglePartition"))
     assert n_ex <= 3, plan
+
+
+def test_c18_bloom_reduces_without_false_negatives(spark, sf_dir):
+    # the two properties the oracle cannot show separately: (1) the
+    # Bloom probe actually REDUCES the fact side (a vacuous always-true
+    # filter would also pass the oracle), and (2) no false negative —
+    # every fact row whose key IS in the dim survives the probe (a
+    # false negative silently drops rows; here it is checked directly
+    # on the key sets, not via the aggregate).  Migrated from
+    # tests/test_staged_r16.py with c18's pulled-forward registration.
+    from csv_to_parquet_aws_datalake_spark.operators.joins import (
+        _C18_SEEDS,
+        _c18_bit_pos,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = {r["o_orderkey"] for r in orders.filter(
+        F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey").collect()}
+
+    # recompute the bitmap + probe in Python over the same md5 idiom
+    import hashlib
+
+    def bits_of(key):
+        out = []
+        for seed in _C18_SEEDS:
+            h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+            out.append(int(h[:4], 16))  # 4 hex digits span [0, 2^16)
+        return out
+
+    bitmap = set()
+    for k in urgent:
+        bitmap.update(bits_of(k))
+    fact_keys = [r["l_orderkey"] for r in li.select("l_orderkey").collect()]
+    kept = [k for k in fact_keys if all(p in bitmap for p in bits_of(k))]
+    # no false negative: every genuinely-matching fact row survives
+    matching = [k for k in fact_keys if k in urgent]
+    assert set(matching) <= set(kept)
+    # genuine reduction: the probe must kill a large share of the
+    # non-matching 80% (false-positive rate is ~0.3% by geometry, so
+    # kept should sit close to the matching share, far below half)
+    assert len(kept) < 0.5 * len(fact_keys)
+    assert len(kept) >= len(matching)
+
+    # and the Spark-side bit positions equal the Python re-derivation
+    # (the idiom contract, one row is enough to pin endianness/substr)
+    probe = (spark.createDataFrame([(42,)], "k long")
+             .select(*[_c18_bit_pos("k", s).alias(s)
+                       for s in _C18_SEEDS]).collect()[0])
+    assert [probe[s] for s in _C18_SEEDS] == bits_of(42)
+
+
+def test_c18_plan_shape(spark, sf_dir):
+    # both Bloom probes must be BROADCAST hash joins (the bitmap is
+    # geometry-bounded, never SF-bounded) and the probe filters must
+    # sit below the main join; no cartesian, no Python in the hot path
+    from csv_to_parquet_aws_datalake_spark.plans.checks import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["c18_bloom_semijoin_reduce"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

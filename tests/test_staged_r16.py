@@ -256,69 +256,6 @@ def test_k18_kernel_on_crafted_payloads(spark):
     }
 
 
-def test_c18_bloom_reduces_without_false_negatives(spark, sf_dir):
-    # the two properties the oracle cannot show separately: (1) the
-    # Bloom probe actually REDUCES the fact side (a vacuous always-true
-    # filter would also pass the oracle), and (2) no false negative —
-    # every fact row whose key IS in the dim survives the probe (a
-    # false negative silently drops rows; here it is checked directly
-    # on the key sets, not via the aggregate)
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _C18_SEEDS,
-        _c18_bit_pos,
-    )
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    urgent = {r["o_orderkey"] for r in orders.filter(
-        F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey").collect()}
-
-    # recompute the bitmap + probe in Python over the same md5 idiom
-    import hashlib
-
-    def bits_of(key):
-        out = []
-        for seed in _C18_SEEDS:
-            h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
-            out.append(int(h[:4], 16))  # 4 hex digits span [0, 2^16)
-        return out
-
-    bitmap = set()
-    for k in urgent:
-        bitmap.update(bits_of(k))
-    fact_keys = [r["l_orderkey"] for r in li.select("l_orderkey").collect()]
-    kept = [k for k in fact_keys if all(p in bitmap for p in bits_of(k))]
-    # no false negative: every genuinely-matching fact row survives
-    matching = [k for k in fact_keys if k in urgent]
-    assert set(matching) <= set(kept)
-    # genuine reduction: the probe must kill a large share of the
-    # non-matching 80% (false-positive rate is ~0.3% by geometry, so
-    # kept should sit close to the matching share, far below half)
-    assert len(kept) < 0.5 * len(fact_keys)
-    assert len(kept) >= len(matching)
-
-    # and the Spark-side bit positions equal the Python re-derivation
-    # (the idiom contract, one row is enough to pin endianness/substr)
-    probe = (spark.createDataFrame([(42,)], "k long")
-             .select(*[_c18_bit_pos("k", s).alias(s)
-                       for s in _C18_SEEDS]).collect()[0])
-    assert [probe[s] for s in _C18_SEEDS] == bits_of(42)
-
-
-def test_c18_plan_shape(spark, sf_dir):
-    # both Bloom probes must be BROADCAST hash joins (the bitmap is
-    # geometry-bounded, never SF-bounded) and the probe filters must
-    # sit below the main join; no cartesian, no Python in the hot path
-    fn, _ = STAGED["c18_bloom_semijoin_reduce"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-
-
 def test_i68_calibration_invariants(spark, sf_dir):
     # mechanism pins behind the oracle: (1) banding candidates share at
     # least one full band, so every bucket is in [2, 8]; (2) the

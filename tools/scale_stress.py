@@ -554,6 +554,30 @@ def main() -> int:
             odk = widen_if_narrow(odk).localCheckpoint()
             timed["join-shape[c01]"] = \
                 lambda _d, _li=lik, _od=odk: fact_join_shape(_li, _od)
+        if sel("bloom-semijoin[c18-kernel]"):
+            # FACT-side amplification against a FIXED dim: the c18
+            # contract at 100 TB is a growing fact stream probed
+            # map-side against a selective dimension whose 8 KB bitmap
+            # broadcasts.  Amplifying the dim too would SATURATE the
+            # fixed 2^16-bit geometry (k x n keys -> every probe
+            # passes) and the row would measure the plain join, not the
+            # technique; replica shards' offset orderkeys are exactly
+            # the non-member traffic the probe exists to kill.
+            from csv_to_parquet_aws_datalake_spark.operators.joins import (
+                bloom_semijoin_agg,
+            )
+            li18 = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount")
+            od18 = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority")
+            n_li = n_li or li18.count()
+            lik18 = widen_if_narrow(shard_offset(
+                li18, k, ["l_orderkey"],
+                ["l_returnflag", "l_extendedprice", "l_discount"])) \
+                .localCheckpoint()
+            timed["bloom-semijoin[c18-kernel]"] = \
+                lambda _d, _li=lik18, _od=od18: bloom_semijoin_agg(_od, _li)
         if (sel("srp-pairs-shape[i18]") or sel("semdedup-ann[i59-kernel]")
                 or sel("semdedup-ann-m4[i59-sharded]")):
             emb = load_table(spark, sf_dir, "embeddings")
@@ -656,7 +680,7 @@ def main() -> int:
                 unhealthy += 1
             if name in ev_names or name.startswith("stream-"):
                 rows_k = n_ev * k
-            elif name.startswith("join-shape"):
+            elif name.startswith(("join-shape", "bloom-semijoin")):
                 rows_k = n_li * k
             elif name.startswith(("srp-pairs", "semdedup")):
                 rows_k = n_emb * k
