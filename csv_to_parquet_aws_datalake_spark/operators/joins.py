@@ -534,7 +534,9 @@ def c17_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- c18: Bloom-filter semi-join reduction (first principles) --------------
+# ---- c18: Bloom-filter semi-join reduction (first principles; registered
+# ---- round 17, pulled forward from the r16 bank's spares — the r15/r16
+# ---- over-delivery precedent) -----------------------------------------------
 
 #: Bloom geometry: 2^16 bits packed into 1024 longs, K=2 md5-derived
 #: hashes.  At the dim side's ~20% key selectivity the false-positive

@@ -614,7 +614,9 @@ def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "j10", "complete")
 
 
-# ---- j12: streaming near-dup ingest check (stream-vs-corpus LSH) ----------
+# ---- j12: streaming near-dup ingest check (stream-vs-corpus LSH;
+# ---- registered round 17 from the r16 staging bank — the §7.15
+# ---- ledger's named move) --------------------------------------------------
 
 #: per-ROW MinHash signature expressions — the i34 slot contract
 #: (slot k = min over distinct shingles of hex digits [8*(k%4)+1, +8)

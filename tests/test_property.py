@@ -562,13 +562,13 @@ def test_dsir_kernel_matches_pure_python(spark, docs):
 
 
 # ---------------------------------------------------------------------------
-# the j12 per-ROW MinHash signature formulation (staged_r16.py — the
-# stream-safe array_min-over-transform restatement of the i34 slot
-# contract) vs a pure-Python recomputation of the kernel's definition:
-# the property sweeps the short-doc boundary (exactly 3 tokens = one
-# shingle) and repeated-shingle texts (array_distinct load-bearing),
-# complementing the corpus-level slot-equality pin in
-# tests/test_staged_r16.py.
+# the j12 per-ROW MinHash signature formulation (streaming/queries.py,
+# registered r17 — the stream-safe array_min-over-transform restatement
+# of the i34 slot contract) vs a pure-Python recomputation of the
+# kernel's definition: the property sweeps the short-doc boundary
+# (exactly 3 tokens = one shingle) and repeated-shingle texts
+# (array_distinct load-bearing), complementing the corpus-level
+# slot-equality pin in tests/test_r17_queries.py.
 
 
 @given(texts=st.lists(
@@ -580,7 +580,7 @@ def test_row_signature_matches_slot_contract(spark, texts):
 
     from pyspark.sql import functions as F
 
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+    from csv_to_parquet_aws_datalake_spark.streaming.queries import (
         _ROW_SHINGLES,
         _row_sig_cols,
     )

@@ -543,6 +543,51 @@ def main() -> int:
                     ".scratch", f"stream_stress_k{k}")
                 ep.write.mode("overwrite").parquet(stream_path)
                 timed.update(stream_kernels(spark, stream_path))
+        if sel("stream-neardup[j12-shape]"):
+            # the r17 registrant's composition (streaming x LSH): an
+            # arriving micro-batch of re-keyed docs banded against the
+            # standing corpus's PINNED band frame.  Token-prefix replica
+            # shards grow the corpus bands AND the arriving batch
+            # K-fold with no cross-replica band collisions, so the
+            # complete-mode pair-count state grows exactly K-fold.
+            # Drives the REGISTERED kernels (j12_bands_frame +
+            # _run_to_memory with the registrant's tuning); labeled
+            # "-shape" because the inputs are amplified shards, not the
+            # registry's ingest fixture.
+            from csv_to_parquet_aws_datalake_spark.streaming.queries import (
+                _J12_REKEY, _run_to_memory, j12_bands_frame,
+            )
+            docs_src = (load_table(spark, sf_dir, "documents")
+                        .filter(F.col("text").isNotNull()))
+            n0 = n0 or docs_src.select("doc_id", "text").count()
+            corpus_amp = widen_if_narrow(amplify(
+                docs_src.select("doc_id", "text"), k)).localCheckpoint()
+            corpus_bands_j12 = j12_bands_frame(corpus_amp).localCheckpoint()
+            batch_amp = amplify(
+                docs_src.filter(F.col("source") == "src19")
+                .select("doc_id", "text"), k) \
+                .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),
+                        "text")
+            j12_src = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scratch", f"j12_stress_k{k}")
+            batch_amp.repartition(2).write.mode("overwrite").parquet(j12_src)
+
+            def neardup_run(_d, _cb=corpus_bands_j12, _src=j12_src,
+                            _sp=spark):
+                stream = (_sp.readStream.schema("doc_id long, text string")
+                          .option("maxFilesPerTrigger", 1).parquet(_src))
+                hits = (j12_bands_frame(stream)
+                        .withColumnRenamed("doc_id", "batch_doc")
+                        .join(_cb.withColumnRenamed("doc_id", "corpus_doc"),
+                              ["b", "bk"])
+                        .groupBy("batch_doc", "corpus_doc")
+                        .agg(F.count(F.lit(1)).alias("n_band_hits")))
+                return _run_to_memory(hits, "j12stress", "complete",
+                                      state_partitions=8,
+                                      no_data_batch=False)
+
+            timed["stream-neardup[j12-shape]"] = neardup_run
         if sel("join-shape[c01]"):
             li = load_table(spark, sf_dir, "lineitem") \
                 .select("l_orderkey", "l_extendedprice")
@@ -678,7 +723,9 @@ def main() -> int:
             if ratio > 2.0 and k > ks[0]:
                 flag = "  SUPERLINEAR?"
                 unhealthy += 1
-            if name in ev_names or name.startswith("stream-"):
+            if name.startswith("stream-neardup"):
+                rows_k = n0 * k  # docs-based, unlike the events tranche
+            elif name in ev_names or name.startswith("stream-"):
                 rows_k = n_ev * k
             elif name.startswith(("join-shape", "bloom-semijoin")):
                 rows_k = n_li * k
@@ -693,6 +740,10 @@ def main() -> int:
         if stream_path is not None:
             import shutil
             shutil.rmtree(stream_path, ignore_errors=True)
+        import shutil as _sh
+        _sh.rmtree(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch", f"j12_stress_k{k}"), ignore_errors=True)
     return 1 if unhealthy else 0
 
 
