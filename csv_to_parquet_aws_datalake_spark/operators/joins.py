@@ -577,7 +577,7 @@ def c18_bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer's runtime row-level filtering only fires on its own cost
     heuristics — this operator makes the technique explicit and
     plan-pinned): the selective dim side (urgent orders, ~20% of keys)
-    builds a {_C18_BITS}-bit Bloom bitmap as a <= 1024-row (word, bits)
+    builds a 2^16-bit Bloom bitmap as a <= 1024-row (word, bits)
     table — one `bit_or(shiftleft(1L, pos % 64))` aggregation over the
     exploded K=2 md5 bit positions — which is BROADCAST to the fact
     side; each fact row probes both its bit positions with two broadcast

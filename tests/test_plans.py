@@ -321,6 +321,12 @@ def test_registry_exchange_budget(spark, monkeypatch):
     over, unbudgeted = [], []
     for name, counts in results.items():
         if "skipped" in counts:
+            # the only legitimate skip is the streaming-drain marker; an
+            # exception-skip (AnalysisException etc.) on a batch query
+            # must FAIL here, not pass-and-record-green — otherwise the
+            # gate bakes a broken module in as swept (review r17)
+            assert counts["skipped"] == "streaming-drain", \
+                f"{name}: plan build failed: {counts['skipped']}"
             continue
         if name not in budget:
             unbudgeted.append(name)

@@ -88,14 +88,16 @@ def test_j12_batch_twin_plan_shape(spark, sf_dir):
     # the exchange-budget sweep skips stream-drain queries by design
     # (registry.STREAMING — building their "plan" costs a full drain and
     # budgets a vacuous table scan), so j12's shuffle shape is gated
-    # here on its BATCH TWIN: the identical band pipeline over a batch
-    # read of the ingest fixture.  The contract at 100 TB: candidates
-    # come from a (b, bk) EQUI-join (never all-pairs — no
-    # CartesianProduct, no non-equi join), signatures are map-side
-    # expressions (no per-doc aggregation before the join), and the
-    # whole shape needs at most 3 real exchanges (band join sides + the
-    # pair-count aggregation; a broadcast of the small side may remove
-    # some at this SF).
+    # here on its BATCH TWIN: the identical band pipeline — same
+    # j12_bands_frame kernel, same re-keyed src19 batch side — built
+    # directly over the documents table in batch (no drain, no fixture
+    # write: this test costs one plan build — review r17).  The
+    # contract at 100 TB: candidates come from a (b, bk) EQUI-join
+    # (never all-pairs — no CartesianProduct, no non-equi join),
+    # signatures are map-side expressions (no per-doc aggregation
+    # before the join), and the whole shape needs at most 3 real
+    # exchanges (band join sides + the pair-count aggregation; a
+    # broadcast of the small side may remove some at this SF).
     from csv_to_parquet_aws_datalake_spark.loader import load_table
     from csv_to_parquet_aws_datalake_spark.plans.checks import physical_plan
     from csv_to_parquet_aws_datalake_spark.streaming.queries import (
@@ -103,7 +105,6 @@ def test_j12_batch_twin_plan_shape(spark, sf_dir):
         j12_bands_frame,
     )
 
-    registry.QUERIES["j12_stream_neardup_ingest"](spark, sf_dir)  # fixture
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()))
     corpus = j12_bands_frame(d).withColumnRenamed("doc_id", "corpus_doc")

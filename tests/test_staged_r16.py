@@ -139,11 +139,10 @@ def test_j13_outer_join_pins(spark, sf_dir):
     from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
         _J13_PRE_FILTER,
     )
-    if sf_dir not in _J13_PRE_FILTER:  # memo warm but drain table cold
-        _ROWS_MEMO[("j13_stream_outer_join", sf_dir)] = (
-            STAGED["j13_stream_outer_join"][0](spark, sf_dir).collect())
-        got = {(r["pid"], r["cid"])
-               for r in _ROWS_MEMO[("j13_stream_outer_join", sf_dir)]}
+    # _J13_PRE_FILTER[sf_dir] is guaranteed warm: the _staged_rows call
+    # above executes the query fn whenever the memo is cold, and the fn
+    # populates the pre-filter table before returning (review r17
+    # removed an unreachable re-drain branch here)
     pre = {(r["pid"], r["cid"]) for r in _J13_PRE_FILTER[sf_dir].collect()}
     assert {(p, c) for p, c in pre if p < 0} == {(-1, -2)}
     assert not any(c is not None and c < 0 for p, c in pre if p >= 0)

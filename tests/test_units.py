@@ -1169,18 +1169,20 @@ def test_dsir_weight_guard_fires_past_bigint_headroom(spark):
 def test_streaming_marker_is_explicit_and_complete():
     # ADVICE r16: the budget sweep's streaming skip keys on
     # registry.STREAMING, not the "j" name prefix.  Pin the marker's
-    # integrity: every marked name is registered, and (today's layout)
-    # the marked set is exactly the stream-drain registrations homed in
-    # streaming/queries.py plus any stream-drain registered elsewhere —
-    # so a j-named BATCH query would not silently bypass the gate, and
-    # an unmarked stream-drain fails here instead of drain-sweeping.
+    # integrity WITHOUT re-coupling it to a location proxy (review r17:
+    # a strict equality with streaming/queries.py's registrations would
+    # forbid the exact case the marker exists for — a stream-drain
+    # homed in another family): every marked name is registered, every
+    # registration homed in the streaming module is marked (forgetting
+    # streaming=True there fails here instead of drain-sweeping), and
+    # the marked set is non-empty.
     from csv_to_parquet_aws_datalake_spark import registry
 
     registry.load_all()
     assert registry.STREAMING <= set(registry.QUERIES)
     drains = {n for n, fn in registry.QUERIES.items()
               if fn.__module__.endswith("streaming.queries")}
-    assert registry.STREAMING == drains and drains
+    assert drains <= registry.STREAMING and drains
 
 
 def test_changed_family_gate_mechanics(monkeypatch, tmp_path):

@@ -125,10 +125,17 @@ def _sha_file(path: str) -> str:
         return hashlib.sha256(fh.read()).hexdigest()
 
 
-def _resolve_rel_import(mod_name: str, dots: str, target: str) -> str | None:
-    """Module name for ``from <dots><target> import ...`` seen in mod_name."""
-    parts = mod_name.split(".")
-    base = parts[:-len(dots)] if len(dots) <= len(parts) else []
+def _resolve_rel_import(mod_name: str, dots: str, target: str,
+                        is_pkg: bool = False) -> str | None:
+    """Module name for ``from <dots><target> import ...`` seen in mod_name.
+
+    ``is_pkg`` marks mod_name as a package (__init__.py): a level-1
+    relative import there resolves against the package ITSELF, not its
+    parent — without this, closures reached through a subpackage
+    re-export would silently drop the re-exported module (review r17)."""
+    ctx = mod_name.split(".") if is_pkg else mod_name.split(".")[:-1]
+    up = len(dots) - 1
+    base = ctx[:len(ctx) - up] if up <= len(ctx) else []
     full = ".".join(base + ([target] if target else []))
     return full or None
 
@@ -161,9 +168,10 @@ def _import_closure(mod_name: str) -> set[str]:
             continue
         with open(path) as fh:
             src = fh.read()
+        is_pkg = os.path.basename(path) == "__init__.py"
         for dots, target in re.findall(
                 r"^\s*from\s+(\.+)([\w.]*)\s+import", src, re.M):
-            nxt = _resolve_rel_import(m, dots, target)
+            nxt = _resolve_rel_import(m, dots, target, is_pkg=is_pkg)
             if nxt and nxt.startswith("csv_to_parquet_aws_datalake_spark"):
                 todo.append(nxt)
     return {m for m in seen if _module_file(m)}
@@ -186,6 +194,12 @@ def _fingerprints(sf_dir: str) -> dict:
          os.path.join(_REPO, "tests", "conftest.py")]
         + _glob.glob(os.path.join(_PKG, "sources", "*.py")))
     g = hashlib.sha256()
+    # the execution environment is a shared input too: a PySpark/JVM
+    # upgrade changes planner heuristics without touching any
+    # fingerprinted file, and must re-sweep everything (review r17)
+    import pyspark
+    g.update(f"pyspark={pyspark.__version__};"
+             f"java={os.environ.get('JAVA_HOME', '')}".encode())
     for p in shared:
         if os.path.exists(p):
             g.update(p.encode() + b"\0" + _sha_file(p).encode())
