@@ -604,3 +604,36 @@ def test_row_signature_matches_slot_contract(spark, texts):
             min(h[(k % 4) * 8:(k % 4) * 8 + 8] for h in hexes[k // 4])
             for k in range(8))
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# the c18 Bloom bit-position idiom (operators/joins.py, registered r17 —
+# conv(substring(md5('<seed>|<key>'), 1, 4), 16, 10) in [0, 2^16)) vs a
+# pure-Python hashlib recomputation: the corpus pin covers the fixture's
+# keys; the property sweeps arbitrary longs — negatives (cast-to-string
+# includes the sign), 0, and 2^63-boundary magnitudes — plus digests
+# whose leading hex nibbles are zero (conv must parse them as a smaller
+# number, not mis-strip).  Position equality makes the no-false-negative
+# property algebraic: a member key's own bits are set by construction.
+
+
+@given(keys=st.lists(
+    st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    min_size=1, max_size=24, unique=True))
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_c18_bit_positions_match_python(spark, keys):
+    import hashlib
+
+    from csv_to_parquet_aws_datalake_spark.operators.joins import (
+        _C18_SEEDS,
+        _c18_bit_pos,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: [r[s] for s in _C18_SEEDS]
+           for r in df.select("k", *[_c18_bit_pos("k", s).alias(s)
+                                     for s in _C18_SEEDS]).collect()}
+    want = {k: [int(hashlib.md5(f"{s}|{k}".encode()).hexdigest()[:4], 16)
+                for s in _C18_SEEDS] for k in keys}
+    assert got == want
+    assert all(0 <= p < (1 << 16) for ps in got.values() for p in ps)
