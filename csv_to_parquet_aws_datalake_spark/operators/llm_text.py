@@ -125,7 +125,16 @@ def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: 3-token shingles, exact Jaccard >= 0.1 on the
     distinct-shingle sets.  Candidates come from an equi-join on shingle, so
     only documents sharing at least one shingle are ever compared."""
-    d = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def shingle_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """The i03 pipeline over an explicit (doc_id, text) frame — exported
+    (r17, the i67 precedent) so the tie/boundary pin in tests/
+    test_units.py can drive the EXACT operators on crafted frames: the
+    shingling, the distinct-set counts, and the threshold comparison
+    all share their arithmetic with the oracle (the both-engines-wrong
+    class), so they get a from-scratch pure-Python recomputation."""
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
     sh = docs.select(
         "doc_id",

@@ -1289,3 +1289,55 @@ def test_i67_rank_construction_ties_at_the_cut(spark):
     assert got[("q", 7)][0] == 2  # fused across both rankers
     assert got[("q", 9)][1] > got[("q", 40)][1]
     assert got[("q", 5)][0] == 1 and ("q", 99) not in got
+
+
+def test_i03_jaccard_boundary_on_crafted_frame(spark):
+    # i03's shingling, distinct-set counts, and >= 0.1 threshold all
+    # share their arithmetic with the oracle (the both-engines-wrong
+    # class the i67 tie pin closed for RRF — r17 extends the discipline
+    # here).  Drive the exported kernel on a crafted frame where the
+    # Jaccard sits EXACTLY on the threshold, just below it, and where
+    # repeated shingles make array_distinct load-bearing, against a
+    # from-scratch pure-Python recomputation.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        shingle_jaccard_pairs,
+    )
+
+    rows = [
+        # A: 5 distinct shingles, shares exactly {t1 t2 t3} with B and C
+        (1, "t1 t2 t3 a1 a2 a3 a4"),
+        # B: 6 distinct -> jac(A,B) = 1/(5+6-1) = 0.1 EXACTLY (kept)
+        (2, "x1 x2 t1 t2 t3 x3 x4 x5"),
+        # C: 7 distinct -> jac(A,C) = 1/11 ~ 0.090909 (cut)
+        (3, "y1 y2 t1 t2 t3 y3 y4 y5 y6"),
+        # D: repeated tokens -> shingle MULTISET of size 3 but ONE
+        # distinct shingle; E shares it -> jac(D,E) = 1/(1+3-1) = 1/3
+        (4, "t t t t t"),
+        (5, "t t t z1 z2"),
+        # F: under 3 tokens -> no shingles, never a candidate
+        (6, "t t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["da"], r["db"]): r["jac"]
+           for r in shingle_jaccard_pairs(df).collect()}
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(tx) for i, tx in rows if len(tx.split(" ")) >= 3}
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b and sets[a] & sets[b]:
+                j = round(len(sets[a] & sets[b])
+                          / len(sets[a] | sets[b]), 6)
+                if j >= 0.1:
+                    want[(a, b)] = j
+    assert got == want
+    # the boundary is real: the exact-0.1 pair is kept, the 1/11 pair
+    # cut, and the repeated-shingle pair proves distinct-set semantics
+    assert (1, 2) in got and got[(1, 2)] == 0.1
+    assert (1, 3) not in got
+    assert (4, 5) in got and got[(4, 5)] == round(1 / 3, 6)
+    assert not any(6 in pair for pair in got)
