@@ -643,7 +643,15 @@ def i21_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are excluded by contract on both engines (r12 null-docs sweep —
     unfiltered, DuckDB's list_prepend(0, NULL) folds to 0 while Spark's
     aggregate(NULL) is NULL)."""
-    d = load_table(spark, sf_dir, "documents")
+    return rolling_hash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def rolling_hash_frame(d: DataFrame) -> DataFrame:
+    """The i21 fold over an explicit (doc_id, text) frame — exported
+    (r17) so the pure-Python recomputation pin in tests/test_units.py
+    can drive the EXACT expression on crafted token classes: the fold
+    and token-value formulas are mirrored into both dialects, the
+    both-engines-wrong class."""
     return (
         d.filter(F.col("text").isNotNull()).withColumn("toks", F.split("text", " "))
         .select(

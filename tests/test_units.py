@@ -1341,3 +1341,42 @@ def test_i03_jaccard_boundary_on_crafted_frame(spark):
     assert (1, 3) not in got
     assert (4, 5) in got and got[(4, 5)] == round(1 / 3, 6)
     assert not any(6 in pair for pair in got)
+
+
+def test_i21_rolling_hash_matches_pure_python(spark):
+    # i21's fold (acc*31 + tokval) % 1e9+7 and its token-value formula
+    # are MIRRORED into both engine dialects — the both-engines-wrong
+    # class.  Recompute from scratch in Python over crafted token
+    # classes: empty token (scores length-only = 0), single char,
+    # multibyte first/last chars (Spark ascii() = codepoint, matching
+    # ord()), a repeated-token doc (order sensitivity: swapped tokens
+    # must hash differently), and a long doc exercising the modulus.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        rolling_hash_frame,
+    )
+
+    rows = [
+        (1, "hello world"),
+        (2, "world hello"),            # same multiset, different order
+        (3, "a"),
+        (4, " doubled  spaces"),       # split(' ') yields EMPTY tokens
+        (5, "émoji \U0001F600 ünïcode"),
+        (6, "x " * 499 + "x"),         # 500 tokens, folds past the mod
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rh"] for r in rolling_hash_frame(df).collect()}
+
+    def tokval(x):
+        v = len(x) * 131
+        if x:
+            v += ord(x[0]) * 7 + ord(x[-1])
+        return v
+
+    want = {}
+    for doc_id, text in rows:
+        rh = 0
+        for x in text.split(" "):
+            rh = (rh * 31 + tokval(x)) % 1000000007
+        want[doc_id] = rh
+    assert got == want
+    assert got[1] != got[2]  # order sensitivity is the operator's point
