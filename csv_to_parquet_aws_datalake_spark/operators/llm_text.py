@@ -703,7 +703,16 @@ def _simhash_oracle() -> str:
 
 @query("i16_simhash", oracle=_simhash_oracle())
 def i16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_frame(d: DataFrame) -> DataFrame:
+    """The i16 fingerprint over an explicit (doc_id, text) frame —
+    exported (r17) so the pure-Python pin in tests/test_units.py can
+    drive the EXACT generated expressions on crafted frames: the
+    digit/bit arithmetic is mirrored verbatim into both dialects (the
+    both-engines-wrong class), and the sign boundary (a ZERO bit-sum
+    scores 0, not 1) only shows on constructed cancellations."""
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", F.md5("tok").alias("h"))

@@ -1380,3 +1380,51 @@ def test_i21_rolling_hash_matches_pure_python(spark):
         want[doc_id] = rh
     assert got == want
     assert got[1] != got[2]  # order sensitivity is the operator's point
+
+
+def test_i16_simhash_matches_pure_python(spark):
+    # the i16 digit/bit arithmetic is generated once and mirrored
+    # verbatim into both dialects — a wrong bit-index derivation would
+    # be wrong on both engines.  Recompute the FULL 16-bit fingerprint
+    # from scratch (hashlib md5 -> first 4 hex digits -> 4 bits each ->
+    # frequency-weighted sign sums -> fp bits where sum > 0) on crafted
+    # docs: a single token (every bit-sum is +-1, no zeros), a 2-token
+    # doc (bits where the tokens' md5 bits DIFFER sum to exactly 0 and
+    # must score 0 — the > 0 boundary), and a repeated-token doc
+    # proving frequency weighting (t's bits dominate x's).
+    import hashlib
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        simhash_frame,
+    )
+
+    rows = [
+        (1, "solo"),
+        (2, "alpha beta"),
+        (3, "t t t x"),
+        (4, "émoji \U0001F600"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in simhash_frame(df).collect()}
+
+    def simhash(text):
+        sums = [0] * 16
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for p in range(4):
+                d = int(h[p], 16)
+                for b in range(4):
+                    sums[p * 4 + b] += 2 * ((d >> b) & 1) - 1
+        return sum(1 << i for i in range(16) if sums[i] > 0)
+
+    want = {doc_id: simhash(text) for doc_id, text in rows}
+    assert got == want
+    # the zero-sum boundary is exercised: alpha/beta's md5 first-16
+    # bits differ somewhere, so doc 2 has at least one cancelled bit —
+    # fp must differ from the would-be ">= 0" scoring
+    a, b = (hashlib.md5(t.encode()).hexdigest() for t in ("alpha", "beta"))
+    cancelled = [p * 4 + bb for p in range(4) for bb in range(4)
+                 if ((int(a[p], 16) >> bb) & 1) != ((int(b[p], 16) >> bb) & 1)]
+    assert cancelled
+    ge_scoring = want[2] + sum(1 << i for i in cancelled)
+    assert got[2] != ge_scoring
