@@ -1428,3 +1428,48 @@ def test_i16_simhash_matches_pure_python(spark):
     assert cancelled
     ge_scoring = want[2] + sum(1 << i for i in cancelled)
     assert got[2] != ge_scoring
+
+
+def test_srp_code_sign_boundary_on_crafted_vectors(spark):
+    # the SRP sign-code arithmetic (bit i set iff dot > 0) is mirrored
+    # into the i18/i59 oracles — the both-engines-wrong class — and its
+    # two boundary cases never occur in the corpus: a dot of EXACTLY 0
+    # (must leave the bit unset: > 0, not >= 0) and a missing basis id
+    # (NULL column -> constantly-0 bit, the srp_basis docstring
+    # contract).  Craft both and recompute the codes in Python.
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        srp_basis,
+        srp_code,
+    )
+
+    # basis: b1 = [1,0], b2 = [0,1], vec_id 3 ABSENT -> b3 is NULL
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (10, [0.5, 0.0]),    # dot b1 > 0, dot b2 == 0 (boundary), b3 NULL
+         (11, [-0.5, 0.25]),  # dot b1 < 0, dot b2 > 0
+         (12, [0.0, 0.0]),    # every dot exactly 0 -> code 0
+         (13, [2.0, 3.0])],   # both positive
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["code"]
+           for r in emb.crossJoin(F.broadcast(srp_basis(emb)))
+           .select("vec_id", srp_code("embedding").alias("code"))
+           .collect()}
+
+    basis = {1: [1.0, 0.0], 2: [0.0, 1.0], 3: None}
+    vecs = {1: [1.0, 0.0], 2: [0.0, 1.0], 10: [0.5, 0.0],
+            11: [-0.5, 0.25], 12: [0.0, 0.0], 13: [2.0, 3.0]}
+
+    def code(v):
+        c = 0
+        for i in (1, 2, 3):
+            b = basis[i]
+            if b is not None and sum(x * y for x, y in zip(v, b)) > 0:
+                c += 1 << (3 - i)
+        return c
+
+    assert got == {k: code(v) for k, v in vecs.items()}
+    assert got[10] == 4   # the dot==0 bit stayed unset
+    assert got[12] == 0   # all-zero vector lands in bucket 0
+    assert all(c < 8 for c in got.values())  # b3's NULL bit never set
