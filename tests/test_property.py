@@ -620,8 +620,12 @@ def test_row_signature_matches_slot_contract(spark, texts):
 @given(keys=st.lists(
     st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
     min_size=1, max_size=24, unique=True))
-@settings(max_examples=10, deadline=None, derandomize=True)
+@settings(max_examples=5, deadline=None, derandomize=True)
 def test_c18_bit_positions_match_python(spark, keys):
+    # 5 derandomized examples (not 10): each example is a Spark
+    # round-trip (~1.7 s) and derandomize makes the battery fixed
+    # anyway — 5 lists x up to 24 keys already cover sign, zero, and
+    # 2^63 boundaries (suite-time audit r17)
     import hashlib
 
     from csv_to_parquet_aws_datalake_spark.operators.joins import (

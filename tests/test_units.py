@@ -1318,8 +1318,15 @@ def test_i03_jaccard_boundary_on_crafted_frame(spark):
         (6, "t t"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {(r["da"], r["db"]): r["jac"]
-           for r in shingle_jaccard_pairs(df).collect()}
+    # 6 rows through three 32-partition shuffles is pure task overhead
+    # (measured 21.8 s); one partition reads the same semantics in ~4 s
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        got = {(r["da"], r["db"]): r["jac"]
+               for r in shingle_jaccard_pairs(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def shingles(text):
         t = text.split(" ")
