@@ -141,13 +141,6 @@ def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the sentinel pair can only match each other (filtered post-drain).
 _J13_SENTINEL_DAYS = 30
 
-#: sf_dir -> the PRE-filter drained memory table from the latest j13
-#: drain, kept so the sentinel pin can prove the post-drain filter
-#: removed EXACTLY the (-1, -2) self-match — asserting on the filtered
-#: output alone is vacuous (ADVICE r16).  Output is deterministic, so
-#: any drain's table is representative.
-_J13_PRE_FILTER: dict[str, DataFrame] = {}
-
 
 @_stage(
     "j13_stream_outer_join",
@@ -249,9 +242,16 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("pts") + F.expr("INTERVAL 10 MINUTES")),
         "left_outer").select("pid", "cid")
     out = _run_to_memory(joined, "j13", "append", state_partitions=8)
-    _J13_PRE_FILTER[sf_dir] = out
-    # post-drain batch filter over the memory sink (see docstring)
-    return out.filter(F.col("pid") >= 0)
+    # post-drain batch filter over the memory sink (see docstring); the
+    # PRE-filter drained table rides along as an attribute of the
+    # returned frame — the sentinel pin must prove the filter removed
+    # EXACTLY the (-1, -2) self-match (asserting on the filtered output
+    # alone is vacuous, ADVICE r16), and an attached attribute scopes
+    # that test surface to the frame's lifetime instead of a module
+    # global retaining DataFrames for the process (ADVICE r17)
+    filtered = out.filter(F.col("pid") >= 0)
+    filtered.j13_pre_filter = out
+    return filtered
 
 
 # ---- k18: audio silence segmentation (framed energy x gaps-and-islands) ----

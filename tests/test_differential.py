@@ -237,6 +237,51 @@ def test_documents_queries_match_oracle_with_null_text(name, spark):
         con.close()
 
 
+def test_j12_batch_twin_matches_oracle_with_null_text(spark):
+    # j12 is excluded from the per-run documents sweep above (a
+    # stream-drain per run — registry.STREAMING), which left its
+    # NULL-text contract covered only by the one-time registration
+    # probe recorded in SURVEY §7.16; this pins it PER RUN through the
+    # drain-free batch twin (ADVICE r17): the identical band pipeline —
+    # same j12_bands_frame kernel, same re-keyed src19 batch side —
+    # built in batch over the null-docs fixture, WITHOUT the registered
+    # fn's explicit isNotNull pre-filter, must still match the oracle
+    # (whose WHERE text IS NOT NULL is the contract): a NULL text
+    # yields NULL tokens, and the kernel's size(t) >= 3 gate degrades
+    # it to zero band rows on its own.
+    from pyspark.sql import functions as F
+
+    from csv_to_parquet_aws_datalake_spark.loader import load_table
+    from csv_to_parquet_aws_datalake_spark.streaming.queries import (
+        _J12_REKEY,
+        j12_bands_frame,
+    )
+    from tests.differential import make_oracle_con
+
+    ndir = _null_docs_dir()
+    d = load_table(spark, ndir, "documents")
+    # non-vacuity: the fixture must carry NULL-text docs feeding the
+    # CORPUS side (the doc_id % 20 == 7 stripe spans all sources; at
+    # sf0.001 it happens to miss the src19 batch slice, so the corpus
+    # side is the one this twin exercises — both sides run the same
+    # j12_bands_frame kernel)
+    assert d.filter(F.col("text").isNull()).count() > 0
+    corpus = j12_bands_frame(d).withColumnRenamed("doc_id", "corpus_doc")
+    batch = (d.filter(F.col("source") == "src19")
+             .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),
+                     "text"))
+    twin = (j12_bands_frame(batch)
+            .withColumnRenamed("doc_id", "batch_doc")
+            .join(corpus, ["b", "bk"])
+            .groupBy("batch_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).alias("n_band_hits")))
+    con = make_oracle_con(ndir)
+    try:
+        compare(twin, con, registry.ORACLES["j12_stream_neardup_ingest"])
+    finally:
+        con.close()
+
+
 # ---------------------------------------------------------------------------
 # Null-bearing EMBEDDINGS variant (r12, completing the null blind-spot
 # closure across all three nullable-payload tables): ~4% NULL embedding

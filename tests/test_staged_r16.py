@@ -35,11 +35,19 @@ def test_staged_r16_not_registered():
 #: to executing when the memo is cold (e.g. under -k selection).
 _ROWS_MEMO: dict[tuple[str, str], list] = {}
 
+#: (name, sf_dir) -> the returned DataFrame itself, for pins that read
+#: frame-attached test surfaces (j13's pre-filter table rides on the
+#: returned frame as `j13_pre_filter` — ADVICE r17 removed the module
+#: global it used to live in)
+_DF_MEMO: dict[tuple[str, str], object] = {}
+
 
 def _staged_rows(name: str, spark, sf_dir: str) -> list:
     key = (name, sf_dir)
     if key not in _ROWS_MEMO:
-        _ROWS_MEMO[key] = STAGED[name][0](spark, sf_dir).collect()
+        df = STAGED[name][0](spark, sf_dir)
+        _DF_MEMO[key] = df
+        _ROWS_MEMO[key] = df.collect()
     return _ROWS_MEMO[key]
 
 
@@ -50,6 +58,7 @@ def test_staged_r16_matches_oracle(name, spark, oracle, sf_dir):
     assert_no_antipatterns(name, df)
     assert sql is not None
     rows = df.collect()
+    _DF_MEMO[(name, sf_dir)] = df
     _ROWS_MEMO[(name, sf_dir)] = rows
     compare(df, oracle, sql, s_rows=rows)
 
@@ -135,15 +144,12 @@ def test_j13_outer_join_pins(spark, sf_dir):
     # drained table must contain the (-1, -2) sentinel self-match, no
     # OTHER negative row on either column, and dropping that one pair
     # must yield exactly the registered output — proving the filter
-    # removed the sentinel pair and nothing else
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _J13_PRE_FILTER,
-    )
-    # _J13_PRE_FILTER[sf_dir] is guaranteed warm: the _staged_rows call
-    # above executes the query fn whenever the memo is cold, and the fn
-    # populates the pre-filter table before returning (review r17
-    # removed an unreachable re-drain branch here)
-    pre = {(r["pid"], r["cid"]) for r in _J13_PRE_FILTER[sf_dir].collect()}
+    # removed the sentinel pair and nothing else.  The pre-filter table
+    # rides on the returned frame as `j13_pre_filter` (ADVICE r17 —
+    # guaranteed warm: the _staged_rows call above memoizes the frame
+    # whenever the memo is cold)
+    pre_df = _DF_MEMO[("j13_stream_outer_join", sf_dir)].j13_pre_filter
+    pre = {(r["pid"], r["cid"]) for r in pre_df.collect()}
     assert {(p, c) for p, c in pre if p < 0} == {(-1, -2)}
     assert not any(c is not None and c < 0 for p, c in pre if p >= 0)
     assert {(p, c) for p, c in pre if p >= 0} == got

@@ -1203,6 +1203,13 @@ def test_changed_family_gate_mechanics(monkeypatch, tmp_path):
     closure = plan_audit._import_closure(f"{pkg}.operators.llm_vectors")
     assert f"{pkg}.operators.llm_text" in closure
     assert f"{pkg}.functions.vector" in closure
+    # 'from . import sub' names MODULES: a closure that reaches a
+    # package __init__ (here the operators package's parenthesized
+    # multi-line re-export) must pull in the re-exported submodules,
+    # not stop at the __init__ file (ADVICE r17)
+    init_closure = plan_audit._import_closure(f"{pkg}.operators")
+    assert f"{pkg}.operators.scans" in init_closure
+    assert f"{pkg}.operators.windows" in init_closure
 
     state_path = str(tmp_path / "state.json")
     monkeypatch.setattr(plan_audit, "STATE_PATH", state_path)

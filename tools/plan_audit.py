@@ -111,7 +111,10 @@ def sweep(spark, sf_dir: str, prefixes: tuple[str, ...] = ("",),
 # everything whenever a shared input (session confs, loader, sources,
 # budgets, this tool, the sf0.001 data layout) changed.  State lives in
 # tools/plan_sweep_state.json, written ONLY after a green sweep, so a red or
-# interrupted run always re-sweeps.
+# interrupted run always re-sweeps.  The state file is a PER-MACHINE cache
+# (gitignored, never committed — ADVICE r17): shipping one machine's green
+# record would make the sweep a silent no-op anywhere the environment
+# fingerprint happens to match, and test runs would churn the working tree.
 
 STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "plan_sweep_state.json")
@@ -169,12 +172,51 @@ def _import_closure(mod_name: str) -> set[str]:
         with open(path) as fh:
             src = fh.read()
         is_pkg = os.path.basename(path) == "__init__.py"
-        for dots, target in re.findall(
-                r"^\s*from\s+(\.+)([\w.]*)\s+import", src, re.M):
+        for dots, target, names_txt in re.findall(
+                r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)",
+                src, re.M):
             nxt = _resolve_rel_import(m, dots, target, is_pkg=is_pkg)
-            if nxt and nxt.startswith("csv_to_parquet_aws_datalake_spark"):
-                todo.append(nxt)
+            if not (nxt and
+                    nxt.startswith("csv_to_parquet_aws_datalake_spark")):
+                continue
+            todo.append(nxt)
+            # 'from . import sub' / 'from ..pkg import mod' name MODULES,
+            # not just symbols: when the resolved target is a package,
+            # every imported name that is itself a module file belongs in
+            # the closure — resolving to the package __init__ alone would
+            # silently drop that dependency from the change fingerprint
+            # (ADVICE r17).  Non-module names (symbols, 'as' aliases)
+            # simply fail the _module_file probe and are skipped.
+            path_nxt = _module_file(nxt)
+            if path_nxt and os.path.basename(path_nxt) == "__init__.py":
+                # strip comments PER LINE: a parenthesized import spans
+                # lines, and splitting the whole capture at the first
+                # '#' would drop every name after an inline comment
+                names_src = "\n".join(
+                    ln.split("#")[0] for ln in names_txt.splitlines())
+                for nm in re.findall(r"[A-Za-z_]\w*", names_src):
+                    sub = f"{nxt}.{nm}"
+                    if _module_file(sub):
+                        todo.append(sub)
     return {m for m in seen if _module_file(m)}
+
+
+def _fold_testdata(g, path: str) -> None:
+    """Fold one testdata path (file or directory-style parquet output)
+    into the global fingerprint: relative name, size, mtime, and the
+    first/last 4 KiB of each file's content (see the ADVICE-r17 note at
+    the call site)."""
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            _fold_testdata(g, os.path.join(path, f))
+        return
+    st = os.stat(path)
+    g.update(f"{os.path.basename(path)}:{st.st_size}:"
+             f"{st.st_mtime_ns}:".encode())
+    with open(path, "rb") as fh:
+        g.update(fh.read(4096))
+        fh.seek(max(0, st.st_size - 4096))
+        g.update(fh.read(4096))
 
 
 def _fingerprints(sf_dir: str) -> dict:
@@ -205,9 +247,14 @@ def _fingerprints(sf_dir: str) -> dict:
             g.update(p.encode() + b"\0" + _sha_file(p).encode())
     # the sf layout: budgets were written at sf0.001 and the INITIAL
     # adaptive plan's join strategies depend on scan-size estimates, so a
-    # regenerated testdata tree must re-sweep everything
+    # regenerated testdata tree must re-sweep everything.  Name + size
+    # alone is forgeable (a regenerated tree with identical sizes, or a
+    # directory-style parquet output where getsize stats a constant
+    # 4096), so fold in mtime plus the first/last 4 KiB of content —
+    # parquet footers carry the row-group stats, so any regeneration
+    # lands in the tail bytes (ADVICE r17)
     for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        g.update(f"{os.path.basename(p)}:{os.path.getsize(p)}".encode())
+        _fold_testdata(g, p)
 
     file_sha: dict[str, str] = {}
     mods: dict[str, str] = {}
