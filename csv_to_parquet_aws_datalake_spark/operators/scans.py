@@ -556,3 +556,63 @@ def a18_glob_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("tp"),
     )
+
+
+#: a19 read-back schema — declared, never inferred (the a02/a04 contract:
+#: inference is a separate operator's concern; a roundtrip must land in
+#: the exact source types)
+_A19_SCHEMA = ("doc_id long, lang string,"
+               " meta struct<source:string, n_chars:bigint>, text string")
+
+
+@query(
+    "a19_xml_roundtrip",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(text) AS BIGINT) AS n_texts,
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
+               CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_meta_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+        FROM documents GROUP BY 1
+    """,
+)
+def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> XML (native Spark 4 XML source, no external package)
+    -> declared-schema read-back -> per-language census whose md5
+    min/max/distinct columns prove the text survived BYTE-EXACT through
+    XML escaping (&, <, >, quotes), newlines, tabs, multibyte unicode,
+    empty strings, and NULLs (absent elements) — the oracle runs on the
+    ORIGINAL table, so any serialization loss breaks the hash.  The
+    nested ``meta`` struct exercises XML's element nesting (the format's
+    point vs CSV), verified through sum_meta_chars.
+
+    ``ignoreSurroundingSpaces=false`` is load-bearing on the read: the
+    default trims element text, corrupting any document with leading or
+    trailing whitespace (probed before design was frozen; all the edge
+    classes above roundtrip exactly under this option).
+
+    Scale shape: XML is a RAW-ZONE interchange format — per-FILE
+    parallel (a rowTag record can span lines, so intra-file splits are
+    not generally safe); the roundtrip's job at 100 TB is exactly this
+    query's: convert to parquet once, aggregate from columnar after.
+    The census itself is one map-side-combined hash aggregate (2 real
+    exchanges: countDistinct(md5) is a two-phase aggregate)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.struct("source", "n_chars").alias("meta"), "text"))
+    xml_dir = scratch_dir("a19", sf_dir, "xml")
+    d.write.mode("overwrite").option("rowTag", "doc").xml(xml_dir)
+    back = (spark.read.schema(_A19_SCHEMA)
+            .option("rowTag", "doc")
+            .option("ignoreSurroundingSpaces", "false")
+            .xml(xml_dir))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("text").alias("n_texts"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("sum_chars"),
+        F.coalesce(F.sum("meta.n_chars"), F.lit(0)).alias("sum_meta_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.max(F.md5("text")).alias("max_md5"),
+    )

@@ -17,13 +17,10 @@ executed j12 ON schedule (moved to its family home in
 streaming/queries.py; signature-equality and reingest pins graduated
 to tests/test_r17_queries.py) and PULLED c18 FORWARD from the spares
 (moved to operators/joins.py; false-negative and plan-shape pins
-graduated likewise).
+graduated likewise).  Round 18 executed a19 ON schedule (moved to its
+family home in operators/scans.py; byte-exact and hostile-content pins
+graduated to tests/test_r18_queries.py).
 
-- a19 XML roundtrip — REGISTERS r18: the a-family's remaining source
-  format (Spark 4 ships XML natively; CSV/JSON/ORC/text/gzip/
-  jsonlines/glob/catalog/Python-datasource are all registered), with
-  byte-exact text fidelity through XML escaping proven by md5 columns
-  against an oracle over the ORIGINAL table.
 - j13 stream-stream LEFT OUTER join — REGISTERS r19: j08 proves the
   inner stream-stream join, whose output is complete after one drain;
   the OUTER side's defining semantics — a NULL-padded row emitted only
@@ -72,67 +69,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# ---- a19: XML roundtrip (native Spark 4 XML source) -----------------------
-
-#: read-back schema — declared, never inferred (the a02/a04 contract:
-#: inference is a separate operator's concern; a roundtrip must land in
-#: the exact source types)
-_A19_SCHEMA = ("doc_id long, lang string,"
-               " meta struct<source:string, n_chars:bigint>, text string")
-
-
-@_stage(
-    "a19_xml_roundtrip",
-    oracle="""
-        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(count(text) AS BIGINT) AS n_texts,
-               CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
-               CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_meta_chars,
-               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-               min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
-        FROM documents GROUP BY 1
-    """,
-)
-def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents -> XML (native Spark 4 XML source, no external package)
-    -> declared-schema read-back -> per-language census whose md5
-    min/max/distinct columns prove the text survived BYTE-EXACT through
-    XML escaping (&, <, >, quotes), newlines, tabs, multibyte unicode,
-    empty strings, and NULLs (absent elements) — the oracle runs on the
-    ORIGINAL table, so any serialization loss breaks the hash.  The
-    nested ``meta`` struct exercises XML's element nesting (the format's
-    point vs CSV), verified through sum_meta_chars.
-
-    ``ignoreSurroundingSpaces=false`` is load-bearing on the read: the
-    default trims element text, corrupting any document with leading or
-    trailing whitespace (probed before design was frozen; all the edge
-    classes above roundtrip exactly under this option).
-
-    Scale shape: XML is a RAW-ZONE interchange format — per-FILE
-    parallel (a rowTag record can span lines, so intra-file splits are
-    not generally safe); the roundtrip's job at 100 TB is exactly this
-    query's: convert to parquet once, aggregate from columnar after.
-    The census itself is one map-side-combined hash aggregate."""
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", "lang",
-                 F.struct("source", "n_chars").alias("meta"), "text"))
-    xml_dir = scratch_dir("a19", sf_dir, "xml")
-    d.write.mode("overwrite").option("rowTag", "doc").xml(xml_dir)
-    back = (spark.read.schema(_A19_SCHEMA)
-            .option("rowTag", "doc")
-            .option("ignoreSurroundingSpaces", "false")
-            .xml(xml_dir))
-    return back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count("text").alias("n_texts"),
-        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("sum_chars"),
-        F.coalesce(F.sum("meta.n_chars"), F.lit(0)).alias("sum_meta_chars"),
-        F.countDistinct(F.md5("text")).alias("n_distinct"),
-        F.min(F.md5("text")).alias("min_md5"),
-        F.max(F.md5("text")).alias("max_md5"),
-    )
 
 
 # ---- j13: stream-stream LEFT OUTER join (flush-sentinel bounded) -----------

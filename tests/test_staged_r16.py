@@ -1,12 +1,13 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's named moves (revised r16 ledger: a19 XML roundtrip, slated r18;
-j13 outer stream join, slated r19; k18 audio silence segmentation,
-slated r20).  The original bank's j11 TTL dedup registered on schedule
-in r16, i67 RRF fusion was pulled forward to r16, and j12 streaming
-near-dup ingest registered on schedule in r17 — their pins graduated
-to tests/test_r16_queries.py / test_r17_queries.py."""
+bank's named moves (revised r16 ledger: j13 outer stream join, slated
+r19; k18 audio silence segmentation, slated r20).  The original bank's
+j11 TTL dedup registered on schedule in r16, i67 RRF fusion was pulled
+forward to r16, j12 streaming near-dup ingest registered on schedule
+in r17, and a19 XML roundtrip registered on schedule in r18 — their
+pins graduated to tests/test_r16_queries.py / test_r17_queries.py /
+test_r18_queries.py."""
 
 from __future__ import annotations
 
@@ -72,58 +73,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_a19_roundtrip_is_byte_exact(spark, sf_dir):
-    # frame-level fidelity, stronger than the census: the roundtripped
-    # frame must equal the original ROW FOR ROW (the census's md5
-    # min/max/distinct would catch most corruption; this catches all)
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _A19_SCHEMA,
-    )
-    from csv_to_parquet_aws_datalake_spark.sources.io_paths import (
-        scratch_dir,
-    )
-
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .select("doc_id", "lang",
-                 F.struct("source", "n_chars").alias("meta"), "text"))
-    STAGED["a19_xml_roundtrip"][0](spark, sf_dir)  # writes the xml dir
-    back = (spark.read.schema(_A19_SCHEMA)
-            .option("rowTag", "doc")
-            .option("ignoreSurroundingSpaces", "false")
-            .xml(scratch_dir("a19", sf_dir, "xml")))
-    want = sorted(map(tuple, d.collect()))
-    got = sorted(map(tuple, back.collect()))
-    assert got == want
-
-
-def test_a19_survives_hostile_xml_content(spark, tmp_path):
-    # the corpus may not contain every escaping class — prove the
-    # roundtrip on a crafted frame: markup characters, entities that
-    # must NOT double-escape, surrounding whitespace (the
-    # ignoreSurroundingSpaces=false contract), newlines, tabs,
-    # multibyte text, empty string, NULL
-    rows = [
-        (1, "a < b & c > d"),
-        (2, "already &amp; escaped &lt;text&gt;"),
-        (3, "  surrounded  "),
-        (4, "line1\nline2\tand tab"),
-        (5, "<doc>fake closing tag</doc>"),
-        (6, "émoji \U0001F600 ünïcode"),
-        (7, ""),
-        (8, None),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = str(tmp_path / "xml")
-    df.write.mode("overwrite").option("rowTag", "doc").xml(out)
-    back = (spark.read.schema("doc_id long, text string")
-            .option("rowTag", "doc")
-            .option("ignoreSurroundingSpaces", "false").xml(out))
-    got = {r["doc_id"]: r["text"] for r in back.collect()}
-    assert got == dict(rows)
 
 
 def test_j13_outer_join_pins(spark, sf_dir):
