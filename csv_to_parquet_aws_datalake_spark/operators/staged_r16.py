@@ -19,7 +19,9 @@ to tests/test_r17_queries.py) and PULLED c18 FORWARD from the spares
 (moved to operators/joins.py; false-negative and plan-shape pins
 graduated likewise).  Round 18 executed a19 ON schedule (moved to its
 family home in operators/scans.py; byte-exact and hostile-content pins
-graduated to tests/test_r18_queries.py).
+graduated to tests/test_r18_queries.py) and PULLED i68 FORWARD from
+the spares (moved to operators/llm_text.py beside the i34 kernel it
+calibrates; invariant and exact-dup pins graduated likewise).
 
 - j13 stream-stream LEFT OUTER join — REGISTERS r19: j08 proves the
   inner stream-stream join, whose output is complete after one drain;
@@ -36,12 +38,9 @@ graduated to tests/test_r18_queries.py).
   (exact integer sum-of-squares, no float ever compared) and census
   the active RUNS per clip: the silence-trim primitive k15's docstring
   names, and the first multimodal x window-function composition.
-- i68 LSH calibration census — SPARE: the empirical form of the
-  MinHash identity E[slot agreement] = J — per banding candidate,
-  signature slot-agreement (the engine's cheap estimate) bucketed
-  against EXACT shingle Jaccard in e6 fixed point, composing the
-  registered i34 and i03 kernels; the measurement a production corpus
-  runs before choosing its band geometry.
+Remaining spares after the r18 i68 pull-forward: h26 VARIANT
+semi-structured extraction, h27 collated grouping, j14 state-store
+inspection.
 """
 
 from __future__ import annotations
@@ -303,128 +302,6 @@ def audio_segments_frame(binary: DataFrame) -> DataFrame:
         F.sum("seg_len").alias("n_active_frames"),
         F.max("seg_len").alias("longest_run"),
         F.min("seg_start").alias("first_active_frame"))
-
-
-# ---- i68: LSH calibration census (estimated vs exact Jaccard) --------------
-
-def _i68_oracle() -> str:
-    mins = ",\n                   ".join(
-        f"min(substr(h{k // 4}, {(k % 4) * 8 + 1}, 8)) AS s{k}"
-        for k in range(8))
-    bands = "\n            UNION ALL ".join(
-        f"SELECT doc_id, {j} AS b, md5(s{2*j} || s{2*j+1}) AS bk FROM sig"
-        for j in range(4))
-    slots = " + ".join(
-        f"CASE WHEN sa.s{k} = sb.s{k} THEN 1 ELSE 0 END" for k in range(8))
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            WHERE len(string_split(text, ' ')) >= 3
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, len(t) - 1),
-                          i -> array_to_string(t[i:i+2], ' '))) AS sh
-            FROM toks
-        ), hashed AS (
-            SELECT doc_id, md5('0|' || sh) AS h0, md5('1|' || sh) AS h1
-            FROM sh
-        ), sig AS (
-            SELECT doc_id, {mins}
-            FROM hashed GROUP BY 1
-        ), bands AS (
-            {bands}
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
-        ), m AS (
-            SELECT da, db, ({slots}) AS n_sig_match
-            FROM cand
-            JOIN sig sa ON da = sa.doc_id
-            JOIN sig sb ON db = sb.doc_id
-        ), counts AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), shared AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jx AS (
-            SELECT m.n_sig_match,
-                   (coalesce(s.shared, 0) * 1000000)
-                     // (ca.n + cb.n - coalesce(s.shared, 0)) AS jacc_e6
-            FROM m
-            LEFT JOIN shared s ON m.da = s.da AND m.db = s.db
-            JOIN counts ca ON m.da = ca.doc_id
-            JOIN counts cb ON m.db = cb.doc_id
-        )
-        SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(jacc_e6) // count(*) AS BIGINT) AS mean_jacc_e6,
-               CAST(min(jacc_e6) AS BIGINT) AS min_jacc_e6,
-               CAST(max(jacc_e6) AS BIGINT) AS max_jacc_e6
-        FROM jx GROUP BY 1
-    """
-
-
-@_stage("i68_lsh_calibration", oracle=_i68_oracle())
-def i68_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH calibration census: for every banding CANDIDATE pair, compare
-    the signature-side similarity estimate (n_sig_match of 8 slots —
-    what the engine can see cheaply) against the EXACT shingle Jaccard
-    (what it is estimating), bucketed by slot agreement — the
-    measurement a production corpus runs before choosing its band
-    geometry (the bands x rows trade-off every LSH docstring in this
-    repo cites as "the LSH knob") and the empirical form of the MinHash
-    identity E[slot agreement] = J.  Composes the two REGISTERED
-    kernels rather than forking them: candidates + slot counts from
-    i34's `minhash_band_pairs`, exact Jaccard in the i03 shape (shared
-    shingles via equi-join, never all-pairs), held in e6 fixed point so
-    the mean is an integer division — no float is ever aggregated.
-
-    A band-key collision between docs sharing ZERO shingles is
-    astronomically unlikely but handled: the shared-shingle join is a
-    LEFT join with shared coalesced to 0 (exact Jaccard 0), so such a
-    pair lands in its bucket instead of vanishing.
-
-    Scale shape: both inputs are the registered formulations with their
-    own measured sublinearity rows (minhash-band, i03's shingle
-    equi-join); the calibration itself is a bounded join between the
-    candidate set and the shared-count set followed by a 9-row-key
-    aggregation with map-side combine."""
-    from .llm_text import _SHINGLES_SPARK, minhash_band_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_band_pairs(d)
-
-    docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
-    ).localCheckpoint()  # reused 3x (counts + both shared-join sides)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shared = (
-        sh.alias("a")
-        .join(sh.alias("b"),
-              (F.col("a.sh") == F.col("b.sh"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jx = (
-        pairs.join(shared, ["da", "db"], "left")
-        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
-        .join(counts.alias("ca"), F.col("da") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("db") == F.col("cb.doc_id"))
-        .select(
-            F.col("n_sig_match").cast("long").alias("n_sig_match"),
-            F.expr("(shared * 1000000)"
-                   " div (ca.n + cb.n - shared)").alias("jacc_e6"))
-    )
-    return jx.groupBy("n_sig_match").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.expr("sum(jacc_e6) div count(1)").alias("mean_jacc_e6"),
-        F.min("jacc_e6").alias("min_jacc_e6"),
-        F.max("jacc_e6").alias("max_jacc_e6"))
 
 
 # ---- h26: VARIANT semi-structured extraction (Spark 4 native type) ---------

@@ -210,52 +210,6 @@ def test_k18_kernel_on_crafted_payloads(spark):
     }
 
 
-def test_i68_calibration_invariants(spark, sf_dir):
-    # mechanism pins behind the oracle: (1) banding candidates share at
-    # least one full band, so every bucket is in [2, 8]; (2) the
-    # corpus's near-duplicate pairs populate the top bucket (the
-    # banding fixture is non-vacuous); (3) estimates are calibrated in
-    # DIRECTION: the mean exact Jaccard in bucket 8 exceeds the mean in
-    # the lowest populated bucket.  (The corpus carries no byte-exact
-    # text duplicates at the test SFs — probed — so the exact-dup
-    # jacc = 1.0 identity is pinned on a crafted frame instead.)
-    rows = {r["n_sig_match"]: r
-            for r in _staged_rows("i68_lsh_calibration", spark, sf_dir)}
-    assert rows and all(2 <= b <= 8 for b in rows)
-    assert 8 in rows
-    lo = min(rows)
-    if lo < 8:
-        assert rows[8]["mean_jacc_e6"] > rows[lo]["mean_jacc_e6"]
-
-
-def test_i68_exact_duplicates_land_in_bucket_8(spark):
-    # the MinHash no-false-negative identity through the calibration
-    # lens, on a crafted frame (the corpus has no byte-exact dups):
-    # identical texts must bucket at n_sig_match = 8 with exact
-    # Jaccard 1.0; the unrelated filler must never reach their bucket
-    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        _SHINGLES_SPARK,
-        minhash_band_pairs,
-    )
-    from pyspark.sql import functions as F
-
-    d = spark.createDataFrame(
-        [(1, "the quick brown fox jumps over the lazy dog"),
-         (2, "the quick brown fox jumps over the lazy dog"),
-         (3, "a completely different document about spark engines")],
-        "doc_id long, text string")
-    pairs = minhash_band_pairs(d)
-    docs = d.withColumn("t", F.split("text", " "))
-    sh = docs.select("doc_id", F.explode(
-        F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"))
-    counts = {r["doc_id"]: r["n"] for r in
-              sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-              .collect()}
-    got = {(r["da"], r["db"]): r["n_sig_match"] for r in pairs.collect()}
-    assert got == {(1, 2): 8}
-    assert counts[1] == counts[2]  # identical shingle sets -> J = 1.0
-
-
 def test_h26_variant_try_semantics(spark, sf_dir):
     # the try-typed extraction contract, pinned per shape: the numeric
     # shape types every k (n_k_typed = n), the string shape types NONE

@@ -324,8 +324,9 @@ def kernels():
     from pyspark.sql import functions as F
 
     from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
-        gopher_rule_breakdown, minhash_band_pairs, quality_classifier_scores,
-        span_dedup_spans, tfidf_top_terms, token_tf_df,
+        gopher_rule_breakdown, lsh_calibration_frame, minhash_band_pairs,
+        quality_classifier_scores, span_dedup_spans, tfidf_top_terms,
+        token_tf_df,
     )
     from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
         audio_segments_frame,
@@ -375,7 +376,14 @@ def kernels():
     # the quality-filter family (r13, VERDICT r12 item 3): both kernels
     # are the registered/staged formulations — map-side array transforms,
     # i56 adding ONE fixed-cardinality source rollup, i65 zero exchanges
+    # calibration drives the registered i68 kernel: banding candidates
+    # (the i34 kernel) joined against exact shared-shingle Jaccard (the
+    # i03 equi-join shape); token-prefixed replicas keep shingles
+    # per-shard unique, so candidates, shared pairs, and the shingle
+    # join's output all grow exactly K-fold while the 9-key final
+    # aggregate stays constant
     return {"banding[i34-kernel]": minhash_band_pairs,
+            "calibration[i68-kernel]": lsh_calibration_frame,
             "dedup-shape": exact_dedup,
             "tfidf[i08-kernel]": tfidf_top_terms,
             "token-stats[i07-kernel]": token_tf_df,
