@@ -1487,3 +1487,82 @@ def test_srp_code_sign_boundary_on_crafted_vectors(spark):
     assert got[10] == 4   # the dot==0 bit stayed unset
     assert got[12] == 0   # all-zero vector lands in bucket 0
     assert all(c < 8 for c in got.values())  # b3's NULL bit never set
+
+
+def test_i68_calibration_buckets_on_crafted_frame(spark):
+    # i68's bucket construction (slot agreement, band-collision
+    # candidates) and its jacc_e6 = (shared * 1e6) div (na + nb -
+    # shared) fixed-point arithmetic all mirror the oracle — the
+    # both-engines-wrong class the r17 census closed for i03/i21/i16.
+    # Drive the registered kernel on a crafted frame whose pairs land
+    # in FOUR different buckets (4/5/7/8 — including two multi-pair
+    # buckets exercising the integer-mean division and an exact dup
+    # pinning the J = 1.0 identity), against a from-scratch pure-Python
+    # recomputation via hashlib — signatures, bands, candidates, shared
+    # counts, and the bucket census all recomputed independently.
+    import hashlib
+    import itertools
+
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        lsh_calibration_frame,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox leaps over the lazy dog tonight"),
+        (4, "a completely different document about spark engines here"),
+        (5, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny frame: 32-partition shuffles are pure task overhead (the
+    # r17 census suite-cost lesson)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        got = {r["n_sig_match"]:
+               (r["n_pairs"], r["mean_jacc_e6"],
+                r["min_jacc_e6"], r["max_jacc_e6"])
+               for r in lsh_calibration_frame(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def shingles(text: str) -> set[str]:
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    def sig(shs: set[str]) -> list[str]:
+        return [min(md5(f"{k // 4}|{sh}")[(k % 4) * 8:(k % 4) * 8 + 8]
+                    for sh in shs) for k in range(8)]
+
+    def bands(s: list[str]) -> set[tuple[int, str]]:
+        return {(j, md5(s[2 * j] + s[2 * j + 1])) for j in range(4)}
+
+    sets = {i: shingles(tx) for i, tx in rows}
+    sigs = {i: sig(v) for i, v in sets.items()}
+    bds = {i: bands(s) for i, s in sigs.items()}
+    buckets: dict[int, list[int]] = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if not bds[a] & bds[b]:
+            continue
+        nm = sum(sigs[a][k] == sigs[b][k] for k in range(8))
+        shared = len(sets[a] & sets[b])
+        buckets.setdefault(nm, []).append(
+            shared * 1_000_000 // (len(sets[a]) + len(sets[b]) - shared))
+    want = {nm: (len(js), sum(js) // len(js), min(js), max(js))
+            for nm, js in buckets.items()}
+    assert got == want
+    # the fixture is non-vacuous as crafted: four distinct buckets, two
+    # of them multi-pair (the mean division is load-bearing), a genuine
+    # partial overlap strictly inside (0, 1e6), the exact-dup identity
+    # at exactly 1e6, and the unrelated doc 4 in no bucket at all
+    assert set(got) == {4, 5, 7, 8}
+    assert got[5][0] == 2 and got[7][0] == 2
+    assert 0 < got[4][1] < 1_000_000
+    assert got[8] == (1, 1_000_000, 1_000_000, 1_000_000)
+    assert not any(4 in (a, b)
+                   for a, b in itertools.combinations(sorted(sets), 2)
+                   if bds[a] & bds[b])
