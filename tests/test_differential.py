@@ -217,8 +217,9 @@ def _null_docs_dir() -> str:
 
 def _documents_queries() -> list[str]:
     # stream-drains excluded like the events sweep (j12 is the first
-    # documents-reading streaming query): swept once at registration —
-    # null-docs probe recorded in SURVEY §7.16 — not per-run
+    # documents-reading streaming query): its NULL-text contract runs
+    # per-run through the drain-free batch twin below (ADVICE r17)
+    # instead of a per-run drain
     return sorted(
         n for n, sql in registry.ORACLES.items()
         if "documents" in sql and n not in registry.STREAMING)
