@@ -1210,6 +1210,17 @@ def test_changed_family_gate_mechanics(monkeypatch, tmp_path):
     init_closure = plan_audit._import_closure(f"{pkg}.operators")
     assert f"{pkg}.operators.scans" in init_closure
     assert f"{pkg}.operators.windows" in init_closure
+    # ...and EXCLUSION is as load-bearing as inclusion (review r18):
+    # every query module imports registry, whose load_all imports the
+    # whole package — the walk must stop at global shared-input modules
+    # or every closure degrades to all 25 modules and the gate re-runs
+    # a full sweep on any operator edit.  scans has no genuine
+    # dependency on the other operator families or streaming.
+    scans_closure = plan_audit._import_closure(f"{pkg}.operators.scans")
+    assert f"{pkg}.registry" in scans_closure  # included, not scanned
+    assert f"{pkg}.operators.llm_text" not in scans_closure
+    assert f"{pkg}.streaming.queries" not in scans_closure
+    assert f"{pkg}.operators.windows" not in scans_closure
 
     state_path = str(tmp_path / "state.json")
     monkeypatch.setattr(plan_audit, "STATE_PATH", state_path)

@@ -152,12 +152,31 @@ def _module_file(mod_name: str) -> str | None:
     return cand if os.path.exists(cand) else None
 
 
+#: modules whose changes are covered by the GLOBAL shared-input
+#: fingerprint (_fingerprints' `shared` list).  The closure walk
+#: includes them but never scans INSIDE them: descending into
+#: registry.load_all's import-everything glue would fold every package
+#: module into every query module's closure and silently degrade the
+#: changed-family gate back to a full sweep on any operator edit — the
+#: exact cost the gate exists to avoid (review r18; their own deps are
+#: re-swept through the global fingerprint instead).
+_PKG_ROOT = "csv_to_parquet_aws_datalake_spark"
+_GLOBAL_MODULES = {_PKG_ROOT, f"{_PKG_ROOT}.registry",
+                   f"{_PKG_ROOT}.session", f"{_PKG_ROOT}.loader"}
+
+
+def _is_global_module(mod_name: str) -> bool:
+    return (mod_name in _GLOBAL_MODULES
+            or mod_name.startswith(f"{_PKG_ROOT}.sources"))
+
+
 def _import_closure(mod_name: str) -> set[str]:
     """mod_name plus every package-internal module it (transitively)
     imports, found by scanning source for relative-import statements —
     cross-family kernel reuse (llm_vectors -> llm_text's BM25, operators ->
     functions.scalar) must invalidate the importer when the imported file
-    changes."""
+    changes.  Global shared-input modules terminate the walk (see
+    `_GLOBAL_MODULES`)."""
     import re
     seen: set[str] = set()
     todo = [mod_name]
@@ -166,18 +185,26 @@ def _import_closure(mod_name: str) -> set[str]:
         if m in seen:
             continue
         seen.add(m)
+        if _is_global_module(m) and m != mod_name:
+            continue
         path = _module_file(m)
         if path is None:
             continue
         with open(path) as fh:
-            src = fh.read()
+            # strip comments PER LINE before any matching: a ')' or a
+            # name list inside an inline comment must never truncate or
+            # pollute a parenthesized import's capture (review r18)
+            src = "\n".join(ln.split("#")[0]
+                            for ln in fh.read().splitlines())
         is_pkg = os.path.basename(path) == "__init__.py"
+        # the name-list branch accepts parenthesized multi-line imports,
+        # 'import(...)' with no space (\s*), and backslash continuations
         for dots, target, names_txt in re.findall(
-                r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)",
+                r"^\s*from\s+(\.+)([\w.]*)\s+import"
+                r"\s*(\([^)]*\)|(?:[^\n]*\\\n)*[^\n]*)",
                 src, re.M):
             nxt = _resolve_rel_import(m, dots, target, is_pkg=is_pkg)
-            if not (nxt and
-                    nxt.startswith("csv_to_parquet_aws_datalake_spark")):
+            if not (nxt and nxt.startswith(_PKG_ROOT)):
                 continue
             todo.append(nxt)
             # 'from . import sub' / 'from ..pkg import mod' name MODULES,
@@ -189,12 +216,7 @@ def _import_closure(mod_name: str) -> set[str]:
             # simply fail the _module_file probe and are skipped.
             path_nxt = _module_file(nxt)
             if path_nxt and os.path.basename(path_nxt) == "__init__.py":
-                # strip comments PER LINE: a parenthesized import spans
-                # lines, and splitting the whole capture at the first
-                # '#' would drop every name after an inline comment
-                names_src = "\n".join(
-                    ln.split("#")[0] for ln in names_txt.splitlines())
-                for nm in re.findall(r"[A-Za-z_]\w*", names_src):
+                for nm in re.findall(r"[A-Za-z_]\w*", names_txt):
                     sub = f"{nxt}.{nm}"
                     if _module_file(sub):
                         todo.append(sub)
@@ -203,10 +225,13 @@ def _import_closure(mod_name: str) -> set[str]:
 
 def _fold_testdata(g, path: str) -> None:
     """Fold one testdata path (file or directory-style parquet output)
-    into the global fingerprint: relative name, size, mtime, and the
-    first/last 4 KiB of each file's content (see the ADVICE-r17 note at
-    the call site)."""
+    into the global fingerprint: each entry's base name (directories
+    included — a renamed partition directory changes query results with
+    byte-identical files, review r18), size, mtime, and the first/last
+    4 KiB of each file's content (see the ADVICE-r17 note at the call
+    site)."""
     if os.path.isdir(path):
+        g.update(f"{os.path.basename(path)}/".encode())
         for f in sorted(os.listdir(path)):
             _fold_testdata(g, os.path.join(path, f))
         return

@@ -373,15 +373,16 @@ def kernels():
             d.withColumn("source",
                          F.concat(F.lit("s"), F.pmod("doc_id", F.lit(20)))))
 
-    # the quality-filter family (r13, VERDICT r12 item 3): both kernels
-    # are the registered/staged formulations — map-side array transforms,
-    # i56 adding ONE fixed-cardinality source rollup, i65 zero exchanges
     # calibration drives the registered i68 kernel: banding candidates
     # (the i34 kernel) joined against exact shared-shingle Jaccard (the
     # i03 equi-join shape); token-prefixed replicas keep shingles
     # per-shard unique, so candidates, shared pairs, and the shingle
     # join's output all grow exactly K-fold while the 9-key final
-    # aggregate stays constant
+    # aggregate stays constant.
+    #
+    # the quality-filter family (r13, VERDICT r12 item 3): both kernels
+    # are the registered/staged formulations — map-side array transforms,
+    # i56 adding ONE fixed-cardinality source rollup, i65 zero exchanges
     return {"banding[i34-kernel]": minhash_band_pairs,
             "calibration[i68-kernel]": lsh_calibration_frame,
             "dedup-shape": exact_dedup,
