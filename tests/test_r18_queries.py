@@ -111,19 +111,28 @@ def test_i68_exact_duplicates_land_in_bucket_8(spark):
          (2, "the quick brown fox jumps over the lazy dog"),
          (3, "a completely different document about spark engines")],
         "doc_id long, text string")
-    pairs = minhash_band_pairs(d)
-    docs = d.withColumn("t", F.split("text", " "))
-    sh = docs.select("doc_id", F.explode(
-        F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"))
-    counts = {r["doc_id"]: r["n"] for r in
-              sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-              .collect()}
-    got = {(r["da"], r["db"]): r["n_sig_match"] for r in pairs.collect()}
-    assert got == {(1, 2): 8}
-    assert counts[1] == counts[2]  # identical shingle sets -> J = 1.0
-    # and through the REGISTERED kernel end to end: the one candidate
-    # pair lands in bucket 8 with exact Jaccard pinned at 1.0 e6
-    cal = {r["n_sig_match"]: r for r in lsh_calibration_frame(d).collect()}
+    # 3 rows through 32-partition shuffles is pure task overhead (the
+    # r17 census suite-cost lesson; profiled 7.5 s in-suite before)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        pairs = minhash_band_pairs(d)
+        docs = d.withColumn("t", F.split("text", " "))
+        sh = docs.select("doc_id", F.explode(
+            F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"))
+        counts = {r["doc_id"]: r["n"] for r in
+                  sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        got = {(r["da"], r["db"]): r["n_sig_match"]
+               for r in pairs.collect()}
+        assert got == {(1, 2): 8}
+        assert counts[1] == counts[2]  # identical shingles -> J = 1.0
+        # and through the REGISTERED kernel end to end: the one
+        # candidate pair lands in bucket 8 with exact Jaccard 1.0 e6
+        cal = {r["n_sig_match"]: r
+               for r in lsh_calibration_frame(d).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert set(cal) == {8}
     assert cal[8]["n_pairs"] == 1
     assert cal[8]["mean_jacc_e6"] == cal[8]["min_jacc_e6"] \
