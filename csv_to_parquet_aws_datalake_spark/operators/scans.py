@@ -602,7 +602,12 @@ def a19_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "lang",
                  F.struct("source", "n_chars").alias("meta"), "text"))
     xml_dir = scratch_dir("a19", sf_dir, "xml")
-    d.write.mode("overwrite").option("rowTag", "doc").xml(xml_dir)
+    # content-deterministic from the source table: reuse a completed
+    # write (the a16/a17/a18 roundtrip convention — the scratch tag
+    # digests the source parquet's size+mtime, so regeneration lands in
+    # a fresh directory instead of replaying a stale one)
+    if not os.path.exists(os.path.join(xml_dir, "_SUCCESS")):
+        d.write.mode("overwrite").option("rowTag", "doc").xml(xml_dir)
     back = (spark.read.schema(_A19_SCHEMA)
             .option("rowTag", "doc")
             .option("ignoreSurroundingSpaces", "false")
