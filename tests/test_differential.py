@@ -266,7 +266,16 @@ def test_j12_batch_twin_matches_oracle_with_null_text(spark):
     # sf0.001 it happens to miss the src19 batch slice, so the corpus
     # side is the one this twin exercises — both sides run the same
     # j12_bands_frame kernel)
-    assert d.filter(F.col("text").isNull()).count() > 0
+    nulls = d.filter(F.col("text").isNull())
+    assert nulls.count() > 0
+    # ...and the layout claim itself is ASSERTED, not just commented
+    # (ADVICE r18): if a regenerated fixture ever moves NULL text into
+    # the src19 slice, the side this twin exercises changes — fail
+    # visibly instead of letting the pin's documented coverage drift
+    assert nulls.filter(F.col("source") == "src19").count() == 0, (
+        "null-docs fixture now carries NULL text inside the src19 batch "
+        "slice — the twin would exercise the batch side, not the corpus "
+        "side this pin documents; re-derive the layout comment above")
     corpus = j12_bands_frame(d).withColumnRenamed("doc_id", "corpus_doc")
     batch = (d.filter(F.col("source") == "src19")
              .select((F.col("doc_id") + _J12_REKEY).alias("doc_id"),

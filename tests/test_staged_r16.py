@@ -97,7 +97,13 @@ def test_j13_outer_join_pins(spark, sf_dir):
     # rides on the returned frame as `j13_pre_filter` (ADVICE r17 —
     # guaranteed warm: the _staged_rows call above memoizes the frame
     # whenever the memo is cold)
-    pre_df = _DF_MEMO[("j13_stream_outer_join", sf_dir)].j13_pre_filter
+    memo_df = _DF_MEMO[("j13_stream_outer_join", sf_dir)]
+    assert hasattr(memo_df, "j13_pre_filter"), (
+        "j13's pre-filter test surface is gone: the returned frame no "
+        "longer carries the j13_pre_filter attribute — any wrapper, "
+        "select, or re-plan that returns a NEW DataFrame silently drops "
+        "it (ADVICE r18), so the sentinel pin below would be unprovable")
+    pre_df = memo_df.j13_pre_filter
     pre = {(r["pid"], r["cid"]) for r in pre_df.collect()}
     assert {(p, c) for p, c in pre if p < 0} == {(-1, -2)}
     assert not any(c is not None and c < 0 for p, c in pre if p >= 0)

@@ -1251,6 +1251,41 @@ def test_changed_family_gate_mechanics(monkeypatch, tmp_path):
     assert names is None
 
 
+def test_import_closure_is_ast_grounded(monkeypatch, tmp_path):
+    # ADVICE r18 x2: the closure walk parses the AST, so the three
+    # regex-era mis-read classes are pinned on a crafted package tree —
+    # (1) import-looking text inside a DOCSTRING never enters the
+    # closure, (2) an 'as' alias that collides with a real sibling
+    # module never probes that sibling in, (3) a '#' inside a string
+    # literal never truncates its line (the real import after it on the
+    # next line still resolves).
+    monkeypatch.syspath_prepend("/root/repo/tools")
+    import plan_audit
+
+    pkg_root = tmp_path / "pkg"
+    (pkg_root / "opx").mkdir(parents=True)
+    (pkg_root / "__init__.py").write_text("")
+    (pkg_root / "opx" / "__init__.py").write_text(
+        "from . import alpha as windows\n")
+    (pkg_root / "opx" / "alpha.py").write_text(
+        '"""docstring with import-looking text:\n'
+        "from . import phantom\n"
+        '"""\n'
+        'S = "x # not a comment"\n'
+        "from . import beta\n")
+    (pkg_root / "opx" / "beta.py").write_text("Y = 1\n")
+    (pkg_root / "opx" / "windows.py").write_text("Z = 1\n")
+    (pkg_root / "opx" / "phantom.py").write_text("P = 1\n")
+    monkeypatch.setattr(plan_audit, "_PKG", str(pkg_root))
+
+    root = plan_audit._PKG_ROOT
+    closure = plan_audit._import_closure(f"{root}.opx")
+    assert f"{root}.opx.alpha" in closure       # the genuine re-export
+    assert f"{root}.opx.beta" in closure        # real import after the '#' string
+    assert f"{root}.opx.windows" not in closure  # 'as' alias, not a dep
+    assert f"{root}.opx.phantom" not in closure  # docstring text, not a dep
+
+
 def test_i67_rank_construction_ties_at_the_cut(spark):
     # VERDICT r16 item 6: i67's fusion FORMULA has a pure-Python
     # reference (tests/test_r16_queries.py), but the RANK CONSTRUCTION

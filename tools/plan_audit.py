@@ -172,12 +172,17 @@ def _is_global_module(mod_name: str) -> bool:
 
 def _import_closure(mod_name: str) -> set[str]:
     """mod_name plus every package-internal module it (transitively)
-    imports, found by scanning source for relative-import statements —
-    cross-family kernel reuse (llm_vectors -> llm_text's BM25, operators ->
-    functions.scalar) must invalidate the importer when the imported file
-    changes.  Global shared-input modules terminate the walk (see
-    `_GLOBAL_MODULES`)."""
-    import re
+    imports, found by parsing each source file's AST for relative
+    ImportFrom nodes — cross-family kernel reuse (llm_vectors ->
+    llm_text's BM25, operators -> functions.scalar) must invalidate the
+    importer when the imported file changes.  AST, not regex (ADVICE
+    r18 x2): a '#' inside a string literal must never truncate the line
+    it sits on, import-looking text inside a docstring must never
+    match, and an 'as' alias must never probe as a sibling module name
+    — the syntax tree gives the real import statements with their real
+    names, closing all three classes at once.  Global shared-input
+    modules terminate the walk (see `_GLOBAL_MODULES`)."""
+    import ast
     seen: set[str] = set()
     todo = [mod_name]
     while todo:
@@ -191,33 +196,33 @@ def _import_closure(mod_name: str) -> set[str]:
         if path is None:
             continue
         with open(path) as fh:
-            # strip comments PER LINE before any matching: a ')' or a
-            # name list inside an inline comment must never truncate or
-            # pollute a parenthesized import's capture (review r18)
-            src = "\n".join(ln.split("#")[0]
-                            for ln in fh.read().splitlines())
+            tree = ast.parse(fh.read(), filename=path)
         is_pkg = os.path.basename(path) == "__init__.py"
-        # the name-list branch accepts parenthesized multi-line imports,
-        # 'import(...)' with no space (\s*), and backslash continuations
-        for dots, target, names_txt in re.findall(
-                r"^\s*from\s+(\.+)([\w.]*)\s+import"
-                r"\s*(\([^)]*\)|(?:[^\n]*\\\n)*[^\n]*)",
-                src, re.M):
-            nxt = _resolve_rel_import(m, dots, target, is_pkg=is_pkg)
+        for node in ast.walk(tree):
+            # relative ImportFrom only (level >= 1): package-internal
+            # dependencies are always written relatively here, and
+            # absolute imports (stdlib, pyspark) are external by
+            # construction — ast.walk also reaches imports nested in
+            # function bodies, which the call-time kernel reuse relies on
+            if not isinstance(node, ast.ImportFrom) or not node.level:
+                continue
+            nxt = _resolve_rel_import(m, "." * node.level,
+                                      node.module or "", is_pkg=is_pkg)
             if not (nxt and nxt.startswith(_PKG_ROOT)):
                 continue
             todo.append(nxt)
             # 'from . import sub' / 'from ..pkg import mod' name MODULES,
             # not just symbols: when the resolved target is a package,
-            # every imported name that is itself a module file belongs in
+            # every imported NAME that is itself a module file belongs in
             # the closure — resolving to the package __init__ alone would
             # silently drop that dependency from the change fingerprint
-            # (ADVICE r17).  Non-module names (symbols, 'as' aliases)
-            # simply fail the _module_file probe and are skipped.
+            # (ADVICE r17).  alias.name is the real imported name; the
+            # 'as' binding (alias.asname) is a local rename and never a
+            # dependency, so it is never probed (ADVICE r18).
             path_nxt = _module_file(nxt)
             if path_nxt and os.path.basename(path_nxt) == "__init__.py":
-                for nm in re.findall(r"[A-Za-z_]\w*", names_txt):
-                    sub = f"{nxt}.{nm}"
+                for alias in node.names:
+                    sub = f"{nxt}.{alias.name}"
                     if _module_file(sub):
                         todo.append(sub)
     return {m for m in seen if _module_file(m)}
