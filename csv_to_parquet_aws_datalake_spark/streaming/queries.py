@@ -471,6 +471,130 @@ def j08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           no_data_batch=False)
 
 
+# ---- j13: stream-stream LEFT OUTER join (flush-sentinel bounded;
+# ---- registered round 19 from the r16 staging bank — the §7.17
+# ---- ledger's named move) ---------------------------------------------------
+
+#: sentinel lead over the last real event: far past any join window, so
+#: the sentinel pair can only match each other (filtered post-drain).
+_J13_SENTINEL_DAYS = 30
+
+
+@query(
+    "j13_stream_outer_join",
+    oracle="""
+        SELECT p.event_id AS pid, c.event_id AS cid
+        FROM events p LEFT OUTER JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND c.ts IS NOT NULL
+         AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE
+                      AND p.ts + INTERVAL 10 MINUTE
+        WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+    """,
+    streaming=True,
+)
+def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: purchases joined to clicks of the
+    same user within ±10 minutes, UNMATCHED purchases emitting a
+    NULL-padded row — the semantics j08 (inner) cannot observe.  The
+    outer row for purchase p emits only when the watermark PROVES no
+    click can still arrive (wm > p.ts + range), so a naive availableNow
+    drain is not batch-equal: the final watermark stalls at
+    max_real_ts - delay and every purchase in the last delay+range of
+    event time would stay in state, its outer row withheld.  The fix is
+    the production flush-sentinel (punctuation/heartbeat) pattern: one
+    far-future row per side ({_J13_SENTINEL_DAYS} days past the last
+    real event, negative ids, self-matching only each other) appended
+    as a SECOND micro-batch file, driving the final watermark past
+    every real eviction time; the sentinel self-match is dropped from
+    the drained table post-hoc (a batch filter on the memory sink —
+    deliberately NOT a streaming-side filter, which Catalyst could push
+    below the watermark node and silently unflush the stream).  With
+    the flush, the batch LEFT JOIN is an exact oracle.
+
+    The trailing no-data batch stays ENABLED (unlike j04/j08/j11): the
+    watermark for batch k derives from batches <= k-1, so the evictions
+    the sentinel justifies — and the outer emissions they produce —
+    happen one batch AFTER the sentinel's data batch (j05's class).
+
+    Scale shape: identical to j08 — both sides buffer only rows younger
+    than watermark + range (the range condition is what bounds join
+    state), 4 state stores per partition sized to state volume.  The
+    sentinel costs one row per side per drain; on a real cluster the
+    same row is a scheduled heartbeat topic, the standard way to close
+    windows over quiet partitions.  The shuffle shape is gated by the
+    BATCH-TWIN plan pin in tests/test_r19_queries.py (stream drains are
+    skipped by the exchange-budget sweep by design)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull()))
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    src = scratch_dir(
+        "j13", sf_dir,
+        "outer_arrivals_" + schedule_tag(_J13_SENTINEL_DAYS, tuple(cols)))
+    expected = [os.path.join(src, f"{i:02d}.parquet") for i in range(2)]
+    if not all(os.path.exists(p) for p in expected):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        real = ev.select(*cols)
+        # sentinel rows derived frame-side from the max-ts aggregate —
+        # no driver collect() (the j11 fixture convention), one row per
+        # side so BOTH watermarks advance
+        sentinel = (real.agg(F.max("ts").alias("mt"))
+                    .select(F.explode(F.array(
+                        F.lit("purchase"), F.lit("click"))).alias("event_type"),
+                        F.col("mt"))
+                    .select(
+                        F.when(F.col("event_type") == "purchase", -1)
+                        .otherwise(-2).cast("long").alias("event_id"),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        "event_type",
+                        (F.col("mt") + F.expr(
+                            f"INTERVAL {_J13_SENTINEL_DAYS} DAYS")).alias("ts"))
+                    .select(*cols))
+        for i, df in enumerate([real, sentinel]):
+            d = os.path.join(src, f"f{i:02d}")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            parts = glob.glob(os.path.join(d, "part-*.parquet"))
+            if not parts:
+                raise RuntimeError(f"j13 fixture file {i} wrote no part")
+            os.rename(parts[0], expected[i])
+            shutil.rmtree(d)
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long,"
+                      " event_type string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "1 hour")
+                 .select("user_id", F.col("ts").alias("pts"),
+                         F.col("event_id").alias("pid")))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .withWatermark("ts", "1 hour")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("cts"),
+                      F.col("event_id").alias("cid")))
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & F.col("cts").between(F.col("pts") - F.expr("INTERVAL 10 MINUTES"),
+                               F.col("pts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer").select("pid", "cid")
+    out = _run_to_memory(joined, "j13", "append", state_partitions=8)
+    # post-drain batch filter over the memory sink (see docstring); the
+    # PRE-filter drained table rides along as an attribute of the
+    # returned frame — the sentinel pin must prove the filter removed
+    # EXACTLY the (-1, -2) self-match (asserting on the filtered output
+    # alone is vacuous, ADVICE r16), and an attached attribute scopes
+    # that test surface to the frame's lifetime instead of a module
+    # global retaining DataFrames for the process (ADVICE r17); the pin
+    # asserts hasattr loudly, so a wrapper dropping it fails with a
+    # message, not an AttributeError (ADVICE r18)
+    filtered = out.filter(F.col("pid") >= 0)
+    filtered.j13_pre_filter = out
+    return filtered
+
+
 @query(
     "j07_stateful_custom",
     oracle="SELECT user_id, count(*) AS n FROM events GROUP BY 1",

@@ -1,13 +1,13 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's named moves (revised r16 ledger: j13 outer stream join, slated
-r19; k18 audio silence segmentation, slated r20).  The original bank's
-j11 TTL dedup registered on schedule in r16, i67 RRF fusion was pulled
-forward to r16, j12 streaming near-dup ingest registered on schedule
-in r17, and a19 XML roundtrip registered on schedule in r18 — their
-pins graduated to tests/test_r16_queries.py / test_r17_queries.py /
-test_r18_queries.py."""
+bank's named moves (k18 audio silence segmentation, slated r20).  The
+original bank's j11 TTL dedup registered on schedule in r16, i67 RRF
+fusion was pulled forward to r16, j12 streaming near-dup ingest
+registered on schedule in r17, a19 XML roundtrip registered on
+schedule in r18, and j13 stream outer join registered on schedule in
+r19 — their pins graduated to tests/test_r16_queries.py /
+test_r17_queries.py / test_r18_queries.py / test_r19_queries.py."""
 
 from __future__ import annotations
 
@@ -37,9 +37,9 @@ def test_staged_r16_not_registered():
 _ROWS_MEMO: dict[tuple[str, str], list] = {}
 
 #: (name, sf_dir) -> the returned DataFrame itself, for pins that read
-#: frame-attached test surfaces (j13's pre-filter table rides on the
-#: returned frame as `j13_pre_filter` — ADVICE r17 removed the module
-#: global it used to live in)
+#: frame-attached test surfaces (none in the current bank; the
+#: mechanism stays for future candidates — j13's pre-filter surface
+#: used it until its r19 graduation)
 _DF_MEMO: dict[tuple[str, str], object] = {}
 
 
@@ -73,59 +73,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_j13_outer_join_pins(spark, sf_dir):
-    # mechanism pins behind the oracle: (1) OUTER semantics observable —
-    # NULL-padded rows exist, and specifically for purchases in the last
-    # delay+range of event time, the rows a sentinel-less drain would
-    # withhold (the flush-sentinel's whole point); (2) the matched
-    # subset equals the registered j08 INNER join row for row; (3) no
-    # sentinel id leaks through the post-drain filter
-    import datetime
-
-    from pyspark.sql import functions as F
-
-    rows = _staged_rows("j13_stream_outer_join", spark, sf_dir)
-    got = {(r["pid"], r["cid"]) for r in rows}
-    # sentinel pin UPSTREAM of the post-drain filter (asserting pid >= 0
-    # on the filtered output is vacuous — ADVICE r16): the pre-filter
-    # drained table must contain the (-1, -2) sentinel self-match, no
-    # OTHER negative row on either column, and dropping that one pair
-    # must yield exactly the registered output — proving the filter
-    # removed the sentinel pair and nothing else.  The pre-filter table
-    # rides on the returned frame as `j13_pre_filter` (ADVICE r17 —
-    # guaranteed warm: the _staged_rows call above memoizes the frame
-    # whenever the memo is cold)
-    memo_df = _DF_MEMO[("j13_stream_outer_join", sf_dir)]
-    assert hasattr(memo_df, "j13_pre_filter"), (
-        "j13's pre-filter test surface is gone: the returned frame no "
-        "longer carries the j13_pre_filter attribute — any wrapper, "
-        "select, or re-plan that returns a NEW DataFrame silently drops "
-        "it (ADVICE r18), so the sentinel pin below would be unprovable")
-    pre_df = memo_df.j13_pre_filter
-    pre = {(r["pid"], r["cid"]) for r in pre_df.collect()}
-    assert {(p, c) for p, c in pre if p < 0} == {(-1, -2)}
-    assert not any(c is not None and c < 0 for p, c in pre if p >= 0)
-    assert {(p, c) for p, c in pre if p >= 0} == got
-    unmatched = {pid for pid, cid in got if cid is None}
-    assert unmatched
-
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .filter(F.col("event_type") == "purchase"))
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    pts = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts")
-           .collect() if r["ts"] is not None}
-    max_ts = max(pts.values())
-    flush_window = max_ts - datetime.timedelta(minutes=70)  # delay+range
-    assert any(pts[pid] > flush_window for pid in unmatched), (
-        "no late-tail unmatched purchase emitted — the sentinel flush "
-        "is not observable on this fixture")
-
-    inner = {(r["pid"], r["cid"]) for r in registry.QUERIES[
-        "j08_stream_stream_join"](spark, sf_dir).collect()}
-    assert {(p, c) for p, c in got if c is not None} == inner
 
 
 def test_k18_matches_pure_python_segments(spark, sf_dir):
