@@ -24,7 +24,9 @@ the spares (moved to operators/llm_text.py beside the i34 kernel it
 calibrates; invariant and exact-dup pins graduated likewise).  Round 19
 executed j13 ON schedule (moved to its family home in
 streaming/queries.py; sentinel/outer-semantics pins and the batch-twin
-plan pin graduated to tests/test_r19_queries.py).
+plan pin graduated to tests/test_r19_queries.py) and PULLED j14
+FORWARD from the spares (moved likewise; state-metadata pins graduated
+too).
 
 - k18 audio silence segmentation — REGISTERS r20 (the final round's
   named move): the k15 framing
@@ -32,14 +34,11 @@ plan pin graduated to tests/test_r19_queries.py).
   (exact integer sum-of-squares, no float ever compared) and census
   the active RUNS per clip: the silence-trim primitive k15's docstring
   names, and the first multimodal x window-function composition.
-Remaining spares after the r18 i68 pull-forward: h26 VARIANT
-semi-structured extraction, h27 collated grouping, j14 state-store
-inspection.
+Remaining spares after the r19 j14 pull-forward: h26 VARIANT
+semi-structured extraction, h27 collated grouping.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +46,6 @@ from pyspark.sql.window import Window
 
 from ..loader import load_table
 from ..registry import QueryFn
-from ..sources.io_paths import scratch_dir
 from .multimodal import _hx_byte
 
 # name -> (fn, oracle SQL or None), mirroring registry.QUERIES/ORACLES.
@@ -326,65 +324,3 @@ def h27_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k", "n", "n_ucase", "n_variants"))
 
 
-# ---- j14: state-store inspection (streaming-state observability) -----------
-
-@_stage(
-    "j14_state_store_inspection",
-    oracle="""
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
-               count(*) AS n
-        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-    """,
-)
-def j14_state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-state OBSERVABILITY: drain a windowed aggregation
-    through a real checkpoint, then read the checkpoint's state store
-    back as a DataFrame with Spark's `statestore` reader — the
-    production ops tool for inspecting (and debugging) a live stream's
-    state without stopping it, and the registry's first consumer of
-    the state-reader data source.  The correctness claim is the
-    operator's point: after a complete-mode availableNow drain the
-    checkpointed state IS the aggregation — every (window, event_type)
-    group with its running count — so the batch j01 aggregate is an
-    exact oracle for a frame read from STATE, not from the sink.
-
-    The stream writes to a `noop` sink on purpose: nothing is read
-    back from any sink, proving the state reader alone reconstructs
-    the full aggregate (complete mode holds every window in state; an
-    append-mode stream's state would hold only unfinalized windows —
-    a different, watermark-dependent observable).
-
-    Scale shape: the state read is partition-parallel over the
-    checkpoint's state files (one task per state partition — the same
-    8 partitions the drain wrote, sized to state volume per the
-    _run_to_memory contract); at 100 TB the same read pattern powers
-    state-size dashboards and skew forensics on RocksDB checkpoints."""
-    import shutil as _shutil
-
-    from ..streaming.queries import _events_stream
-
-    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
-    # fresh checkpoint per run (the j06 convention: a reused checkpoint
-    # would replay nothing; the state read must see THIS drain's state)
-    base = scratch_dir("j14", sf_dir)
-    _shutil.rmtree(base, ignore_errors=True)
-    ck = os.path.join(base, "ckpt")
-
-    agg = (ev.withWatermark("ts", "1 hour")
-           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-           .agg(F.count(F.lit(1)).alias("n")))
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (agg.writeStream.outputMode("complete").format("noop")
-             .option("checkpointLocation", ck)
-             .trigger(availableNow=True).start())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    q.awaitTermination()
-
-    state = spark.read.format("statestore").load(ck)
-    return state.select(
-        F.col("key.window.start").alias("ws"),
-        F.col("key.event_type").alias("event_type"),
-        F.col("value.count").alias("n"))

@@ -595,6 +595,69 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered
 
 
+# ---- j14: state-store inspection (streaming-state observability;
+# ---- pulled forward from the r16 staging bank's spares in round 19 —
+# ---- the r15/r16/r17/r18 pull-forward precedent) ----------------------------
+
+@query(
+    "j14_state_store_inspection",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """,
+    streaming=True,
+)
+def j14_state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state OBSERVABILITY: drain a windowed aggregation
+    through a real checkpoint, then read the checkpoint's state store
+    back as a DataFrame with Spark's `statestore` reader — the
+    production ops tool for inspecting (and debugging) a live stream's
+    state without stopping it, and the registry's first consumer of
+    the state-reader data source.  The correctness claim is the
+    operator's point: after a complete-mode availableNow drain the
+    checkpointed state IS the aggregation — every (window, event_type)
+    group with its running count — so the batch j01 aggregate is an
+    exact oracle for a frame read from STATE, not from the sink.
+
+    The stream writes to a `noop` sink on purpose: nothing is read
+    back from any sink, proving the state reader alone reconstructs
+    the full aggregate (complete mode holds every window in state; an
+    append-mode stream's state would hold only unfinalized windows —
+    a different, watermark-dependent observable).
+
+    Scale shape: the state read is partition-parallel over the
+    checkpoint's state files (one task per state partition — the same
+    8 partitions the drain wrote, sized to state volume per the
+    _run_to_memory contract); at 100 TB the same read pattern powers
+    state-size dashboards and skew forensics on RocksDB checkpoints."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    # fresh checkpoint per run (the j06 convention: a reused checkpoint
+    # would replay nothing; the state read must see THIS drain's state)
+    base = scratch_dir("j14", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ck = os.path.join(base, "ckpt")
+
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.outputMode("complete").format("noop")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    q.awaitTermination()
+
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.window.start").alias("ws"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"))
+
+
 @query(
     "j07_stateful_custom",
     oracle="SELECT user_id, count(*) AS n FROM events GROUP BY 1",

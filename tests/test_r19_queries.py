@@ -4,8 +4,10 @@ ledger's named fate): the sentinel/outer-semantics mechanism pins,
 migrated from tests/test_staged_r16.py, plus a batch-twin plan-shape
 pin (the streaming drain is skipped by the exchange-budget sweep by
 design, so the shuffle shape is gated here — the j12 convention).
-Oracle parity runs through the registry-wide differential suite
-(tests/test_differential.py) like every registered query."""
+Also j14 state-store inspection (pulled forward from the bank's spares
+— the r15/r16/r17/r18 precedent): its state-metadata pins, migrated
+likewise.  Oracle parity runs through the registry-wide differential
+suite (tests/test_differential.py) like every registered query."""
 
 from __future__ import annotations
 
@@ -113,3 +115,24 @@ def test_j13_batch_twin_plan_shape(spark, sf_dir):
             + plan.count("Exchange rangepartitioning")
             + plan.count("Exchange SinglePartition"))
     assert n_ex <= 2, plan
+
+
+def test_j14_state_metadata_pins(spark, sf_dir):
+    # the observability surface behind the oracle: the checkpoint's
+    # state-metadata table must name the aggregation's state operator
+    # and the 8 state partitions the drain was sized to, and the state
+    # rows must actually spread across partitions (the read is
+    # partition-parallel, not a single-file scan)
+    from csv_to_parquet_aws_datalake_spark.sources.io_paths import (
+        scratch_dir,
+    )
+
+    registry.QUERIES["j14_state_store_inspection"](spark, sf_dir).collect()
+    ck = scratch_dir("j14", sf_dir) + "/ckpt"
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert len(meta) == 1
+    assert meta[0]["operatorName"] == "stateStoreSave"
+    assert meta[0]["numPartitions"] == 8
+    parts = (spark.read.format("statestore").load(ck)
+             .select("partition_id").distinct().count())
+    assert parts > 1

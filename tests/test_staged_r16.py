@@ -200,24 +200,3 @@ def test_h27_collation_actually_merges(spark, sf_dir):
         assert 0 < r["n_ucase"] < r["n"], r
 
 
-def test_j14_state_metadata_pins(spark, sf_dir):
-    # the observability surface behind the oracle: the checkpoint's
-    # state-metadata table must name the aggregation's state operator
-    # and the 8 state partitions the drain was sized to, and the state
-    # rows must actually spread across partitions (the read is
-    # partition-parallel, not a single-file scan)
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.sources.io_paths import (
-        scratch_dir,
-    )
-
-    _staged_rows("j14_state_store_inspection", spark, sf_dir)  # ckpt built
-    ck = scratch_dir("j14", sf_dir) + "/ckpt"
-    meta = spark.read.format("state-metadata").load(ck).collect()
-    assert len(meta) == 1
-    assert meta[0]["operatorName"] == "stateStoreSave"
-    assert meta[0]["numPartitions"] == 8
-    parts = (spark.read.format("statestore").load(ck)
-             .select("partition_id").distinct().count())
-    assert parts > 1
