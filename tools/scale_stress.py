@@ -207,7 +207,7 @@ def stream_kernels(spark, stream_path: str):
                 .dropDuplicatesWithinWatermark(["user_id"])
                 .select("user_id", "ts"))
 
-    def sjoin():
+    def _join_sides():
         left = (read().filter(F.minute("ts") % 5 == 0)
                 .withWatermark("ts", "1 hour")
                 .select("user_id", F.col("ts").alias("lts"),
@@ -217,22 +217,64 @@ def stream_kernels(spark, stream_path: str):
                  .select(F.col("user_id").alias("r_user"),
                          F.col("ts").alias("rts"),
                          F.col("event_id").alias("rid")))
+        return left, right
+
+    def _sjoin(how: str):
+        left, right = _join_sides()
         return left.join(
             right,
             (F.col("user_id") == F.col("r_user"))
             & F.col("rts").between(
                 F.col("lts") - F.expr("INTERVAL 10 MINUTES"),
                 F.col("lts") + F.expr("INTERVAL 10 MINUTES")),
-            "inner",
+            how,
         ).select("lid", "rid")
+
+    def state_read_run():
+        # the j14 shape (pulled forward r19): drain a windowed
+        # aggregation through a real checkpoint, then read the state
+        # store back.  Keyed on (window, user_id) — NOT the registered
+        # query's bounded (window, event_type) key, whose state would
+        # stay constant under amplification and measure nothing — so
+        # the disjoint user shards grow STATE exactly K-fold and the
+        # row measures what the registered docstring claims: the
+        # statestore read is partition-parallel and linear in state
+        # volume (drain + read timed together, the registered kernel's
+        # own composite)
+        ck = tempfile.mkdtemp(prefix="scale_stress_ck_")
+        try:
+            agg = (read().withWatermark("ts", "1 hour")
+                   .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+                   .agg(F.count(F.lit(1)).alias("n")))
+            q = (agg.writeStream.outputMode("complete").format("noop")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            # the state value struct carries the aggregation buffer's
+            # internal field name ("count"), not the query alias — the
+            # registered j14 reads value.count for the same reason
+            (spark.read.format("statestore").load(ck)
+             .select("key.user_id", "value.count")
+             .write.format("noop").mode("overwrite").save())
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
 
     builds = {"stream-tumbling[j01-shape]": (tumbling, "update"),
               "stream-session[j03-shape]": (session, "append"),
               "stream-dedup-ttl[j11-shape]": (ttl_dedup, "append"),
-              "stream-join[j08-shape]": (sjoin, "append")}
-    assert set(builds) == set(STREAM_ROW_NAMES)  # main()'s gate keys on it
-    return {name: (lambda _d, _b=b, _m=m: run(_b, _m))
-            for name, (b, m) in builds.items()}
+              "stream-join[j08-shape]": (lambda: _sjoin("inner"), "append"),
+              # the j13 shape (registered r19): same sides, same
+              # watermark+range state as the inner row — the delta this
+              # row isolates is outer-emission work (NULL-padded rows
+              # produced at watermark-driven eviction, which the
+              # enabled-by-default no-data batch finalizes)
+              "stream-outer-join[j13-shape]":
+                  (lambda: _sjoin("left_outer"), "append")}
+    out = {name: (lambda _d, _b=b, _m=m: run(_b, _m))
+           for name, (b, m) in builds.items()}
+    out["state-read[j14-shape]"] = lambda _d: state_read_run()
+    assert set(out) == set(STREAM_ROW_NAMES)  # main()'s gate keys on it
+    return out
 
 
 #: stream_kernels' row names, shared with main()'s input gating so a
@@ -240,7 +282,9 @@ def stream_kernels(spark, stream_path: str):
 STREAM_ROW_NAMES = ("stream-tumbling[j01-shape]",
                     "stream-session[j03-shape]",
                     "stream-dedup-ttl[j11-shape]",
-                    "stream-join[j08-shape]")
+                    "stream-join[j08-shape]",
+                    "stream-outer-join[j13-shape]",
+                    "state-read[j14-shape]")
 
 
 def amplify_vectors(emb: DataFrame, k: int) -> DataFrame:
@@ -734,7 +778,8 @@ def main() -> int:
                 unhealthy += 1
             if name.startswith("stream-neardup"):
                 rows_k = n0 * k  # docs-based, unlike the events tranche
-            elif name in ev_names or name.startswith("stream-"):
+            elif (name in ev_names or name.startswith("stream-")
+                    or name.startswith("state-read")):
                 rows_k = n_ev * k
             elif name.startswith(("join-shape", "bloom-semijoin")):
                 rows_k = n_li * k
