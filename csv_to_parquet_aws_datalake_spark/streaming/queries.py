@@ -504,7 +504,7 @@ def j13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_real_ts - delay and every purchase in the last delay+range of
     event time would stay in state, its outer row withheld.  The fix is
     the production flush-sentinel (punctuation/heartbeat) pattern: one
-    far-future row per side ({_J13_SENTINEL_DAYS} days past the last
+    far-future row per side (_J13_SENTINEL_DAYS days past the last
     real event, negative ids, self-matching only each other) appended
     as a SECOND micro-batch file, driving the final watermark past
     every real eviction time; the sentinel self-match is dropped from

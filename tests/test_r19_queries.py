@@ -51,13 +51,21 @@ def test_j13_outer_join_pins(spark, sf_dir):
     unmatched = {pid for pid, cid in got if cid is None}
     assert unmatched
 
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .filter(F.col("event_type") == "purchase"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    pts = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts")
-           .collect() if r["ts"] is not None}
-    max_ts = max(pts.values())
+    ev_ts = [(r["event_id"], r["event_type"], r["ts"])
+             for r in ev.select("event_id", "event_type", "ts").collect()
+             if r["ts"] is not None]
+    pts = {eid: ts for eid, et, ts in ev_ts if et == "purchase"}
+    # the query's global watermark is the MIN over both sides' (max seen
+    # ts - 1h), so the sentinel-less withheld set is purchases with
+    # pts + 10min >= min(max_purchase_ts, max_click_ts) - 1h — computing
+    # the window from the purchase side alone could claim flush coverage
+    # on a fixture whose clicks end much earlier (review r19: the same
+    # unasserted-layout class as the r18 ADVICE items)
+    max_ts = min(max(ts for _, et, ts in ev_ts if et == "purchase"),
+                 max(ts for _, et, ts in ev_ts if et == "click"))
     flush_window = max_ts - datetime.timedelta(minutes=70)  # delay+range
     assert any(pts[pid] > flush_window for pid in unmatched), (
         "no late-tail unmatched purchase emitted — the sentinel flush "

@@ -778,8 +778,12 @@ def main() -> int:
                 unhealthy += 1
             if name.startswith("stream-neardup"):
                 rows_k = n0 * k  # docs-based, unlike the events tranche
-            elif (name in ev_names or name.startswith("stream-")
-                    or name.startswith("state-read")):
+            elif name in ev_names or name in STREAM_ROW_NAMES:
+                # membership, not a name-prefix proxy (review r19, the
+                # ADVICE-r16 precedent): stream_kernels' assert forces
+                # every row it builds into STREAM_ROW_NAMES, so a future
+                # row with a novel prefix cannot fall through to the
+                # documents branch with a wrong rows column
                 rows_k = n_ev * k
             elif name.startswith(("join-shape", "bloom-semijoin")):
                 rows_k = n_li * k
