@@ -54,18 +54,43 @@ def test_j13_outer_join_pins(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    ev_ts = [(r["event_id"], r["event_type"], r["ts"])
-             for r in ev.select("event_id", "event_type", "ts").collect()
-             if r["ts"] is not None]
-    pts = {eid: ts for eid, et, ts in ev_ts if et == "purchase"}
+    ev_ts = [(r["event_id"], r["event_type"], r["user_id"], r["ts"])
+             for r in ev.select("event_id", "event_type", "user_id", "ts")
+             .collect() if r["ts"] is not None]
+    pts = {eid: ts for eid, et, _, ts in ev_ts if et == "purchase"}
+
+    # from-scratch pure-Python reference (the shared-arithmetic census
+    # spirit): Spark join and DuckDB oracle share the equi+range LEFT
+    # OUTER formulation, so both could be wrong the same way — recompute
+    # the expected pair set from raw rows, pinning BETWEEN's inclusive
+    # +/-10-minute boundary and the one-NULL-row-per-unmatched-purchase
+    # contract independently of either engine
+    import collections
+
+    clicks_by_user = collections.defaultdict(list)
+    for eid, et, uid, ts in ev_ts:
+        if et == "click":
+            clicks_by_user[uid].append((eid, ts))
+    expected = set()
+    for eid, et, uid, ts in ev_ts:
+        if et != "purchase":
+            continue
+        matched = False
+        for cid, cts in clicks_by_user.get(uid, ()):
+            if abs((cts - ts).total_seconds()) <= 600:  # inclusive
+                expected.add((eid, cid))
+                matched = True
+        if not matched:
+            expected.add((eid, None))
+    assert got == expected
     # the query's global watermark is the MIN over both sides' (max seen
     # ts - 1h), so the sentinel-less withheld set is purchases with
     # pts + 10min >= min(max_purchase_ts, max_click_ts) - 1h — computing
     # the window from the purchase side alone could claim flush coverage
     # on a fixture whose clicks end much earlier (review r19: the same
     # unasserted-layout class as the r18 ADVICE items)
-    max_ts = min(max(ts for _, et, ts in ev_ts if et == "purchase"),
-                 max(ts for _, et, ts in ev_ts if et == "click"))
+    max_ts = min(max(ts for _e, et, _u, ts in ev_ts if et == "purchase"),
+                 max(ts for _e, et, _u, ts in ev_ts if et == "click"))
     flush_window = max_ts - datetime.timedelta(minutes=70)  # delay+range
     assert any(pts[pid] > flush_window for pid in unmatched), (
         "no late-tail unmatched purchase emitted — the sentinel flush "
