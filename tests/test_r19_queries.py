@@ -28,7 +28,8 @@ def test_j13_outer_join_pins(spark, sf_dir):
     import datetime
 
     df = registry.QUERIES["j13_stream_outer_join"](spark, sf_dir)
-    got = {(r["pid"], r["cid"]) for r in df.collect()}
+    got_rows = [(r["pid"], r["cid"]) for r in df.collect()]
+    got = set(got_rows)
     # sentinel pin UPSTREAM of the post-drain filter (asserting pid >= 0
     # on the filtered output is vacuous — ADVICE r16): the pre-filter
     # drained table must contain the (-1, -2) sentinel self-match, no
@@ -83,6 +84,11 @@ def test_j13_outer_join_pins(spark, sf_dir):
         if not matched:
             expected.add((eid, None))
     assert got == expected
+    # multiplicity too (ADVICE r19): the set-compare alone would hide a
+    # duplicate emission of the same (pid, cid) pair by the stream drain
+    # — the reference pair set has multiplicity 1 everywhere (event ids
+    # are unique), so the drained rows must too
+    assert collections.Counter(got_rows) == collections.Counter(expected)
     # the query's global watermark is the MIN over both sides' (max seen
     # ts - 1h), so the sentinel-less withheld set is purchases with
     # pts + 10min >= min(max_purchase_ts, max_click_ts) - 1h — computing

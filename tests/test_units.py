@@ -1267,23 +1267,55 @@ def test_import_closure_is_ast_grounded(monkeypatch, tmp_path):
     (pkg_root / "__init__.py").write_text("")
     (pkg_root / "opx" / "__init__.py").write_text(
         "from . import alpha as windows\n")
+    root = plan_audit._PKG_ROOT
     (pkg_root / "opx" / "alpha.py").write_text(
         '"""docstring with import-looking text:\n'
         "from . import phantom\n"
         '"""\n'
         'S = "x # not a comment"\n'
-        "from . import beta\n")
+        "from . import beta\n"
+        # the two ABSOLUTE package-internal forms (ADVICE r19: the
+        # relative-only claim was a convention, not enforced) plus
+        # external absolute imports that must STAY external
+        f"from {root}.opx import gamma\n"
+        f"import {root}.opx.delta\n"
+        "import os\n"
+        "from collections import Counter\n")
     (pkg_root / "opx" / "beta.py").write_text("Y = 1\n")
     (pkg_root / "opx" / "windows.py").write_text("Z = 1\n")
     (pkg_root / "opx" / "phantom.py").write_text("P = 1\n")
+    (pkg_root / "opx" / "gamma.py").write_text("G = 1\n")
+    (pkg_root / "opx" / "delta.py").write_text("D = 1\n")
     monkeypatch.setattr(plan_audit, "_PKG", str(pkg_root))
 
-    root = plan_audit._PKG_ROOT
     closure = plan_audit._import_closure(f"{root}.opx")
     assert f"{root}.opx.alpha" in closure       # the genuine re-export
     assert f"{root}.opx.beta" in closure        # real import after the '#' string
+    assert f"{root}.opx.gamma" in closure       # absolute ImportFrom (ADVICE r19)
+    assert f"{root}.opx.delta" in closure       # plain Import (ADVICE r19)
     assert f"{root}.opx.windows" not in closure  # 'as' alias, not a dep
     assert f"{root}.opx.phantom" not in closure  # docstring text, not a dep
+    # externals stay out: nothing outside the package root ever enters
+    assert all(m.startswith(root) for m in closure)
+
+
+def test_import_closure_syntax_error_is_loud(monkeypatch, tmp_path):
+    # ADVICE r19: a mid-edit unparsable file must fail the walk with a
+    # message NAMING the file, not a bare ast traceback
+    import pytest
+
+    monkeypatch.syspath_prepend("/root/repo/tools")
+    import plan_audit
+
+    pkg_root = tmp_path / "pkg"
+    (pkg_root / "opx").mkdir(parents=True)
+    (pkg_root / "__init__.py").write_text("")
+    (pkg_root / "opx" / "__init__.py").write_text("")
+    (pkg_root / "opx" / "bad.py").write_text("def broken(:\n")
+    monkeypatch.setattr(plan_audit, "_PKG", str(pkg_root))
+
+    with pytest.raises(RuntimeError, match=r"bad\.py.*not.*parsable"):
+        plan_audit._import_closure(f"{plan_audit._PKG_ROOT}.opx.bad")
 
 
 def test_i67_rank_construction_ties_at_the_cut(spark):

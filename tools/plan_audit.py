@@ -196,22 +196,44 @@ def _import_closure(mod_name: str) -> set[str]:
         if path is None:
             continue
         with open(path) as fh:
-            tree = ast.parse(fh.read(), filename=path)
+            try:
+                tree = ast.parse(fh.read(), filename=path)
+            except SyntaxError as exc:
+                # ADVICE r19: the regex-era walk degraded gracefully on a
+                # mid-edit file; the AST walk must not die with a bare
+                # traceback — name the file and fail loudly instead
+                raise RuntimeError(
+                    f"plan_audit import-closure walk: {path} is not "
+                    f"parsable Python ({exc.msg} at line {exc.lineno}); "
+                    "the change fingerprint cannot be computed mid-edit — "
+                    "re-run once the file parses") from exc
         is_pkg = os.path.basename(path) == "__init__.py"
         for node in ast.walk(tree):
-            # relative ImportFrom only (level >= 1): package-internal
-            # dependencies are always written relatively here, and
-            # absolute imports (stdlib, pyspark) are external by
-            # construction — ast.walk also reaches imports nested in
+            # three statement shapes name package-internal dependencies
+            # (ADVICE r19: 'written relatively' was a convention, not
+            # enforced — the absolute forms now resolve too):
+            #   from .x import y         relative ImportFrom (level >= 1)
+            #   from PKG.x import y      absolute ImportFrom into the pkg
+            #   import PKG.x             plain Import of a pkg module
+            # stdlib/pyspark absolute imports fail the _PKG_ROOT prefix and
+            # stay external — ast.walk also reaches imports nested in
             # function bodies, which the call-time kernel reuse relies on
-            if not isinstance(node, ast.ImportFrom) or not node.level:
+            if isinstance(node, ast.Import):
+                todo.extend(alias.name for alias in node.names
+                            if alias.name.startswith(_PKG_ROOT))
                 continue
-            nxt = _resolve_rel_import(m, "." * node.level,
-                                      node.module or "", is_pkg=is_pkg)
+            if not isinstance(node, ast.ImportFrom):
+                continue
+            if node.level:
+                nxt = _resolve_rel_import(m, "." * node.level,
+                                          node.module or "", is_pkg=is_pkg)
+            else:
+                nxt = node.module or ""
             if not (nxt and nxt.startswith(_PKG_ROOT)):
                 continue
             todo.append(nxt)
-            # 'from . import sub' / 'from ..pkg import mod' name MODULES,
+            # 'from . import sub' / 'from ..pkg import mod' (and the
+            # absolute 'from PKG import sub' form) name MODULES,
             # not just symbols: when the resolved target is a package,
             # every imported NAME that is itself a module file belongs in
             # the closure — resolving to the package __init__ alone would

@@ -242,6 +242,12 @@ def stream_kernels(spark, stream_path: str):
         # volume (drain + read timed together, the registered kernel's
         # own composite)
         ck = tempfile.mkdtemp(prefix="scale_stress_ck_")
+        # drain at the registered j14's 8 state partitions (ADVICE r19:
+        # the session-default partition count gave the stress row a
+        # different state-file layout than the kernel whose scale claim
+        # it measures, plus extra fixed per-partition overhead)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             agg = (read().withWatermark("ts", "1 hour")
                    .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -257,6 +263,7 @@ def stream_kernels(spark, stream_path: str):
              .select("key.user_id", "value.count")
              .write.format("noop").mode("overwrite").save())
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
             shutil.rmtree(ck, ignore_errors=True)
 
     builds = {"stream-tumbling[j01-shape]": (tumbling, "update"),
