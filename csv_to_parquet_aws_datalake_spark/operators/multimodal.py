@@ -332,6 +332,122 @@ def k15_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- k18: audio silence segmentation (registered round 20, from the ----
+# ---- r16 bank — the ledger's final named move)                       ----
+
+#: a frame is ACTIVE iff its integer sum-of-squares >= TAU^2 * 64 —
+#: the exact-arithmetic form of "RMS >= TAU"; no float is ever
+#: computed or compared on either engine.  TAU = 99 sits just below
+#: the corpus's median frame RMS (probed at sf0.01: p50 ssq = 628204
+#: ~ RMS 99.07), the threshold that maximizes observable segmentation
+#: (446/486 docs active, 206 multi-segment).
+_K18_TAU = 99
+_K18_TAU2 = _K18_TAU * _K18_TAU * 64
+
+
+@query(
+    "k18_audio_silence_segments",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT doc_id, hx, unnest(range(0, nb // 64)) AS frame_id
+            FROM h
+        ), e AS (
+            SELECT doc_id, frame_id,
+                   list_sum(list_transform(
+                       list_transform(range(1, 65),
+                           i -> CAST({_hx_byte("frame_id * 64 + i")}
+                                     AS BIGINT)),
+                       b -> b * b)) AS ssq
+            FROM f
+        ), act AS (
+            SELECT doc_id, frame_id,
+                   frame_id - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY frame_id) AS grp
+            FROM e WHERE ssq >= {_K18_TAU2}
+        ), seg AS (
+            SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len,
+                   min(frame_id) AS seg_start
+            FROM act GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(seg_len) AS BIGINT) AS n_active_frames,
+               CAST(max(seg_len) AS BIGINT) AS longest_run,
+               CAST(min(seg_start) AS BIGINT) AS first_active_frame
+        FROM seg GROUP BY 1
+    """,
+)
+def k18_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence segmentation: frame each clip into 64-sample
+    windows (k15's byte-as-PCM framing contract), classify frames
+    active/silent by an EXACT integer energy threshold (sum-of-squares
+    >= TAU^2 * 64 — the no-float form of "RMS >= TAU"; k15's float RMS
+    is for reporting, a float threshold comparison would be a
+    cross-engine divergence seed), then census the active RUNS per clip
+    via gaps-and-islands — n_segments, active frames, longest run,
+    first active frame: the silence-trim primitive k15's docstring
+    names, and the registry's first multimodal x window-function
+    composition.  Clips whose every frame is silent (or too short to
+    frame) are excluded by contract on both engines.
+
+    Scale shape: the framing kernel is whole-batch numpy over Arrow
+    batches (one concatenated uint8 view, one vectorized square-sum —
+    the k15 kernel emitting exact int64 instead of float RMS), map-side
+    with zero exchanges before the threshold filter, which drops ~half
+    the frames BEFORE the only shuffle.  The islands window partitions
+    by doc_id (never global — per-clip work is bounded by clip length,
+    the i38 chunking pre-pass bounding it further for pathological
+    clips), and both aggregations are doc-keyed with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = (d.filter(F.col("text").isNotNull())
+              .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return audio_segments_frame(binary)
+
+
+def audio_segments_frame(binary: DataFrame) -> DataFrame:
+    """The k18 kernel over any (doc_id, payload binary) frame — factored
+    out (the i65/i64 convention) so crafted-frame tests and
+    tools/scale_stress.py drive the exact registered formulation; callers
+    pre-filter NULL payloads."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    def ssq_batches(batches):
+        # whole-batch vectorized (the k15/VERDICT r6 convention): all
+        # tail-trimmed payloads form ONE (total_frames, 64) int matrix;
+        # int64 squares of uint8 values cannot overflow (max 64*255^2)
+        for pdf in batches:
+            n_fr = np.fromiter((len(p) // 64 for p in pdf["payload"]),
+                               dtype=np.int64, count=len(pdf))
+            trimmed = b"".join(
+                p[: f * 64] for p, f in zip(pdf["payload"], n_fr) if f)
+            x = np.frombuffer(trimmed, dtype=np.uint8) \
+                .astype(np.int64).reshape(-1, 64)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_fr),
+                "frame_id": np.arange(len(x))
+                - np.repeat(np.cumsum(n_fr) - n_fr, n_fr),
+                "ssq": (x * x).sum(axis=1),
+            })
+
+    frames = binary.mapInPandas(
+        ssq_batches, "doc_id long, frame_id long, ssq long")
+    act = frames.filter(F.col("ssq") >= _K18_TAU2)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    seg = (act.withColumn("grp", F.col("frame_id") - F.row_number().over(w))
+           .groupBy("doc_id", "grp")
+           .agg(F.count(F.lit(1)).alias("seg_len"),
+                F.min("frame_id").alias("seg_start")))
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_len").alias("n_active_frames"),
+        F.max("seg_len").alias("longest_run"),
+        F.min("seg_start").alias("first_active_frame"))
+
+
 # ---- k17: pHash band near-dup (registered round 15, from the r10 bank) ----
 
 def phash_codes(binary_df: DataFrame) -> DataFrame:

@@ -1,0 +1,107 @@
+"""Round-20 additions: k18 audio silence segmentation (registered this
+round — graduated from the r16 staging module per the SURVEY §7.18
+ledger's named fate, the build's final named move): the
+pure-Python-reference, crafted-payload, and plan-shape pins, migrated
+from tests/test_staged_r16.py.  Oracle parity runs through the
+registry-wide differential suite (tests/test_differential.py) like
+every registered query; the exchange budget is pinned in
+tools/plan_budget.json at the §7.18 pre-measured count of 1 (one doc_id
+hash exchange reused by the islands window and both aggregations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_to_parquet_aws_datalake_spark import registry
+from csv_to_parquet_aws_datalake_spark.plans.checks import physical_plan
+
+registry.load_all()
+
+
+def test_k18_matches_pure_python_segments(spark, sf_dir):
+    # independent reference: framing, integer energy threshold, and
+    # run-length census recomputed in Python from raw text bytes (the
+    # shared-formula hazard guard — Spark kernel and DuckDB oracle both
+    # frame via byte arithmetic, so both could mis-bracket the same
+    # way), plus non-vacuity: the threshold must actually segment (some
+    # multi-segment doc exists)
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
+        _K18_TAU2,
+    )
+
+    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
+                         r["longest_run"], r["first_active_frame"])
+           for r in registry.QUERIES["k18_audio_silence_segments"](
+               spark, sf_dir).collect()}
+
+    want = {}
+    for r in (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text").collect()):
+        if r["text"] is None:
+            continue
+        b = r["text"].encode("utf-8")
+        runs, cur = [], 0
+        first = None
+        for fi in range(len(b) // 64):
+            frame = b[fi * 64:(fi + 1) * 64]
+            if sum(x * x for x in frame) >= _K18_TAU2:
+                if first is None:
+                    first = fi
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            want[r["doc_id"]] = (len(runs), sum(runs), max(runs), first)
+    assert got == want and got
+    assert any(n > 1 for n, _, _, _ in want.values())
+
+
+def test_k18_plan_shape(spark, sf_dir):
+    # the framing kernel must be ONE ArrowEvalPython/mapInPandas stage
+    # straight over the scan with no exchange before the threshold
+    # filter, and the islands window must be doc_id-partitioned (the
+    # registry-wide anti-pattern sweep rejects unpartitioned windows;
+    # this pins the positive form).  The exchange COUNT itself is gated
+    # by tools/plan_budget.json (entry: 1) through the budget sweep.
+    plan = physical_plan(registry.QUERIES["k18_audio_silence_segments"](
+        spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k18_kernel_on_crafted_payloads(spark):
+    # the corpus may not exercise every boundary class — prove the
+    # kernel on a crafted frame: payload shorter than one frame
+    # (excluded), a single all-silent frame (excluded), a single active
+    # frame, active-silent-active alternation (two segments), multibyte
+    # text whose BYTE framing differs from its character count, and a
+    # payload whose tail bytes past the last full frame must be ignored
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
+        _K18_TAU2,
+        audio_segments_frame,
+    )
+
+    rows = [
+        (1, "x" * 30),                       # < 64 bytes: no frame
+        (2, " " * 64),                       # one silent frame (32^2*64)
+        (3, "z" * 64),                       # one active frame (122^2*64)
+        (4, "z" * 64 + " " * 64 + "z" * 64),  # active,silent,active
+        (5, "é" * 64),                  # 128 BYTES -> 2 active frames
+        (6, "z" * 64 + " " * 40),            # 40 tail bytes ignored
+    ]
+    assert 32 * 32 * 64 < _K18_TAU2 <= 122 * 122 * 64  # classes as built
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
+                         r["longest_run"], r["first_active_frame"])
+           for r in audio_segments_frame(df).collect()}
+    assert got == {
+        3: (1, 1, 1, 0),
+        4: (2, 2, 1, 0),
+        5: (1, 2, 2, 0),
+        6: (1, 1, 1, 0),
+    }

@@ -1,13 +1,14 @@
 """Round-16-era staged candidates (operators/staged_r16.py):
 oracle-differential through the driver's comparator, plan pins, and
 independent references — the staged_r10/r15 test discipline for the
-bank's named moves (k18 audio silence segmentation, slated r20).  The
-original bank's j11 TTL dedup registered on schedule in r16, i67 RRF
-fusion was pulled forward to r16, j12 streaming near-dup ingest
-registered on schedule in r17, a19 XML roundtrip registered on
-schedule in r18, and j13 stream outer join registered on schedule in
-r19 — their pins graduated to tests/test_r16_queries.py /
-test_r17_queries.py / test_r18_queries.py / test_r19_queries.py."""
+bank's named moves.  The original bank's j11 TTL dedup registered on
+schedule in r16, i67 RRF fusion was pulled forward to r16, j12
+streaming near-dup ingest registered on schedule in r17, a19 XML
+roundtrip registered on schedule in r18, j13 stream outer join
+registered on schedule in r19, and k18 audio silence segmentation
+registered on schedule in r20 — their pins graduated to
+tests/test_r16_queries.py / test_r17_queries.py / test_r18_queries.py
+/ test_r19_queries.py / test_r20_queries.py."""
 
 from __future__ import annotations
 
@@ -73,94 +74,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_k18_matches_pure_python_segments(spark, sf_dir):
-    # independent reference: framing, integer energy threshold, and
-    # run-length census recomputed in Python from raw text bytes (the
-    # shared-formula hazard guard), plus non-vacuity: the threshold
-    # must actually segment (some multi-segment doc exists)
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _K18_TAU2,
-    )
-
-    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
-                         r["longest_run"], r["first_active_frame"])
-           for r in _staged_rows("k18_audio_silence_segments",
-                                 spark, sf_dir)}
-
-    want = {}
-    for r in (spark.read.parquet(f"{sf_dir}/documents.parquet")
-              .select("doc_id", "text").collect()):
-        if r["text"] is None:
-            continue
-        b = r["text"].encode("utf-8")
-        runs, cur = [], 0
-        first = None
-        for fi in range(len(b) // 64):
-            frame = b[fi * 64:(fi + 1) * 64]
-            if sum(x * x for x in frame) >= _K18_TAU2:
-                if first is None:
-                    first = fi
-                cur += 1
-            elif cur:
-                runs.append(cur)
-                cur = 0
-        if cur:
-            runs.append(cur)
-        if runs:
-            want[r["doc_id"]] = (len(runs), sum(runs), max(runs), first)
-    assert got == want and got
-    assert any(n > 1 for n, _, _, _ in want.values())
-
-
-def test_k18_plan_shape(spark, sf_dir):
-    # the framing kernel must be ONE ArrowEvalPython/mapInPandas stage
-    # straight over the scan with no exchange before the threshold
-    # filter, and the islands window must be doc_id-partitioned (the
-    # registry-wide anti-pattern sweep rejects unpartitioned windows;
-    # this pins the positive form)
-    fn, _ = STAGED["k18_audio_silence_segments"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert "MapInPandas" in plan
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-
-
-def test_k18_kernel_on_crafted_payloads(spark):
-    # the corpus may not exercise every boundary class — prove the
-    # kernel on a crafted frame: payload shorter than one frame
-    # (excluded), a single all-silent frame (excluded), a single active
-    # frame, active-silent-active alternation (two segments), multibyte
-    # text whose BYTE framing differs from its character count, and a
-    # payload whose tail bytes past the last full frame must be ignored
-    from pyspark.sql import functions as F
-
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
-        _K18_TAU2,
-        audio_segments_frame,
-    )
-
-    rows = [
-        (1, "x" * 30),                       # < 64 bytes: no frame
-        (2, " " * 64),                       # one silent frame (32^2*64)
-        (3, "z" * 64),                       # one active frame (122^2*64)
-        (4, "z" * 64 + " " * 64 + "z" * 64),  # active,silent,active
-        (5, "é" * 64),                  # 128 BYTES -> 2 active frames
-        (6, "z" * 64 + " " * 40),            # 40 tail bytes ignored
-    ]
-    assert 32 * 32 * 64 < _K18_TAU2 <= 122 * 122 * 64  # classes as built
-    df = spark.createDataFrame(rows, "doc_id long, text string") \
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    got = {r["doc_id"]: (r["n_segments"], r["n_active_frames"],
-                         r["longest_run"], r["first_active_frame"])
-           for r in audio_segments_frame(df).collect()}
-    assert got == {
-        3: (1, 1, 1, 0),
-        4: (2, 2, 1, 0),
-        5: (1, 2, 2, 0),
-        6: (1, 1, 1, 0),
-    }
 
 
 def test_h26_variant_try_semantics(spark, sf_dir):

@@ -379,7 +379,7 @@ def kernels():
         quality_classifier_scores, span_dedup_spans, tfidf_top_terms,
         token_tf_df,
     )
-    from csv_to_parquet_aws_datalake_spark.operators.staged_r16 import (
+    from csv_to_parquet_aws_datalake_spark.operators.multimodal import (
         audio_segments_frame,
     )
     from csv_to_parquet_aws_datalake_spark.operators.windows import (
@@ -387,7 +387,7 @@ def kernels():
     )
 
     def audio_segments(d):
-        # the staged k18 kernel (slated r20): byte framing + integer
+        # the k18 kernel (registered r20): byte framing + integer
         # threshold + per-doc islands; token-prefixed replicas grow
         # total bytes ~K-fold and the islands window partitions by
         # doc_id, so per-task work is bounded by doc length
