@@ -29,10 +29,15 @@ FORWARD from the spares (moved likewise; state-metadata pins graduated
 too).  Round 20 (the final round) executed k18 ON schedule (moved to
 its family home in operators/multimodal.py beside the k15 framing
 kernel it composes; pure-Python-reference, crafted-payload, and
-plan-shape pins graduated to tests/test_r20_queries.py).
+plan-shape pins graduated to tests/test_r20_queries.py) and PULLED h26
+FORWARD from the spares (moved to its family home in
+operators/scalars.py; try-semantics and plan pins graduated likewise).
 
-Remaining spares after the r20 k18 registration: h26 VARIANT
-semi-structured extraction, h27 collated grouping.
+Remaining spare after the r20 h26 pull-forward: h27 collated grouping —
+fully implemented and oracle-tested below, banked because the
+2-registrations-per-round cap bound in the final round (the build's
+standing CORRECTNESS-budget rule: a third registration would starve the
+r15-era stalest re-proof block at the 50-slot cut).
 """
 
 from __future__ import annotations
@@ -53,102 +58,6 @@ def _stage(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# ---- h26: VARIANT semi-structured extraction (Spark 4 native type) ---------
-
-#: the per-event heterogeneous JSON both engines construct identically
-#: from integer columns (k = the props payload's integer, shapes keyed
-#: on event_id % 3): a numeric k, a STRING k, and a shape with no meta
-#: at all — heterogeneity is the VARIANT type's reason to exist.  All
-#: embedded values are integral or non-numeric strings: Spark's variant
-#: cast parses "5" -> 5 while DuckDB's TRY_CAST parses '5' -> 5, but
-#: the two DISAGREE on decimal strings (Spark truncates, DuckDB
-#: rejects), so no decimal is ever embedded (probed before design).
-_H26_BRANCHES = (
-    ('{"kind":"click","meta":{"k":', ',"path":[', "]}}"),
-    ('{"kind":"buy","meta":{"k":"id', '"}}'),
-    ('{"kind":"ping"}',),
-)
-
-
-@_stage(
-    "h26_variant_semistructured",
-    oracle="""
-        WITH src AS (
-            SELECT event_id, user_id,
-                   TRY_CAST(props AS JSON) ->> 'k' AS k
-            FROM events WHERE props IS NOT NULL
-        ), js AS (
-            SELECT CASE
-                WHEN event_id % 3 = 0 THEN
-                    '{"kind":"click","meta":{"k":' || k || ',"path":['
-                    || user_id || ',' || (event_id % 7) || ']}}'
-                WHEN event_id % 3 = 1 THEN
-                    '{"kind":"buy","meta":{"k":"id' || k || '"}}'
-                ELSE '{"kind":"ping"}' END AS j
-            FROM src
-        ), x AS (
-            SELECT CAST(j AS JSON) AS v FROM js
-        ), e AS (
-            SELECT v ->> '$.kind' AS kind,
-                   TRY_CAST(v ->> '$.meta.k' AS BIGINT) AS kb,
-                   v ->> '$.meta.k' AS ks,
-                   TRY_CAST(v ->> '$.meta.path[1]' AS BIGINT) AS p1
-            FROM x
-        )
-        SELECT kind, CAST(count(*) AS BIGINT) AS n,
-               CAST(coalesce(sum(kb), 0) AS BIGINT) AS sum_k,
-               CAST(count(kb) AS BIGINT) AS n_k_typed,
-               CAST(count(ks) AS BIGINT) AS n_k_any,
-               CAST(coalesce(sum(p1), 0) AS BIGINT) AS sum_path1
-        FROM e GROUP BY 1
-    """,
-)
-def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction through Spark 4's native VARIANT type
-    (binary semi-structured values — the schema-FLEXIBLE complement of
-    h09/h16's static-schema JSON ops): heterogeneous per-row JSON
-    (numeric field, string-typed field, missing subtree — shapes keyed
-    on event_id % 3) is parsed ONCE into VARIANT with ``parse_json``
-    and fields are extracted with ``try_variant_get``, whose
-    try-semantics the census makes observable — the string-typed
-    ``"id<k>"`` never types as BIGINT (n_k_typed counts only the
-    numeric shape) while the untyped string extraction sees both
-    (n_k_any).  VARIANT survives parquet roundtrips natively (probed;
-    the shredded-storage path is the 100 TB story: parse once at
-    ingest, store binary, extract columnar — never re-parse JSON text
-    per query).  The oracle constructs the identical JSON from the same
-    integer columns and mirrors the extraction with DuckDB's JSON
-    operators; only integral or non-numeric values are embedded (see
-    `_H26_BRANCHES` for why).
-
-    Scale shape: parse + extraction are map-side expressions over the
-    scan (one whole-stage-codegen span, zero exchanges before the
-    4-group aggregate with map-side combine)."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("props").isNotNull())
-          .select("event_id", "user_id",
-                  F.get_json_object("props", "$.k").alias("k")))
-    js = ev.select(F.when(F.col("event_id") % 3 == 0, F.concat(
-        F.lit('{"kind":"click","meta":{"k":'), F.col("k"),
-        F.lit(',"path":['), F.col("user_id").cast("string"), F.lit(","),
-        (F.col("event_id") % 7).cast("string"), F.lit("]}}"),
-    )).when(F.col("event_id") % 3 == 1, F.concat(
-        F.lit('{"kind":"buy","meta":{"k":"id'), F.col("k"), F.lit('"}}'),
-    )).otherwise(F.lit('{"kind":"ping"}')).alias("j"))
-    e = js.select(F.parse_json("j").alias("v")).selectExpr(
-        "try_variant_get(v, '$.kind', 'string') AS kind",
-        "try_variant_get(v, '$.meta.k', 'bigint') AS kb",
-        "try_variant_get(v, '$.meta.k', 'string') AS ks",
-        "try_variant_get(v, '$.meta.path[1]', 'bigint') AS p1",
-    )
-    return e.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("kb"), F.lit(0)).alias("sum_k"),
-        F.count("kb").alias("n_k_typed"),
-        F.count("ks").alias("n_k_any"),
-        F.coalesce(F.sum("p1"), F.lit(0)).alias("sum_path1"))
 
 
 # ---- h27: collated grouping (Spark 4 native string collations) -------------

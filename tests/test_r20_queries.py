@@ -2,11 +2,15 @@
 round — graduated from the r16 staging module per the SURVEY §7.18
 ledger's named fate, the build's final named move): the
 pure-Python-reference, crafted-payload, and plan-shape pins, migrated
-from tests/test_staged_r16.py.  Oracle parity runs through the
-registry-wide differential suite (tests/test_differential.py) like
-every registered query; the exchange budget is pinned in
-tools/plan_budget.json at the §7.18 pre-measured count of 1 (one doc_id
-hash exchange reused by the islands window and both aggregations)."""
+from tests/test_staged_r16.py.  Also h26 VARIANT semi-structured
+extraction (pulled forward from the bank's spares — the r15–r19
+precedent): its try-semantics and plan pins, migrated likewise.  Oracle
+parity runs through the registry-wide differential suite
+(tests/test_differential.py) like every registered query; both exchange
+budgets are pinned in tools/plan_budget.json at the §7.18 pre-measured
+count of 1 (k18: one doc_id hash exchange reused by the islands window
+and both aggregations; h26: map-side parse + extraction into the
+4-group aggregate)."""
 
 from __future__ import annotations
 
@@ -105,3 +109,25 @@ def test_k18_kernel_on_crafted_payloads(spark):
         5: (1, 2, 2, 0),
         6: (1, 1, 1, 0),
     }
+
+
+def test_h26_variant_try_semantics(spark, sf_dir):
+    # the try-typed extraction contract, pinned per shape: the numeric
+    # shape types every k (n_k_typed = n), the string shape types NONE
+    # (its "id<k>" never casts to bigint) while the untyped extraction
+    # sees all of them, and the meta-less shape extracts nothing; and
+    # the whole path stays JVM-side map-side (no Python, no cartesian)
+    df = registry.QUERIES["h26_variant_semistructured"](spark, sf_dir)
+    rows = {r["kind"]: r for r in df.collect()}
+    assert set(rows) == {"click", "buy", "ping"}
+    click, buy, ping = rows["click"], rows["buy"], rows["ping"]
+    assert click["n_k_typed"] == click["n"] == click["n_k_any"]
+    assert buy["n_k_typed"] == 0 and buy["n_k_any"] == buy["n"]
+    assert buy["sum_k"] == 0
+    assert ping["n_k_typed"] == ping["n_k_any"] == 0
+    assert ping["sum_k"] == ping["sum_path1"] == 0
+    assert click["sum_path1"] > 0
+
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -6,7 +6,8 @@ schedule in r16, i67 RRF fusion was pulled forward to r16, j12
 streaming near-dup ingest registered on schedule in r17, a19 XML
 roundtrip registered on schedule in r18, j13 stream outer join
 registered on schedule in r19, and k18 audio silence segmentation
-registered on schedule in r20 — their pins graduated to
+registered (plus h26 VARIANT extraction pulled forward) in r20 — their
+pins graduated to
 tests/test_r16_queries.py / test_r17_queries.py / test_r18_queries.py
 / test_r19_queries.py / test_r20_queries.py."""
 
@@ -74,30 +75,6 @@ def test_staged_r16_tri_sf_parity(name, spark):
             compare(fn(spark, sf_dir), con, sql)
         finally:
             con.close()
-
-
-def test_h26_variant_try_semantics(spark, sf_dir):
-    # the try-typed extraction contract, pinned per shape: the numeric
-    # shape types every k (n_k_typed = n), the string shape types NONE
-    # (its "id<k>" never casts to bigint) while the untyped extraction
-    # sees all of them, and the meta-less shape extracts nothing; and
-    # the whole path stays JVM-side map-side (no Python, no cartesian)
-    rows = {r["kind"]: r
-            for r in _staged_rows("h26_variant_semistructured",
-                                  spark, sf_dir)}
-    assert set(rows) == {"click", "buy", "ping"}
-    click, buy, ping = rows["click"], rows["buy"], rows["ping"]
-    assert click["n_k_typed"] == click["n"] == click["n_k_any"]
-    assert buy["n_k_typed"] == 0 and buy["n_k_any"] == buy["n"]
-    assert buy["sum_k"] == 0
-    assert ping["n_k_typed"] == ping["n_k_any"] == 0
-    assert ping["sum_k"] == ping["sum_path1"] == 0
-    assert click["sum_path1"] > 0
-
-    fn, _ = STAGED["h26_variant_semistructured"]
-    plan = physical_plan(fn(spark, sf_dir))
-    assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
 
 
 def test_h27_collation_actually_merges(spark, sf_dir):
