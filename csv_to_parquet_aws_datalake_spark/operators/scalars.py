@@ -699,10 +699,12 @@ _H26_BRANCHES = (
 @query(
     "h26_variant_semistructured",
     oracle="""
-        WITH src AS (
+        WITH src0 AS (
             SELECT event_id, user_id,
                    TRY_CAST(props AS JSON) ->> 'k' AS k
             FROM events WHERE props IS NOT NULL
+        ), src AS (
+            SELECT * FROM src0 WHERE regexp_matches(k, '^-?[0-9]+$')
         ), js AS (
             SELECT CASE
                 WHEN event_id % 3 = 0 THEN
@@ -745,7 +747,10 @@ def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query).  The oracle constructs the identical JSON from the same
     integer columns and mirrors the extraction with DuckDB's JSON
     operators; only integral or non-numeric values are embedded (see
-    `_H26_BRANCHES` for why).
+    `_H26_BRANCHES` for why), and since the r20 registration review the
+    integral-k contract is ENFORCED by an identical anchored
+    ASCII-digit regex filter on both engines, not assumed of the
+    fixture.
 
     Scale shape: parse + extraction are map-side expressions over the
     scan (one whole-stage-codegen span, zero exchanges before the
@@ -753,7 +758,15 @@ def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("props").isNotNull())
           .select("event_id", "user_id",
-                  F.get_json_object("props", "$.k").alias("k")))
+                  F.get_json_object("props", "$.k").alias("k"))
+          # ENFORCE the integral-k embedding invariant (review r20: it
+          # was fixture convention only) — a decimal k would make the
+          # engines' variant/JSON casts diverge (see the branch note), a
+          # quote or backslash would build invalid JSON that the strict
+          # parse_json throws on, and a NULL k would NULL out two of the
+          # three branch payloads; the identical anchored ASCII-digit
+          # regex on both engines drops all three classes by contract
+          .filter(F.col("k").rlike("^-?[0-9]+$")))
     js = ev.select(F.when(F.col("event_id") % 3 == 0, F.concat(
         F.lit('{"kind":"click","meta":{"k":'), F.col("k"),
         F.lit(',"path":['), F.col("user_id").cast("string"), F.lit(","),

@@ -346,6 +346,7 @@ def _unicode_docs_dir(sf_dir: str) -> str:
 _BYTE_ARITHMETIC_QUERIES = [
     "k06_multimodal_meta", "k07_multimodal_decode", "k13_frame_sample",
     "k14_image_resize", "k15_audio_energy", "k17_phash_band_neardup",
+    "k18_audio_silence_segments",
 ]
 
 

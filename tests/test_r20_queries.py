@@ -131,3 +131,49 @@ def test_h26_variant_try_semantics(spark, sf_dir):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_h26_integral_k_guard_on_hostile_payloads(spark, tmp_path):
+    # review r20: the integral-k embedding invariant is ENFORCED, not
+    # assumed of the fixture — a decimal k (the engines' variant/JSON
+    # casts diverge on it), a quoted k (builds invalid JSON the strict
+    # parse_json would throw on), a missing k, and a NULL props row are
+    # all dropped by the identical anchored ASCII-digit regex on both
+    # engines, while integral k (positive AND negative) survives
+    import json as _json
+
+    import duckdb
+
+    rows = [(0, 10, _json.dumps({"k": 5})),      # click shape, integral
+            (1, 11, _json.dumps({"k": -7})),     # buy shape, negative int
+            (2, 12, _json.dumps({"k": 3})),      # ping shape
+            (3, 13, _json.dumps({"k": 1.5})),    # decimal -> dropped
+            (4, 14, _json.dumps({"k": 'a"b'})),  # quote -> dropped
+            (5, 15, _json.dumps({"x": 1})),      # k missing -> dropped
+            (6, 16, None)]                       # NULL props -> dropped
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, props string")
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = registry.QUERIES["h26_variant_semistructured"](spark, d)
+    scols = sorted(got.columns)
+    srows = sorted(tuple(r[c] for c in scols) for r in got.collect())
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{d}/events.parquet/*.parquet'")
+        orows = sorted(
+            tuple(r[c] for c in scols) for _, r in con.execute(
+                registry.ORACLES["h26_variant_semistructured"])
+            .fetchdf().iterrows())
+    finally:
+        con.close()
+    assert srows == orows
+    # non-vacuity: exactly the three integral-k rows survive, one per
+    # shape, and the guard demonstrably dropped the hostile four
+    by_kind = {r["kind"]: r for r in got.collect()}
+    assert set(by_kind) == {"click", "buy", "ping"}
+    assert all(r["n"] == 1 for r in by_kind.values())
+    assert by_kind["click"]["sum_k"] == 5
+    assert by_kind["buy"]["n_k_typed"] == 0 and by_kind["buy"]["n_k_any"] == 1

@@ -1280,7 +1280,13 @@ def test_import_closure_is_ast_grounded(monkeypatch, tmp_path):
         f"from {root}.opx import gamma\n"
         f"import {root}.opx.delta\n"
         "import os\n"
-        "from collections import Counter\n")
+        "from collections import Counter\n"
+        # a foreign top-level module that merely SHARES the package-name
+        # prefix must never enter the closure (review r20: a bare
+        # startswith admitted it, and _module_file would then mis-resolve
+        # its submodule paths onto real package files)
+        f"import {root}_ext\n"
+        f"from {root}_ext.opx import beta\n")
     (pkg_root / "opx" / "beta.py").write_text("Y = 1\n")
     (pkg_root / "opx" / "windows.py").write_text("Z = 1\n")
     (pkg_root / "opx" / "phantom.py").write_text("P = 1\n")
@@ -1295,8 +1301,10 @@ def test_import_closure_is_ast_grounded(monkeypatch, tmp_path):
     assert f"{root}.opx.delta" in closure       # plain Import (ADVICE r19)
     assert f"{root}.opx.windows" not in closure  # 'as' alias, not a dep
     assert f"{root}.opx.phantom" not in closure  # docstring text, not a dep
-    # externals stay out: nothing outside the package root ever enters
-    assert all(m.startswith(root) for m in closure)
+    # externals stay out: nothing outside the package root ever enters,
+    # dot-bounded so the shared-prefix foreign module is caught too
+    assert all(m == root or m.startswith(root + ".") for m in closure)
+    assert not any(m.startswith(f"{root}_ext") for m in closure)
 
 
 def test_import_closure_syntax_error_is_loud(monkeypatch, tmp_path):

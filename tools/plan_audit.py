@@ -170,6 +170,14 @@ def _is_global_module(mod_name: str) -> bool:
             or mod_name.startswith(f"{_PKG_ROOT}.sources"))
 
 
+def _is_pkg_internal(mod_name: str) -> bool:
+    """True iff mod_name IS the package root or a dotted submodule of it
+    — a bare startswith would also admit foreign top-level modules that
+    merely share the prefix (review r20)."""
+    return (mod_name == _PKG_ROOT
+            or mod_name.startswith(_PKG_ROOT + "."))
+
+
 def _import_closure(mod_name: str) -> set[str]:
     """mod_name plus every package-internal module it (transitively)
     imports, found by parsing each source file's AST for relative
@@ -216,11 +224,15 @@ def _import_closure(mod_name: str) -> set[str]:
             #   from PKG.x import y      absolute ImportFrom into the pkg
             #   import PKG.x             plain Import of a pkg module
             # stdlib/pyspark absolute imports fail the _PKG_ROOT prefix and
-            # stay external — ast.walk also reaches imports nested in
-            # function bodies, which the call-time kernel reuse relies on
+            # stay external — the check is dot-bounded (review r20): a
+            # foreign top-level module that merely SHARES the prefix
+            # ("<pkg>_ext") must never enter the closure, where
+            # _module_file would mis-resolve it onto real package files.
+            # ast.walk also reaches imports nested in function bodies,
+            # which the call-time kernel reuse relies on
             if isinstance(node, ast.Import):
                 todo.extend(alias.name for alias in node.names
-                            if alias.name.startswith(_PKG_ROOT))
+                            if _is_pkg_internal(alias.name))
                 continue
             if not isinstance(node, ast.ImportFrom):
                 continue
@@ -229,7 +241,7 @@ def _import_closure(mod_name: str) -> set[str]:
                                           node.module or "", is_pkg=is_pkg)
             else:
                 nxt = node.module or ""
-            if not (nxt and nxt.startswith(_PKG_ROOT)):
+            if not (nxt and _is_pkg_internal(nxt)):
                 continue
             todo.append(nxt)
             # 'from . import sub' / 'from ..pkg import mod' (and the
