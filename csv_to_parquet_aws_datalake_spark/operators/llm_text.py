@@ -818,21 +818,27 @@ def i25_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer div — the only cross-engine-deterministic rounding), plus the
     combined keep gate (<20% on both axes).
 
-    Scale shape: pure map-side, ZERO exchanges.  The trigram stats are
-    array expressions (transform/array_distinct, no explode); the
-    top-token count is the longest run in the per-doc SORTED token array
-    (max frequency == max run length after sorting), an O(n log n)-per-doc
-    aggregate lambda — so the 100 TB cost is exactly one scan+project,
-    with no (doc, token) shuffle and no rejoin.  Per-doc sort beats the
-    explode/shuffle form at any scale because the doc_id key space is the
-    corpus itself: both shuffles it replaces moved every token."""
+    Scale shape: pure map-side, ZERO exchanges at corpus scale.  The
+    trigram stats are array expressions (transform/array_distinct, no
+    explode); the top-token count is the longest run in the per-doc
+    SORTED token array (max frequency == max run length after sorting),
+    an O(n log n)-per-doc aggregate lambda — so the 100 TB cost is
+    exactly one scan+project, with no (doc, token) shuffle and no
+    rejoin.  Per-doc sort beats the explode/shuffle form at any scale
+    because the doc_id key space is the corpus itself: both shuffles it
+    replaces moved every token.  Locally the per-doc sort+lambda CPU is
+    the heaviest map work in the i-family, and the documents scan is one
+    row group — i34/i48 precedent, widen the degenerate scan so it does
+    not serialize on one core (r21: 0.74 s -> 0.42 s median noop at
+    sf0.1; a real multi-split corpus scan is untouched by the guard)."""
     d = load_table(spark, sf_dir, "documents")
     # NULL-text docs must drop: the oracle's `JOIN topt` discards them
     # (unnest of a NULL list yields no rows), and the pre-rewrite explode
     # form did the same — without this filter the shuffle-free form would
     # keep them with NULL metrics (fixture texts are never NULL, but the
     # operator must not depend on that)
-    t = (d.filter(F.col("text").isNotNull())
+    t = (widen_if_narrow(d.filter(F.col("text").isNotNull())
+                         .select("doc_id", "text"))
          .select("doc_id", F.split("text", " ").alias("toks")))
     # build the trigram array ONCE per row (Catalyst does not CSE
     # higher-order-function lambdas), then take both sizes from it —
@@ -1290,9 +1296,19 @@ def i33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions — no Python in the hot path.  Gram dedup happens AFTER the
     selective broadcast join (countDistinct per doc), so the only
     corpus-wide shuffle carries matching grams — normally a sliver of the
-    stream — instead of a distinct over every (doc, gram)."""
+    stream — instead of a distinct over every (doc, gram).
+
+    The shared scan is widened BEFORE the eval/corpus branch split
+    (i34/i48 precedent, r21: 0.89 s -> 0.68 s median noop at sf0.1): the
+    documents fixture is one parquet row group, so both branches' gram
+    explodes otherwise serialize on a single core.  The branch filters
+    move above the widening exchange (no longer scan-pushed), which at
+    local scale is the right trade — the exchange moves ~600 KB once and
+    buys 32-way gram CPU twice; at corpus scale the guard makes the
+    whole thing a no-op and the filters push down exactly as before."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    toks = (widen_if_narrow(d.select("doc_id", "source", "text"))
+            .select("doc_id", "source", F.split("text", " ").alias("t")))
     ng = (
         toks.filter(F.size("t") >= 5)
         .select(
@@ -1365,13 +1381,14 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands x 2 rows: documents agreeing on any band key become candidate
     pairs via an equi-join on (band, key) — the near-linear LSH shape
     (never all-pairs); the emitted n_sig_match (0-8 agreeing slots) is
-    the integer Jaccard estimate.  At 100 TB: signatures are one
-    map-side-combined agg over shingles; band join cost is bounded by
-    bucket collision counts, the knob being (bands, rows-per-band)."""
+    the integer Jaccard estimate.  At 100 TB: signatures are pure
+    map-side array aggregation per document (r21 — no shingle explode,
+    no doc_id re-group); band join cost is bounded by bucket collision
+    counts, the knob being (bands, rows-per-band)."""
     d = load_table(spark, sf_dir, "documents")
-    # 8 hashes per shingle is CPU-bound; widen the degenerate one-file scan
-    # keyed on doc_id so the signature groupBy reuses the exchange
-    # (no-op on a real multi-split corpus scan)
+    # 2 md5 calls per shingle is CPU-bound; widen the degenerate one-file
+    # scan (no-op on a real multi-split corpus scan).  doc_id key kept so
+    # the local plan stays hash-partitioned on the id the pair joins use.
     return minhash_band_pairs(widen_if_narrow(d, "doc_id"))
 
 
@@ -1384,17 +1401,30 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
     false negatives on exact duplicates (only near-dups are probabilistic).
     """
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
+    # Signature slots are min-over-shingles, and every shingle of a doc is
+    # already in ONE row — so the min is an ARRAY aggregation, not an
+    # explode + re-group (r21, guide §2.4 "remove shuffles outright"):
+    # the md5 arrays are built once per row in their own projection
+    # (CollapseProject keeps multiply-referenced non-cheap expressions
+    # un-inlined, so each md5 runs exactly once per shingle), then each
+    # slot is an array_min over a substring view.  Same math as the
+    # exploded form — min over rows == min over the array — with zero
+    # shingle-row amplification and no doc_id hash-agg; the former
+    # explode+groupBy paid one 8-way min hash-agg update per shingle ROW
+    # (r21 measured 0.97 s -> 0.79 s end-to-end at sf0.1).
+    hashed = (
+        docs.select("doc_id",
+                    F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr("transform(sh, s -> md5(concat('0|', s)))").alias("h0"),
+            F.expr("transform(sh, s -> md5(concat('1|', s)))").alias("h1"),
+        )
     )
-    hashed = sh.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("0|"), F.col("sh"))).alias("h0"),
-        F.md5(F.concat(F.lit("1|"), F.col("sh"))).alias("h1"),
-    )
-    sig = hashed.groupBy("doc_id").agg(*[
-        F.min(F.substring(f"h{k // 4}", (k % 4) * 8 + 1, 8)).alias(f"s{k}")
+    sig = hashed.select("doc_id", *[
+        F.array_min(F.expr(
+            f"transform(h{k // 4}, x -> substring(x, {(k % 4) * 8 + 1}, 8))"
+        )).alias(f"s{k}")
         for k in range(8)
     ]).localCheckpoint()  # reused 3x (band explode + both pair sides)
     # one explode pass emits all 4 (band, key) rows per doc — same rows as

@@ -704,7 +704,7 @@ _H26_BRANCHES = (
                    TRY_CAST(props AS JSON) ->> 'k' AS k
             FROM events WHERE props IS NOT NULL
         ), src AS (
-            SELECT * FROM src0 WHERE regexp_matches(k, '^-?[0-9]+$')
+            SELECT * FROM src0 WHERE regexp_matches(k, '^-?(0|[1-9][0-9]*)$')
         ), js AS (
             SELECT CASE
                 WHEN event_id % 3 = 0 THEN
@@ -765,8 +765,13 @@ def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
           # quote or backslash would build invalid JSON that the strict
           # parse_json throws on, and a NULL k would NULL out two of the
           # three branch payloads; the identical anchored ASCII-digit
-          # regex on both engines drops all three classes by contract
-          .filter(F.col("k").rlike("^-?[0-9]+$")))
+          # regex on both engines drops all three classes by contract.
+          # Leading-zero digit strings ("007", "-01") are rejected too
+          # (ADVICE r20): spliced into the click payload they form a
+          # leading-zero number literal — invalid JSON that both the
+          # strict parse_json and the oracle's CAST(j AS JSON) throw on,
+          # so admitting them would crash the query instead of guarding it
+          .filter(F.col("k").rlike("^-?(0|[1-9][0-9]*)$")))
     js = ev.select(F.when(F.col("event_id") % 3 == 0, F.concat(
         F.lit('{"kind":"click","meta":{"k":'), F.col("k"),
         F.lit(',"path":['), F.col("user_id").cast("string"), F.lit(","),

@@ -150,7 +150,17 @@ def test_h26_integral_k_guard_on_hostile_payloads(spark, tmp_path):
             (3, 13, _json.dumps({"k": 1.5})),    # decimal -> dropped
             (4, 14, _json.dumps({"k": 'a"b'})),  # quote -> dropped
             (5, 15, _json.dumps({"x": 1})),      # k missing -> dropped
-            (6, 16, None)]                       # NULL props -> dropped
+            (6, 16, None),                       # NULL props -> dropped
+            # ADVICE r21: leading-zero digit strings pass an all-digits
+            # test but splice into an INVALID JSON number literal
+            # ('{"k":007,...}') that crashes strict parse_json AND the
+            # oracle's CAST(j AS JSON) — the tightened
+            # ^-?(0|[1-9][0-9]*)$ must drop them.  event_id 9 (% 3 == 0)
+            # is the click shape where the crash lives; event_id 7
+            # (% 3 == 1) is the buy shape, which would NOT crash (the k
+            # splices inside a string) but must drop all the same
+            (9, 17, _json.dumps({"k": "007"})),  # click, leading zero
+            (7, 18, _json.dumps({"k": "-01"}))]  # buy, negative l.z.
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, props string")
     d = str(tmp_path)
