@@ -2366,15 +2366,36 @@ def _i68_oracle() -> str:
 def lsh_calibration_frame(d: DataFrame) -> DataFrame:
     """The i68 kernel over any (doc_id, text, ...) frame — factored out
     (the i65/i64 convention) so crafted-frame tests and
-    tools/scale_stress.py drive the exact registered formulation."""
-    pairs = minhash_band_pairs(d)
+    tools/scale_stress.py drive the exact registered formulation.
+
+    r21 restructure (guide §2.3 "shuffle fewer bytes" / §3.2 "reduce the
+    big side before shuffling"): the exact-Jaccard side only matters for
+    the LSH CANDIDATE pairs, but the former shape computed shared-shingle
+    counts for EVERY doc pair sharing any shingle — at sf0.1 that was a
+    1.27M-row shingle self-join feeding 1.13M (da, db) groups, of which
+    the calibration join then kept 759 (a 1500x overcompute), and the
+    corpus-wide self-join on the shingle key is quadratic in hot-shingle
+    frequency (the exact blowup the banding exists to avoid).  Now the
+    candidate doc ids (bounded by the banding collision count, the
+    quantity LSH keeps sublinear by design) are semi-joined into the
+    corpus FIRST, so the shingle explode, the per-doc counts, and the
+    pairwise-intersection self-join all run over candidate docs only.
+    Per-doc shingle counts come from a map-side size(array_distinct(...))
+    — the former explode + groupBy(doc_id) re-group is gone entirely
+    (same r21 rationale as i34's array-min signatures)."""
+    pairs = minhash_band_pairs(d).localCheckpoint()  # reused: ids + join
+    cand_ids = (pairs.select(F.col("da").alias("doc_id"))
+                .union(pairs.select(F.col("db").alias("doc_id"))).distinct())
 
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
-    ).localCheckpoint()  # reused 3x (counts + both shared-join sides)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand_docs = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sha"))
+        .withColumn("n", F.size("sha"))
+        .localCheckpoint()  # candidates only — tiny; reused 3x
+    )
+    counts = cand_docs.select("doc_id", "n")
+    sh = cand_docs.select("doc_id", F.explode("sha").alias("sh"))
     shared = (
         sh.alias("a")
         .join(sh.alias("b"),
@@ -2424,5 +2445,12 @@ def i68_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     own measured sublinearity rows (minhash-band, i03's shingle
     equi-join); the calibration itself is a bounded join between the
     candidate set and the shared-count set followed by a 9-row-key
-    aggregation with map-side combine."""
-    return lsh_calibration_frame(load_table(spark, sf_dir, "documents"))
+    aggregation with map-side combine.
+
+    The scan is widened like i34's (r21): both the signature md5s and
+    the exact-Jaccard shingle explode are CPU-bound map work, and the
+    local documents fixture is one parquet row group — without the
+    guarded widening every hash ran on a single core (measured 5.7 s
+    warm in the r21 registry sweep; the guard no-ops at corpus scale)."""
+    return lsh_calibration_frame(
+        widen_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id"))
