@@ -124,8 +124,14 @@ _I03_PAIRS_SQL = """
 def i03_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: 3-token shingles, exact Jaccard >= 0.1 on the
     distinct-shingle sets.  Candidates come from an equi-join on shingle, so
-    only documents sharing at least one shingle are ever compared."""
-    return shingle_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    only documents sharing at least one shingle are ever compared.
+
+    r21: the scan is widened (i34/i48 precedent — the local documents
+    fixture is one parquet row group, so the shingle build otherwise
+    runs on a single core; no-op at corpus scale): 3.2 s -> 1.1 s warm
+    at sf0.1 together with the kernel's array-count form."""
+    return shingle_jaccard_pairs(
+        widen_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def shingle_jaccard_pairs(d: DataFrame) -> DataFrame:
@@ -134,13 +140,23 @@ def shingle_jaccard_pairs(d: DataFrame) -> DataFrame:
     test_units.py can drive the EXACT operators on crafted frames: the
     shingling, the distinct-set counts, and the threshold comparison
     all share their arithmetic with the oracle (the both-engines-wrong
-    class), so they get a from-scratch pure-Python recomputation."""
+    class), so they get a from-scratch pure-Python recomputation.
+
+    r21 shape: the pinned frame holds one row per doc with the distinct-
+    shingle ARRAY and its size — per-doc counts are a map-side
+    size(array_distinct(...)), not an explode + groupBy(doc_id) re-group
+    (the i34 array-aggregation rationale), and the checkpoint pins 5 K
+    array rows instead of 260 K exploded rows.  The explode to shingle
+    rows happens twice downstream (both self-join sides), but over the
+    pinned arrays it is a cheap generator, not a recompute of the
+    split/shingle work."""
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh"),
-    ).localCheckpoint()  # reused 3x (counts + both join sides): pin the explode
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    base = (docs.select("doc_id",
+                        F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sha"))
+            .withColumn("n", F.size("sha"))
+            .localCheckpoint())  # reused 3x (counts + both join sides)
+    counts = base.select("doc_id", "n")
+    sh = base.select("doc_id", F.explode("sha").alias("sh"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"),
@@ -289,10 +305,15 @@ def i04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable near-dup via MinHash banding: shingle -> binary feature
     vector -> MinHashLSH -> approxSimilarityJoin.  Near-linear: candidate
     pairs only materialize when a band collides, unlike i03's full
-    shingle-group expansion."""
+    shingle-group expansion.
+
+    r21: the scan is widened (i34/i48 precedent — one-row-group local
+    fixture, no-op at corpus scale), so the shingle + HashingTF feature
+    build parallelizes into the localCheckpoint: 2.7 s -> 0.9 s warm at
+    sf0.1, identical output (params and seed fixed)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
     docs = (
         d.withColumn("t", F.split("text", " "))
         .filter(F.size("t") >= 3)
