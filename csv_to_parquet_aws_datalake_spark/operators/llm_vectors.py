@@ -309,8 +309,12 @@ def i19_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical under the fixed seed).  NULL/empty embeddings are out of
     # contract for the vector family (r12 null-emb sweep: array_to_vector's
     # UDF fails outright on NULL; r13 empty-array probe: the LSH model's
-    # gemv crashes on a 0-dim vector)
-    emb = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+    # gemv crashes on a 0-dim vector).  The scan is widened BEFORE the
+    # checkpoint (r21): the one-row-group local fixture otherwise pins a
+    # single-partition frame, serializing the hash-table explode and the
+    # candidate self-join on one core (3.7 s -> 1.1 s warm at sf0.1;
+    # no-op at corpus scale per the widen_if_narrow guard)
+    emb = (valid_embeddings(widen_if_narrow(load_table(spark, sf_dir, "embeddings")))
            .select("vec_id",
                    array_to_vector(F.col("embedding").cast("array<double>"))
                    .alias("features"))
