@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import (BIGINT_BOUND, finite_or_null,
                                 representable_or_null)
-from ..loader import load_table
+from ..loader import load_table, widen_if_narrow
 from ..registry import query
 
 
@@ -753,10 +753,18 @@ def h26_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture.
 
     Scale shape: parse + extraction are map-side expressions over the
-    scan (one whole-stage-codegen span, zero exchanges before the
-    4-group aggregate with map-side combine)."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("props").isNotNull())
+    scan (one whole-stage-codegen span, zero KEYED exchanges before the
+    4-group aggregate with map-side combine).  Locally the scan is
+    widened (r21, i34/i48 precedent): the JSON splice + variant parse +
+    three extractions per row are the heaviest per-row map work in the
+    h-family, and the one-row-group events fixture otherwise runs them
+    on a single core (1.52 s -> 0.73 s median collect at sf0.1; the
+    guard no-ops on a real multi-split scan, where the props-notnull
+    filter pushes to the scan exactly as before)."""
+    ev = (widen_if_narrow(
+              load_table(spark, sf_dir, "events")
+              .filter(F.col("props").isNotNull())
+              .select("event_id", "user_id", "props"))
           .select("event_id", "user_id",
                   F.get_json_object("props", "$.k").alias("k"))
           # ENFORCE the integral-k embedding invariant (review r20: it
