@@ -10,6 +10,8 @@ for recall), turning ANN into an equi-join + per-bucket top-k
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -620,23 +622,54 @@ def semdedup_census(emb: DataFrame, tau: float = _SEMDEDUP_TAU,
     scoring join from the census plan — tests lint the unpinned
     assignment plan separately.)"""
     assigned = assign(emb).localCheckpoint()
+    # Membership census materialized FIRST (it was always computed as the
+    # rollup's left side — pinning it costs no extra pass over `assigned`
+    # and both the salt decision below and the final rollup read it).
+    memb = (assigned.groupBy(F.col("clabel").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .localCheckpoint())
+    # Adaptive pair-join salt (guide §2.5 hot-key skew): the pair stage is
+    # an equi-join on the bare cluster label, so its parallelism is capped
+    # by the number of DISTINCT clusters — r22 measured the fixture at 10
+    # clusters of 32 cores, serializing the O(sum n_c^2) cosine work onto
+    # 10 tasks (4.3 s of i59's 6.9 s).  When clusters < cores, salt the
+    # left side by pmod(xxhash64(va), s) (deterministic — retry-safe per
+    # guide §2.5) and explode the right side s ways, joining on
+    # (cluster, salt): every (va < vb) pair still meets exactly once, in
+    # the left row's single salt bucket, so the pair set — and therefore
+    # the census — is unchanged.  4x over-decomposition spreads the
+    # s * n_clusters keys evenly across the hash space (guide §2.5's
+    # "20-100x more keys than partitions" guidance, bounded by the tiny
+    # cluster count).  At production scale SemDeDup sizes k with the
+    # corpus (clusters >> cores), so n_salt is 1 and the plan is exactly
+    # the unsalted one — the right side is never replicated at scale.
+    # memb.count() is a driver action over the pinned k-row frame, not a
+    # data pass.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n_clusters = memb.count()
+    n_salt = 1 if n_clusters >= par else math.ceil(4 * par / max(n_clusters, 1))
     a = assigned.select(
         F.col("clabel").alias("cl"), F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"), norm("embedding").alias("na"))
     b = assigned.select(
         F.col("clabel").alias("cl"), F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"), norm("embedding").alias("nb"))
+    cond = (F.col("cl") == F.col("clb")) & (F.col("va") < F.col("vb"))
+    if n_salt > 1:
+        a = a.withColumn(
+            "sa", F.pmod(F.xxhash64("va"), F.lit(n_salt)).cast("int"))
+        b = b.withColumn(
+            "sb", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+        cond = cond & (F.col("sa") == F.col("sb"))
     cosp = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     dups = (
-        a.join(b.withColumnRenamed("cl", "clb"),
-               (F.col("cl") == F.col("clb")) & (F.col("va") < F.col("vb")))
+        a.join(b.withColumnRenamed("cl", "clb"), cond)
         .filter(cosp >= tau)
         .select("cl", "vb").distinct()
     )
     dc = dups.groupBy("cl").agg(F.count(F.lit(1)).alias("n_dup"))
     return (
-        assigned.groupBy(F.col("clabel").alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        memb
         .join(dc, F.col("cluster") == F.col("cl"), "left")
         .select(
             "cluster", "n_vectors",
