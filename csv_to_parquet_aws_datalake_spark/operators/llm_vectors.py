@@ -944,18 +944,19 @@ def assign_nearest_centroid_ann(emb: DataFrame, bits: int = 3,
     cbuck = (cenarr.crossJoin(basis)
              .select("clabel", "carr",
                      srp_code("carr", bits).alias("cbucket")))
-    # Pin the centroid lineage ONCE, up front, whenever more than one
-    # downstream consumer would otherwise re-run the full-corpus
-    # centroid aggregation (the r11 loop-pin defect class): the ball
-    # path takes its own actions over `occupied`, and the sharded path
-    # reads cbuck through m filtered broadcast branches — on the
-    # one-shot path the ROUTING broadcast subtree also hangs off cbuck,
-    # so pinning after routing is built would still re-run the
-    # aggregation inside that broadcast (this round's review).  The
-    # registered m=1 one-shot path stays pin-free: it is a single
-    # action over one lineage.
-    if centroid_shards > 1 or (1 << bits) >= ball_min_codes:
-        cbuck = cbuck.localCheckpoint()
+    # Pin the centroid lineage ONCE, up front, unconditionally (r22;
+    # widens the r11 loop-pin rule): every path reads cbuck through at
+    # least TWO independent broadcast subtrees — the routing build's
+    # `occupied` and the scoring join's centroid table — and broadcast
+    # subtrees never share work (no ReuseExchange across them), so even
+    # the m=1 one-shot path was re-running the full-corpus centroid
+    # aggregation twice inside its "single" action (r21's comment here
+    # claimed one lineage — measured this round: assignment 1.88 s ->
+    # 1.45 s median-of-5 with the pin).  The pinned payload is k rows
+    # (the designer's cluster budget, broadcast-sized by contract), so
+    # the pin costs O(k) at any corpus scale and saves a full corpus
+    # pass under the second broadcast.
+    cbuck = cbuck.localCheckpoint()
     # ball_min_codes: the dispatch threshold, a keyword so tests can
     # force the ball path end-to-end (pass 0) without duplicating the
     # ranking logic they compare against
