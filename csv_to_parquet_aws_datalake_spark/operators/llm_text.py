@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -230,22 +230,26 @@ def i22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(labels, sym.db == labels.doc_id)
             .groupBy("da").agg(F.min("cluster").alias("nmin"))
         )
-        new_labels = (
+        # The changed-label count is a ROW-WISE fact of the update (new
+        # vs old cluster of the same row), so it folds into the
+        # checkpoint job as an observed metric (r22, guide §1.5 driver
+        # round-trips) — the former separate count action re-joined
+        # new_labels to labels on doc_id every round to rediscover a
+        # difference both operands of least() already knew.
+        obs = Observation()
+        upd = (
             labels.join(neigh, labels.doc_id == neigh.da, "left")
             .select(
                 "doc_id",
-                F.least("cluster", F.coalesce("nmin", "cluster")).alias("cluster"),
+                F.least("cluster", F.coalesce("nmin", "cluster")).alias("ncl"),
+                F.col("cluster").alias("ocl"),
             )
-            .localCheckpoint()
+            .observe(obs, F.sum((F.col("ncl") != F.col("ocl"))
+                                .cast("long")).alias("changed"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = (upd.select("doc_id", F.col("ncl").alias("cluster"))
+                  .localCheckpoint())
+        if (obs.get["changed"] or 0) == 0:
             return labels
     raise AssertionError(
         f"i22 min-label propagation did not converge in {I22_MAX_ITERS} "
@@ -1092,13 +1096,30 @@ def cc_components(edges: DataFrame) -> DataFrame:
         return (nbr.union(ctr)
                 .filter(F.col("a") != F.col("b")).distinct())
 
-    cur = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     # big-star/small-star converges in O(log n) rounds; bound the loop at
     # ceil(log2(n)) + slack and fail loudly — a regression in the star
-    # transforms must not hang the run (each round costs a localCheckpoint
-    # plus a symmetric-difference action).  count() on the checkpointed
+    # transforms must not hang the run.  count() on the checkpointed
     # edge set is cheap.
     max_rounds = max(8, math.ceil(math.log2(e.count() + 2)) + 4)
+    # Fixed-point test folded INTO the per-round checkpoint job (r22,
+    # guide §1.5 driver round-trips: one action per round, not two).
+    # small_star's output is already canonical — a > b strictly (nbr
+    # rows pair v with mn = min over its group, filtered a != b; ctr
+    # rows pair u with mn < u) and distinct — so round k's edge set can
+    # be compared to round k-1's by a (a, b) equi-join: with
+    # matched = |stars ∩ prev| observed during the checkpoint,
+    # stars == prev as sets  ⟺  matched == |stars| ∧ matched == |prev|
+    # (both are distinct sets).  |prev| is last round's observed count,
+    # so the former separate symmetric-difference action (two distincts
+    # + two exceptAlls per round) disappears; the join's build side is
+    # the pinned previous round (tiny, checkpointed).  `prev` is
+    # canonicalized once up front from the symmetric seed — identical
+    # set semantics, since each round's input is the symmetric closure
+    # either way.
+    prev = (e.select(F.greatest("u", "v").alias("a"),
+                     F.least("u", "v").alias("b"))
+            .distinct().localCheckpoint())
+    prev_n = prev.count()
     for _round in range(max_rounds + 1):
         if _round == max_rounds:
             raise AssertionError(
@@ -1107,22 +1128,23 @@ def cc_components(edges: DataFrame) -> DataFrame:
                 f"edge set are pathological."
             )
         stars = small_star(large_star(
-            cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
-               .union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))
-               .distinct()))
-        nxt = stars.localCheckpoint()
-        # canonical undirected form for the fixed-point test; one action
-        # evaluates the symmetric difference instead of two exceptAll jobs
-        canon = lambda df: df.select(  # noqa: E731
-            F.least("a", "b").alias("x"),
-            F.greatest("a", "b").alias("y")).distinct()
-        a, b = canon(nxt), canon(cur)
-        if a.exceptAll(b).union(b.exceptAll(a)).isEmpty():
+            prev.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .union(prev.select(F.col("b").alias("u"), F.col("a").alias("v")))
+                .distinct()))
+        obs = Observation()
+        flagged = (
+            stars.join(prev.withColumn("_seen", F.lit(1)), ["a", "b"], "left")
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.sum("_seen").alias("matched")))
+        nxt = flagged.localCheckpoint()
+        n, matched = obs.get["n"], obs.get["matched"] or 0
+        prev = nxt.select("a", "b")
+        if n == matched == prev_n:
             break
-        cur = nxt
+        prev_n = n
     # converged: stars centered at component minima
-    sym = (cur.select(F.col("a").alias("doc_id"), F.col("b").alias("nb"))
-           .union(cur.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))))
+    sym = (prev.select(F.col("a").alias("doc_id"), F.col("b").alias("nb"))
+           .union(prev.select(F.col("b").alias("doc_id"), F.col("a").alias("nb"))))
     return sym.groupBy("doc_id").agg(F.min("nb").alias("mn"))
 
 
