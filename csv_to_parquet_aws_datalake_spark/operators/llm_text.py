@@ -1435,26 +1435,26 @@ def i34_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(widen_if_narrow(d, "doc_id"))
 
 
-def minhash_band_pairs(d: DataFrame) -> DataFrame:
-    """The i34 kernel over any (doc_id, text, ...) frame.
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7) MinHash signatures — the pre-checkpoint signature
+    frame of minhash_band_pairs, factored out (ADVICE r21) so the
+    md5-once property below is pinned by a PLAN test
+    (tests/test_plans.py::test_minhash_signature_md5_runs_once), not a
+    comment: the checkpoint in the caller would otherwise hide this
+    subplan from every explain.
 
-    Guarantee the tests pin: documents with IDENTICAL text have identical
-    shingle sets, hence identical signatures and band keys, so every
-    exact-duplicate pair is emitted with n_sig_match = 8 — banding has no
-    false negatives on exact duplicates (only near-dups are probabilistic).
-    """
+    Signature slots are min-over-shingles, and every shingle of a doc is
+    already in ONE row — so the min is an ARRAY aggregation, not an
+    explode + re-group (r21, guide §2.4 "remove shuffles outright"):
+    the md5 arrays are built once per row in their own projection
+    (CollapseProject keeps multiply-referenced non-cheap expressions
+    un-inlined, so each md5 runs exactly once per shingle), then each
+    slot is an array_min over a substring view.  Same math as the
+    exploded form — min over rows == min over the array — with zero
+    shingle-row amplification and no doc_id hash-agg; the former
+    explode+groupBy paid one 8-way min hash-agg update per shingle ROW
+    (r21 measured 0.97 s -> 0.79 s end-to-end at sf0.1)."""
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
-    # Signature slots are min-over-shingles, and every shingle of a doc is
-    # already in ONE row — so the min is an ARRAY aggregation, not an
-    # explode + re-group (r21, guide §2.4 "remove shuffles outright"):
-    # the md5 arrays are built once per row in their own projection
-    # (CollapseProject keeps multiply-referenced non-cheap expressions
-    # un-inlined, so each md5 runs exactly once per shingle), then each
-    # slot is an array_min over a substring view.  Same math as the
-    # exploded form — min over rows == min over the array — with zero
-    # shingle-row amplification and no doc_id hash-agg; the former
-    # explode+groupBy paid one 8-way min hash-agg update per shingle ROW
-    # (r21 measured 0.97 s -> 0.79 s end-to-end at sf0.1).
     hashed = (
         docs.select("doc_id",
                     F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"))
@@ -1464,12 +1464,24 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
             F.expr("transform(sh, s -> md5(concat('1|', s)))").alias("h1"),
         )
     )
-    sig = hashed.select("doc_id", *[
+    return hashed.select("doc_id", *[
         F.array_min(F.expr(
             f"transform(h{k // 4}, x -> substring(x, {(k % 4) * 8 + 1}, 8))"
         )).alias(f"s{k}")
         for k in range(8)
-    ]).localCheckpoint()  # reused 3x (band explode + both pair sides)
+    ])
+
+
+def minhash_band_pairs(d: DataFrame) -> DataFrame:
+    """The i34 kernel over any (doc_id, text, ...) frame.
+
+    Guarantee the tests pin: documents with IDENTICAL text have identical
+    shingle sets, hence identical signatures and band keys, so every
+    exact-duplicate pair is emitted with n_sig_match = 8 — banding has no
+    false negatives on exact duplicates (only near-dups are probabilistic).
+    """
+    sig = _minhash_signatures(d).localCheckpoint()  # reused 3x (band
+    #                                  explode + both pair sides)
     # one explode pass emits all 4 (band, key) rows per doc — same rows as
     # a 4-arm union but a single scan of the pinned signatures
     bands = sig.select(
@@ -2406,6 +2418,15 @@ def _i68_oracle() -> str:
     """
 
 
+# cap under which i68's candidate-id set is force-broadcast: 2M pairs
+# -> <= 4M distinct ids (~32 MB of longs framed), far below the 8 GB /
+# 512M-row broadcast-relation cap, yet large enough that every realistic
+# calibration census (pairs are banding collisions, sublinear by design)
+# takes the broadcast path; past it the planner/AQE choose from runtime
+# sizes instead of a hint that could OOM the driver
+_I68_BROADCAST_MAX_PAIRS = 2_000_000
+
+
 def lsh_calibration_frame(d: DataFrame) -> DataFrame:
     """The i68 kernel over any (doc_id, text, ...) frame — factored out
     (the i65/i64 convention) so crafted-frame tests and
@@ -2429,10 +2450,18 @@ def lsh_calibration_frame(d: DataFrame) -> DataFrame:
     pairs = minhash_band_pairs(d).localCheckpoint()  # reused: ids + join
     cand_ids = (pairs.select(F.col("da").alias("doc_id"))
                 .union(pairs.select(F.col("db").alias("doc_id"))).distinct())
+    # Broadcast hint GUARDED on the measured candidate count (ADVICE r21):
+    # banding collisions grow with duplicate-heavy corpora, so a forced
+    # broadcast could blow the 8 GB relation cap at corpus scale where an
+    # unhinted plan would fall back to a shuffle join.  pairs is pinned,
+    # so the count is one cheap action over materialized rows; the id set
+    # is <= 2 * n_pairs longs, comfortably broadcastable below the cap.
+    if pairs.count() <= _I68_BROADCAST_MAX_PAIRS:
+        cand_ids = F.broadcast(cand_ids)
 
     docs = d.withColumn("t", F.split("text", " ")).filter(F.size("t") >= 3)
     cand_docs = (
-        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sha"))
         .withColumn("n", F.size("sha"))
         .localCheckpoint()  # candidates only — tiny; reused 3x

@@ -116,7 +116,39 @@ def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     plan = physical_plan(registry.QUERIES["i25_repetition_filter"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+    # an Exchange SinglePartition is the serialize-everything shape this
+    # test exists to ban — count_smells counts it, so the pin must too
+    # (ADVICE r21)
+    assert "Exchange SinglePartition" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_variant_scan_keeps_pushdown_under_widen(spark, sf_dir):
+    # h26's widen (r21) must never lift the props-notnull filter off the
+    # parquet scan: the guarded repartition sits ABOVE the filter, so
+    # pushdown survives locally and trivially at scale where the widen
+    # no-ops (VERDICT r21 item 8)
+    plan = physical_plan(
+        registry.QUERIES["h26_variant_semistructured"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(props)]" in plan
+
+
+def test_minhash_signature_md5_runs_once(spark):
+    # The i34 signature builder relies on CollapseProject keeping the
+    # multiply-referenced md5 transform arrays un-inlined — an optimizer
+    # internal a Spark upgrade could change silently, making every md5
+    # run 4x per shingle (ADVICE r21).  Pin it: the OPTIMIZED plan of the
+    # pre-checkpoint signature frame must contain exactly the two
+    # md5-bearing transforms (h0, h1), not eight inlined copies.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_text import (
+        _minhash_signatures,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string")
+    optimized = str(
+        _minhash_signatures(d)._jdf.queryExecution().optimizedPlan())
+    assert optimized.count("md5") == 2, optimized
 
 
 def test_offset_pagination_is_take_ordered(spark, sf_dir):

@@ -181,7 +181,7 @@ def test_h26_integral_k_guard_on_hostile_payloads(spark, tmp_path):
         con.close()
     assert srows == orows
     # non-vacuity: exactly the three integral-k rows survive, one per
-    # shape, and the guard demonstrably dropped the hostile four
+    # shape, and the guard demonstrably dropped the hostile six
     by_kind = {r["kind"]: r for r in got.collect()}
     assert set(by_kind) == {"click", "buy", "ping"}
     assert all(r["n"] == 1 for r in by_kind.values())
