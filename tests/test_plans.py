@@ -133,6 +133,27 @@ def test_variant_scan_keeps_pushdown_under_widen(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(props)]" in plan
 
 
+def test_semdedup_pair_join_salted_when_clusters_sparse(spark):
+    # r22: semdedup_census salts the cluster-label pair join when the
+    # assignment yields fewer clusters than defaultParallelism (the
+    # fixture-scale skew fix; a no-op at production k).  Two clusters on
+    # a local[8]+ session must take the salted shape: both pair-side
+    # exchange keys carry the salt columns.  Result-correctness of the
+    # salted path is pinned independently by test_property's
+    # brute-force reference (its constructed frames have <= 4 labels,
+    # so they exercise exactly this branch).
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        semdedup_census,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], [float(i % 3 + 1), 1.0]) for i in range(1, 9)],
+        "vec_id long, label string, embedding array<float>")
+    plan = physical_plan(semdedup_census(df))
+    assert "sa#" in plan and "sb#" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_signature_md5_runs_once(spark):
     # The i34 signature builder relies on CollapseProject keeping the
     # multiply-referenced md5 transform arrays un-inlined — an optimizer
