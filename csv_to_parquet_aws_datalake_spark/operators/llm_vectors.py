@@ -194,16 +194,24 @@ def _centroid_table(emb: DataFrame) -> DataFrame:
                     lambda x: x.c).alias("carr"))
 
 
-def assign_nearest_centroid(emb: DataFrame) -> DataFrame:
+def assign_nearest_centroid(emb: DataFrame,
+                            cenarr: DataFrame | None = None) -> DataFrame:
     """(vec_id, clabel, embedding): every vector paired with its nearest
     exact-decimal centroid — broadcast k-row centroid table, rounded
     cosine, vec_id-partitioned argmax window with a clabel tie-break.
     Single-sourced (r9 review: this block existed verbatim in i29 and
     the since-retired staged i58; a tie-break or rounding change must
-    hit every consumer at once).  ``_ASSIGNED_CTE_SQL`` is the oracle-side twin."""
+    hit every consumer at once).  ``_ASSIGNED_CTE_SQL`` is the oracle-side twin.
+
+    ``cenarr`` lets a caller that ALSO consumes the centroid table in a
+    second broadcast subtree (i29's probe ranking) hand in one pinned
+    frame — broadcast subtrees never share work, so without it the
+    full-corpus centroid aggregation runs once per subtree (r22, the
+    same defect class fixed in the ANN assigner's pin)."""
     from pyspark.sql.window import Window as W
 
-    cenarr = _centroid_table(emb)
+    if cenarr is None:
+        cenarr = _centroid_table(emb)
     # assignment needs only a VALID embedding (label-less vectors still
     # get a cluster); NULL/empty embeddings are out of contract on both
     # engines (r12 null sweep + r13 empty-array probe)
@@ -453,8 +461,12 @@ def i29_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     i23's exact-DECIMAL machinery and rounding so both engines pick
     identical partitions; final top-k is TakeOrderedAndProject."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cenarr = _centroid_table(emb)
-    assigned = assign_nearest_centroid(emb)
+    # ONE pinned centroid table feeds both broadcast subtrees (probe
+    # ranking + assignment) — unpinned, each subtree re-ran the
+    # full-corpus centroid aggregation (r22: 1.25 s -> 0.95 s median-of-5,
+    # rows identical; k-row pin, O(k) at any corpus scale)
+    cenarr = _centroid_table(emb).localCheckpoint()
+    assigned = assign_nearest_centroid(emb, cenarr=cenarr)
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
     probes = (
