@@ -1652,3 +1652,25 @@ def test_i68_calibration_buckets_on_crafted_frame(spark):
     assert not any(4 in (a, b)
                    for a, b in itertools.combinations(sorted(sets), 2)
                    if bds[a] & bds[b])
+
+
+def test_assign_nearest_centroid_prebuilt_cenarr_is_identical(spark):
+    # r22: assign_nearest_centroid grew an optional pre-built centroid
+    # frame so i29 can pin ONE table for both of its broadcast subtrees.
+    # The parameter must be behavior-neutral: handing in the pinned
+    # output of _centroid_table yields exactly the internal-build result.
+    from csv_to_parquet_aws_datalake_spark.operators.llm_vectors import (
+        _centroid_table,
+        assign_nearest_centroid,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], [float(i % 4), float((i * 7) % 5), 1.0])
+         for i in range(1, 13)],
+        "vec_id long, label string, embedding array<float>")
+    internal = {(r["vec_id"], r["clabel"])
+                for r in assign_nearest_centroid(df).collect()}
+    pinned = _centroid_table(df).localCheckpoint()
+    handed = {(r["vec_id"], r["clabel"])
+              for r in assign_nearest_centroid(df, cenarr=pinned).collect()}
+    assert internal == handed and len(internal) == 12
